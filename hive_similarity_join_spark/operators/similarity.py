@@ -1,0 +1,282 @@
+"""Set-similarity join — the engine's flagship operator.
+
+Re-expresses the reference's Hive/MapReduce set-similarity-join pipeline
+(the VCL 3-stage algorithm: Vernica, Carey, Li, "Efficient Parallel
+Set-Similarity Joins Using MapReduce", SIGMOD 2010; prefix filtering from
+Chaudhuri et al. SSJoin / Xiao et al. PPJoin) as ONE composed, lazy,
+UDF-free DataFrame transformation. The reference runs it as 3 chained MR
+jobs with HDFS materialization between them; here Catalyst plans the whole
+thing as one DAG and Tungsten codegens the verification math.
+
+Stages (all lazy Column expressions — no Python in the hot path):
+  1. token ordering  — global token frequency, rarest-first rank;
+                       result is vocabulary-sized -> broadcast.
+  2. prefix + length filter — each record emits only its first
+                       ``p = n - ceil(t_eq * n) + 1`` rarest tokens;
+                       candidates = records sharing >=1 prefix token AND
+                       passing the symmetric length filter.
+  3. verification    — exact measure on full token sets via
+                       ``array_intersect``/``array_union`` (set
+                       semantics, matching Hive's set-similarity UDFs).
+
+Measures: jaccard / overlap / dice / cosine. Candidate generation always
+uses an equivalent-Jaccard lower bound t_eq (lossless conversions:
+dice>=t  <=> jaccard>=t/(2-t);  cosine>=t  =>  jaccard>=t^2), so one
+prefix scheme serves all measures; verification applies the exact measure.
+
+100 TB posture:
+- Only the token->rank dictionary is broadcast (bounded by |vocab|, not
+  corpus size). Everything else is shuffle-based hash/SMJ work that
+  partitions on prefix-token then on (id1, id2) — both keys AQE can
+  rebalance; skewed (frequent) prefix tokens are exactly what the
+  rarest-first ordering minimizes, and AQE skew-join splits the rest.
+- Prefix + length filters bound the candidate blowup (the only
+  super-linear risk in the plan).
+- Zero Python UDFs -> no Python workers at runtime; the whole verify
+  stage is whole-stage-codegen'd JVM arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MEASURES = ("jaccard", "overlap", "dice", "cosine")
+
+
+def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
+    """lower -> split -> drop empties -> set semantics (array_distinct).
+
+    Set-vs-bag decision (SURVEY §7): always distinct, matching both
+    ``array_intersect`` set semantics and the DISTINCT-based oracle.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(col), pattern)
+    return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def _equivalent_jaccard_threshold(threshold: float, measure: str) -> float:
+    """Lossless lower bound on Jaccard given ``measure >= threshold``.
+
+    Used only for candidate pruning; verification is exact per measure.
+    overlap is absolute (not a ratio) -> no Jaccard bound; handled apart.
+    """
+    if measure == "jaccard":
+        return threshold
+    if measure == "dice":
+        return threshold / (2.0 - threshold)
+    if measure == "cosine":
+        # C>=t => i >= t*sqrt(n1 n2); minimizing J over the feasible size
+        # ratio r=sqrt(n2/n1) in [1, 1/t] gives J >= t^2 (at r=1/t).
+        return threshold * threshold
+    raise ValueError(f"measure must be one of {MEASURES}, got {measure!r}")
+
+
+def _sim_expr(measure: str, a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    na, nb = F.size(a).cast("double"), F.size(b).cast("double")
+    if measure == "jaccard":
+        return inter / (na + nb - inter)
+    if measure == "overlap":
+        return inter
+    if measure == "dice":
+        return F.lit(2.0) * inter / (na + nb)
+    if measure == "cosine":
+        return inter / F.sqrt(na * nb)
+    raise ValueError(f"unknown measure {measure!r}")
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str, tokens_col: str | None) -> DataFrame:
+    """(_id, _toks) with empty token sets dropped (degenerate for every
+    measure and for prefix arithmetic; documented exclusion)."""
+    toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+
+
+def _rank_tokens(*relations: DataFrame) -> DataFrame:
+    """Stage 1: global token frequency over all inputs -> dense ascending
+    rank, rarest first (ties broken by token for determinism).
+
+    The result is |vocabulary|-sized — small relative to the corpus even
+    at 100 TB (vocab grows sub-linearly) — so it is broadcast at the join.
+    The single-partition window is fine at vocab scale; if vocab ever
+    rivals corpus size, swap for a sort + zipWithIndex-free monotonic rank.
+    """
+    freq = None
+    for rel in relations:
+        f = rel.select(F.explode("_toks").alias("_tok"))
+        freq = f if freq is None else freq.unionByName(f)
+    freq = freq.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
+    w = Window.orderBy(F.asc("_freq"), F.asc("_tok"))
+    return freq.select("_tok", F.row_number().over(w).alias("_rank"))
+
+
+def _sorted_by_rank(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Stage 2a: re-order each record's token set by global rank
+    (rarest first). Explode -> broadcast-join rank -> re-assemble sorted.
+    """
+    exploded = rel.select("_id", F.explode("_toks").alias("_tok"))
+    joined = exploded.join(F.broadcast(dict_df), "_tok")
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rank", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_toks")
+        )
+        .withColumn("_n", F.size("_toks"))
+    )
+
+
+def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
+    """Stage 2b: emit the first ``p = n - ceil(t_eq*n) + 1`` tokens.
+
+    ``F.ceil`` returns LONG — the arithmetic is kept integral on purpose
+    (SURVEY §7 hard parts). A tiny epsilon guards ceil(t*n) when t*n is
+    exactly integral but the float product lands a hair above (e.g.
+    0.8*5 = 4.000000000000001 -> ceil 5 would weaken nothing, but
+    0.7*10 = 6.999999999999999 -> ceil 7 is required for losslessness:
+    rounding DOWN the ceil argument can only lengthen the prefix, which
+    is always safe; shortening it is not).
+    """
+    p = F.greatest(
+        F.lit(1),
+        (F.col("_n") - F.ceil(F.col("_n") * t_eq - 1e-9) + 1).cast("int"),
+    )
+    return rel.select(
+        "_id",
+        "_toks",
+        "_n",
+        F.explode(F.slice("_toks", 1, p)).alias("_ptok"),
+    )
+
+
+def similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Exact set-similarity join; returns (id1, id2, sim).
+
+    Self-join (``other is None``): all pairs with id1 < id2 (canonical
+    orientation, SURVEY §7) and measure >= threshold.
+    R-S join: pairs (id1 from df, id2 from other), no id ordering.
+
+    Entirely lazy; the caller owns persistence decisions. The token-sorted
+    relation feeds both the prefix explode and verification — on repeated
+    use, ``.persist()`` it via the returned plan's lineage if profiling
+    says so (bench.py does this measurement).
+    """
+    if measure not in MEASURES:
+        raise ValueError(f"measure must be one of {MEASURES}, got {measure!r}")
+    if measure == "overlap":
+        t_eq = None  # absolute overlap: prefix p = n - c + 1
+    else:
+        t_eq = _equivalent_jaccard_threshold(threshold, measure)
+
+    r = _tokenized(df, id_col, text_col, tokens_col)
+    rels = [r]
+    if other is not None:
+        s = _tokenized(
+            other, other_id_col or id_col, other_text_col or text_col, tokens_col
+        )
+        rels.append(s)
+
+    dict_df = _rank_tokens(*rels)
+    r_sorted = _sorted_by_rank(r, dict_df)
+    s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
+
+    if measure == "overlap":
+        c = int(math.ceil(threshold))
+        p_expr = F.greatest(F.lit(1), (F.col("_n") - c + 1).cast("int"))
+        a = r_sorted.select(
+            "_id", "_toks", "_n", F.explode(F.slice("_toks", 1, p_expr)).alias("_ptok")
+        )
+        b = s_sorted.select(
+            "_id", "_toks", "_n", F.explode(F.slice("_toks", 1, p_expr)).alias("_ptok")
+        )
+    else:
+        a = _prefix_exploded(r_sorted, t_eq)
+        b = _prefix_exploded(s_sorted, t_eq)
+
+    a = a.select(
+        F.col("_id").alias("id1"),
+        F.col("_toks").alias("_toks1"),
+        F.col("_n").alias("_n1"),
+        F.col("_ptok").alias("_ptok1"),
+    )
+    b = b.select(
+        F.col("_id").alias("id2"),
+        F.col("_toks").alias("_toks2"),
+        F.col("_n").alias("_n2"),
+        F.col("_ptok").alias("_ptok2"),
+    )
+
+    cond = [F.col("_ptok1") == F.col("_ptok2")]
+    if other is None:
+        cond.append(F.col("id1") < F.col("id2"))
+    # Symmetric length filter (lossless for ratio measures): J>=t forces
+    # t*n1 <= n2 and t*n2 <= n1. For overlap: both sizes >= c.
+    if measure == "overlap":
+        cond.append(F.col("_n1") >= int(math.ceil(threshold)))
+        cond.append(F.col("_n2") >= int(math.ceil(threshold)))
+    else:
+        cond.append(F.col("_n2").cast("double") >= F.col("_n1") * t_eq - 1e-9)
+        cond.append(F.col("_n1").cast("double") >= F.col("_n2") * t_eq - 1e-9)
+
+    join_cond = cond[0]
+    for c in cond[1:]:
+        join_cond = join_cond & c
+    cands = (
+        a.join(b, join_cond)
+        .select("id1", "id2", "_toks1", "_toks2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+    sim = _sim_expr(measure, F.col("_toks1"), F.col("_toks2"))
+    return (
+        cands.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
+
+
+def naive_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+) -> DataFrame:
+    """Brute-force oracle twin of ``similarity_join`` (self-join only):
+    candidates from a full single-token inverted index (no prefix/length
+    pruning). Used by property tests to prove filter losslessness.
+    """
+    r = _tokenized(df, id_col, text_col, None)
+    a = r.select(F.col("_id").alias("id1"), F.col("_toks").alias("_toks1"))
+    b = r.select(F.col("_id").alias("id2"), F.col("_toks").alias("_toks2"))
+    ea = a.select("id1", "_toks1", F.explode("_toks1").alias("_tok1"))
+    eb = b.select("id2", "_toks2", F.explode("_toks2").alias("_tok2"))
+    cands = (
+        ea.join(eb, (F.col("_tok1") == F.col("_tok2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2", "_toks1", "_toks2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    sim = _sim_expr(measure, F.col("_toks1"), F.col("_toks2"))
+    return (
+        cands.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )

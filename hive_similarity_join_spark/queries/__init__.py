@@ -1,0 +1,4 @@
+"""Importing this package populates the registry (each module
+registers its query keys via the ``@query`` decorator)."""
+
+import hive_similarity_join_spark.queries.similarity_q  # noqa: F401

@@ -1,0 +1,110 @@
+"""Similarity-join query keys (SURVEY §2.3 / §2.7) — the reference's
+raison d'être, oracle-checked against a pure-relational DuckDB
+formulation (FIXTURES.md): DISTINCT (doc_id, token) inverted index ->
+self-join on token -> per-pair intersection counts -> Jaccard.
+
+Prefix filtering is lossless, so the prefix-filtered Spark pipeline must
+hash-match the brute-force relational oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators.similarity import similarity_join
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+T_SELF = 0.8  # flagship threshold (FIXTURES.md regression anchors)
+T_RS = 0.8
+
+
+def _jaccard_oracle(threshold: float, extra_pred: str = "a.doc_id < b.doc_id",
+                    left_src: str = "documents", right_src: str = "documents") -> str:
+    """Relational exact-Jaccard oracle (validated on DuckDB 1.0.0)."""
+    return f"""
+WITH tok_l AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM {left_src}, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tok_r AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM {right_src}, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz_l AS (SELECT doc_id, count(*) AS n FROM tok_l GROUP BY doc_id),
+sz_r AS (SELECT doc_id, count(*) AS n FROM tok_r GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok_l a JOIN tok_r b ON a.tok = b.tok AND {extra_pred}
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+FROM inter
+JOIN sz_l s1 ON s1.doc_id = id1
+JOIN sz_r s2 ON s2.doc_id = id2
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {threshold}
+"""
+
+
+@query("q_simjoin_jaccard_self", oracle=_jaccard_oracle(T_SELF))
+def q_simjoin_jaccard_self(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(docs, "doc_id", "text", threshold=T_SELF, measure="jaccard")
+
+
+_RS_LEFT = "(SELECT * FROM documents WHERE source < 'src5')"
+_RS_RIGHT = "(SELECT * FROM documents WHERE source >= 'src5')"
+
+
+@query(
+    "q_simjoin_jaccard_rs",
+    oracle=_jaccard_oracle(T_RS, extra_pred="1=1", left_src=_RS_LEFT, right_src=_RS_RIGHT),
+)
+def q_simjoin_jaccard_rs(spark, sf_dir):
+    """R-S similarity join: two disjoint slices of documents (split by
+    source), no id-ordering clause."""
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("source") < "src5")
+    right = docs.filter(F.col("source") >= "src5")
+    return similarity_join(
+        left, "doc_id", "text", threshold=T_RS, measure="jaccard", other=right
+    )
+
+
+@query(
+    "q_simjoin_edit",
+    oracle="""
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+ AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def q_simjoin_edit(spark, sf_dir):
+    """String-similarity join (edit distance <= 2) on part names.
+
+    Candidate pruning: the |len(a)-len(b)| <= k length filter is lossless
+    for Levenshtein. Verification is native ``F.levenshtein`` (JVM).
+    At 100 TB this would add a q-gram prefix index for candidate
+    generation; at part-table scale the length-banded nested-loop join is
+    the faster plan (part is broadcastable).
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = part.select(F.col("p_partkey").alias("id1"), F.col("p_name").alias("_name1"))
+    b = part.select(F.col("p_partkey").alias("id2"), F.col("p_name").alias("_name2"))
+    dist = F.levenshtein(F.col("_name1"), F.col("_name2"))
+    return (
+        a.join(
+            b,
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.length("_name1") - F.length("_name2")) <= 2),
+        )
+        .withColumn("dist", dist.cast("bigint"))
+        .filter(F.col("dist") <= 2)
+        .select("id1", "id2", "dist")
+    )

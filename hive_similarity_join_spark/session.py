@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching replace hand-tuned reducer counts
+  (the Hive reference family tunes ``mapred.reduce.tasks`` by hand).
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a
+  real cluster set it to ~2-3x total cores and let AQE coalesce.
+- Session timezone pinned to UTC so timestamp semantics are independent of
+  the host (and match the DuckDB oracle, which sees naive parquet values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (e.g. the
+    driver's); used by the loader so every query runs with sane conf even
+    when we did not build the session ourselves."""
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a locked-down session; keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "hive-similarity-join-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return tune(builder.getOrCreate())
