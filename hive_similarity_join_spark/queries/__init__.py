@@ -2,3 +2,4 @@
 registers its query keys via the ``@query`` decorator)."""
 
 import hive_similarity_join_spark.queries.similarity_q  # noqa: F401
+import hive_similarity_join_spark.queries.relational_q  # noqa: F401

@@ -1,0 +1,751 @@
+"""Relational operator query keys (SURVEY §2.1-§2.6, §2.8).
+
+These re-express the standard HiveQL surface the reference family is
+written in (scans, predicates, joins, aggregations, windows, set ops,
+scalar functions) as declarative DataFrame plans — Catalyst supplies
+predicate pushdown, column pruning, join reordering and AQE picks the
+physical join strategies the Hive reference configures by hand
+(``hive.auto.convert.join`` etc.).
+
+Bit-exactness discipline vs the DuckDB oracle:
+- sums over non-integral doubles -> cast each value to DECIMAL on BOTH
+  sides (exact, order-independent), cast the final sum back to double;
+- sums/counts over integral doubles are exact in IEEE double -> direct;
+- timestamps -> formatted strings on both sides;
+- Spark int-returning fns (size, row_number, year, ...) cast to bigint
+  to match DuckDB's BIGINT defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent exact sum of a double column via decimal cast."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------- §2.1 scans
+
+@query(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem
+""",
+)
+def q_scan_project(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+# ------------------------------------------------------------- §2.2 filters
+
+@query(
+    "q_filter_pred",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE (l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R'))
+   OR (l_discount > 0.08 AND l_linestatus = 'F' AND l_tax IS NOT NULL)
+""",
+)
+def q_filter_pred(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        F.col("l_quantity").between(10, 20) & F.col("l_returnflag").isin("A", "R")
+    ) | (
+        (F.col("l_discount") > 0.08)
+        & (F.col("l_linestatus") == "F")
+        & F.col("l_tax").isNotNull()
+    )
+    return li.filter(pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_adj
+FROM orders
+""",
+)
+def q_case_when(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+    )
+    return o.select(
+        "o_orderkey",
+        bucket.alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_adj"
+        ),
+    )
+
+
+@query(
+    "q_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       CAST(o_totalprice AS VARCHAR) IS NOT NULL AS has_price,
+       CAST(CAST(o_orderkey AS DOUBLE) AS BIGINT) AS key_roundtrip
+FROM orders
+""",
+)
+def q_cast(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio_num"),
+        F.col("o_totalprice").cast("string").isNotNull().alias("has_price"),
+        F.col("o_orderkey").cast("double").cast("bigint").alias("key_roundtrip"),
+    )
+
+
+# --------------------------------------------------------------- §2.3 joins
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_extendedprice
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def q_join_inner(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS order_cnt
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+)
+def q_join_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_full(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""",
+)
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size < 10
+GROUP BY p.p_brand
+""",
+)
+def q_join_broadcast(spark, sf_dir):
+    """Map-side join: dimension explicitly broadcast (the Hive reference's
+    ``hive.auto.convert.join``); at 100 TB the part dim stays far below
+    executor memory while lineitem streams."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2, a.s_nationkey AS nk,
+       a.s_acctbal - b.s_acctbal AS bal_diff
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+""",
+)
+def q_join_theta(spark, sf_dir):
+    """Theta join paired with an equi key (SURVEY §2.3): the equi part
+    keeps it a hash/SMJ join instead of a nested-loop cross product."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("sk1"),
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("_bal1"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("sk2"),
+        F.col("s_nationkey").alias("_nk2"),
+        F.col("s_acctbal").alias("_bal2"),
+    )
+    return (
+        a.join(b, (F.col("nk") == F.col("_nk2")) & (F.col("sk1") < F.col("sk2")))
+        .withColumn("bal_diff", F.col("_bal1") - F.col("_bal2"))
+        .select("sk1", "sk2", "nk", "bal_diff")
+    )
+
+
+@query(
+    "q_join_multikey",
+    oracle="""
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS order_cnt,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name
+""",
+)
+def q_join_multikey(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- §2.4 aggs
+
+@query(
+    "q_agg_global",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+""",
+)
+def q_agg_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_qty = _dsum(F.col("l_quantity"))
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        sum_qty.alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+""",
+)
+def q_agg_groupby(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: partial (map-side) aggregation +
+    single shuffle on the grouping key — Spark's hash agg does the
+    two-phase combine the reference hand-builds in MapReduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base"),
+            _dsum(disc_price, scale=6).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 10)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@query("q_agg_approx_distinct")  # approximate: HLL sketches differ per engine
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL count-distinct (the 100 TB path where exact distinct would
+    shuffle every key). Sketch results are engine-specific -> rows-only
+    check by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT lang, list_sort(list(DISTINCT source)) AS sources
+FROM documents GROUP BY lang
+""",
+)
+def q_agg_collect(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_sort(F.collect_set("source")).alias("sources")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ------------------------------------------------------------- §2.5 windows
+
+@query(
+    "q_win_rownum",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_win_rownum(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_agg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+FROM orders
+""",
+)
+def q_win_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cust_total"),
+    )
+
+
+@query(
+    "q_win_frame",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_qty
+FROM lineitem
+""",
+)
+def q_win_frame(spark, sf_dir):
+    """Running total. RANGE (not ROWS) frame: (l_orderkey, l_linenumber)
+    is not unique in this synthetic data, and a ROWS frame over duplicate
+    sort keys is nondeterministic; RANGE includes all peers -> total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@query(
+    "q_win_lag",
+    oracle="""
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta
+FROM events
+""",
+)
+def q_win_lag(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# ------------------------------------------- §2.6 sort / limit / set / dedup
+
+@query(
+    "q_orderby_limit",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def q_orderby_limit(spark, sf_dir):
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps +
+    driver merge, no global sort. Ordering is made total (unique
+    tie-break keys) so LIMIT is deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q_union",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+def q_union(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "q_setops",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT n_nationkey AS nk FROM nation WHERE n_regionkey < 2
+""",
+)
+def q_setops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") < 2)
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    return c.intersect(n)
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------- §2.8 scalar functions
+
+@query(
+    "q_str_funcs",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lc,
+       upper(p_brand) AS brand_uc,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       substr(p_name, 1, 5) AS name5,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       trim(concat(' ', p_type, ' ')) AS type_trim
+FROM part
+""",
+)
+def q_str_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+SELECT s_suppkey,
+       round(s_acctbal, 1) AS bal_r1,
+       CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+       CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+       abs(s_acctbal) AS bal_abs,
+       round(sqrt(abs(s_acctbal)), 6) AS bal_sqrt,
+       round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,
+       round(pow(s_acctbal / 1000, 2), 6) AS bal_pow
+FROM supplier
+""",
+)
+def q_math_funcs(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(bal, 1).alias("bal_r1"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        F.abs(bal).alias("bal_abs"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("bal_pow"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days_since
+FROM orders
+""",
+)
+def q_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS toks_all
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks_all) AS BIGINT) AS n_toks,
+       list_contains(toks_all, 'spark') AS has_spark,
+       toks_all[1] AS first_tok,
+       list_sort(list_distinct(toks_all)) AS toks_set
+FROM t
+""",
+)
+def q_array_funcs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks_all = F.array_sort(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    t = d.select("doc_id", toks_all.alias("toks_all"))
+    return t.select(
+        "doc_id",
+        F.size("toks_all").cast("bigint").alias("n_toks"),
+        F.array_contains("toks_all", "spark").alias("has_spark"),
+        F.element_at("toks_all", 1).alias("first_tok"),
+        F.array_sort(F.array_distinct("toks_all")).alias("toks_set"),
+    )
+
+
+@query(
+    "q_json_get",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""",
+)
+def q_json_get(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "q_ngram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+       toks[i] || ' ' || toks[i + 1])) AS bigram
+FROM t WHERE len(toks) >= 2
+""",
+)
+def q_ngram(spark, sf_dir):
+    """Word bigrams (text analysis): order-preserving bag tokens ->
+    higher-order functions build the n-gram list without a UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    return t.select("doc_id", F.explode(bigrams).alias("bigram"))

@@ -128,10 +128,24 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; pins session tz to UTC so timestamp semantics match
-    the (naive-timestamp) DuckDB oracle regardless of host timezone."""
+    the (naive-timestamp) DuckDB oracle regardless of host timezone.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects; it is read as raw nanos
+    (``nanosAsLong``) and converted to TimestampType (microseconds) with
+    integer arithmetic — ``div`` not ``/`` so the int64 epoch keeps full
+    precision. Truncation ns->us is monotone, so orderings and window
+    assignments match the ns-precision oracle.
+    """
     tune(spark)
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
