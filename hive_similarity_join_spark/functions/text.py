@@ -1,0 +1,106 @@
+"""Text-analysis column expressions (EXT: LLM-pipeline text ops).
+
+All UDF-free: tokenization, n-grams, language-ID scoring, quality
+metrics, token counting and fingerprinting are Column expressions that
+stay inside whole-stage codegen. Ratios are int/int double divisions and
+md5 digests — bit-exact vs the DuckDB oracle by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Pseudo-language marker sets over the corpus vocabulary (documents.text
+# has a closed ~31-word vocab; see FIXTURES.md). The same constants are
+# inlined into the oracle SQL — keep in sync via the helpers below.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "sqlish": ("join", "filter", "scan", "sort", "merge", "hash", "group", "agg"),
+    "streamish": ("stream", "window", "batch", "row", "vector"),
+    "bizish": ("customer", "order", "part", "query", "table"),
+}
+STOPWORDS: tuple[str, ...] = ("a", "the")
+
+
+def bag_tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Order-preserving, duplicate-keeping tokens (for counting/n-grams)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), pattern), lambda t: t != F.lit(""))
+
+
+def set_tokens(col: Column | str) -> Column:
+    return F.array_distinct(bag_tokens(col))
+
+
+def marker_score(tokens_set: Column, markers: tuple[str, ...]) -> Column:
+    """|distinct tokens ∩ marker set| as double."""
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(tokens_set, lit_arr)).cast("double")
+
+
+def lang_id(tokens_set: Column) -> Column:
+    """Argmax of marker-set hits with deterministic tie-break (dict order)."""
+    scores = {k: marker_score(tokens_set, v) for k, v in LANG_MARKERS.items()}
+    ks = list(LANG_MARKERS)
+    expr = F.when(
+        (scores[ks[0]] >= scores[ks[1]]) & (scores[ks[0]] >= scores[ks[2]]), ks[0]
+    ).when(scores[ks[1]] >= scores[ks[2]], ks[1]).otherwise(ks[2])
+    return expr
+
+
+def stopword_ratio(tokens_bag: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens_bag, lambda t: F.array_contains(stops, t)))
+    return n_stop.cast("double") / F.size(tokens_bag).cast("double")
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0, ~1]: rewards vocabulary
+    diversity and moderate length, penalizes stopword share. Pure
+    int-ratio arithmetic -> bit-exact across engines."""
+    bag = bag_tokens(text_col)
+    distinct_ratio = F.size(F.array_distinct(bag)).cast("double") / F.size(bag).cast(
+        "double"
+    )
+    length_factor = F.least(F.size(bag).cast("double") / F.lit(50.0), F.lit(1.0))
+    return (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * length_factor
+        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio(bag))
+    )
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set — whitespace/order/duplication-insensitive exact-dup key."""
+    canon = F.concat_ws(" ", F.array_sort(set_tokens(text_col)))
+    return F.md5(canon.cast("binary"))
+
+
+def word_ngrams(tokens_bag: Column, n: int) -> Column:
+    """Word n-grams over an ordered token bag; empty array when the
+    document is shorter than n (F.sequence would reverse on start>stop)."""
+    idx = F.sequence(F.lit(0), F.size(tokens_bag) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_bag, i + k + 1) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens_bag) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---- DuckDB oracle fragments (same constants, same arithmetic) ----
+
+def duck_list(items: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{i}'" for i in items) + "]"
+
+
+def duck_bag(text_ref: str = "text") -> str:
+    return f"list_filter(string_split(lower({text_ref}), ' '), x -> x <> '')"
+
+
+def duck_set(text_ref: str = "text") -> str:
+    return f"list_distinct({duck_bag(text_ref)})"

@@ -1,0 +1,71 @@
+"""Vector (embedding) column expressions — UDF-free.
+
+All math is built from higher-order functions (``zip_with`` +
+``aggregate``) over ``array<double>``: JVM-side, whole-stage-codegen'd,
+no Python workers, no MLlib ``VectorUDT`` conversion in the hot path.
+
+Determinism note: ``F.aggregate`` is a LEFT FOLD with a 0.0 seed — the
+element-order sum. The DuckDB oracle mirrors it with
+``list_reduce(list_transform(...), (x,y) -> x+y)`` (also a left fold;
+IEEE ``0.0 + x == x``), which makes dot products, norms, cosine and L2
+**bit-exact** across engines (verified empirically on the embeddings
+table — no rounding slack needed).
+
+Scale: per-row O(dim) arithmetic pipelined inside codegen; the expensive
+part of any vector workload is the pairing join around it, not these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2(a: Column, b: Column) -> Column:
+    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+
+
+# DuckDB oracle fragments mirroring the expressions above bit-exactly.
+# {a}/{b} are embedding column references (FLOAT[] lists).
+
+def duck_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1,{dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def duck_norm(a: str, dim: int = 64) -> str:
+    return f"sqrt({duck_dot(a, a, dim)})"
+
+
+def duck_cosine(a: str, b: str, dim: int = 64) -> str:
+    return f"({duck_dot(a, b, dim)} / ({duck_norm(a, dim)} * {duck_norm(b, dim)}))"
+
+
+def duck_l2(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1,{dim}), "
+        f"i -> (CAST({a}[i] AS DOUBLE)-CAST({b}[i] AS DOUBLE))"
+        f"*(CAST({a}[i] AS DOUBLE)-CAST({b}[i] AS DOUBLE))), (x,y) -> x+y))"
+    )

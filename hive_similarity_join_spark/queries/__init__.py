@@ -3,3 +3,6 @@ registers its query keys via the ``@query`` decorator)."""
 
 import hive_similarity_join_spark.queries.similarity_q  # noqa: F401
 import hive_similarity_join_spark.queries.relational_q  # noqa: F401
+import hive_similarity_join_spark.queries.vectors_q  # noqa: F401
+import hive_similarity_join_spark.queries.text_q  # noqa: F401
+import hive_similarity_join_spark.queries.events_q  # noqa: F401

@@ -1,0 +1,271 @@
+"""Text-analysis + document-dedup query keys (EXT — LLM-data-pipeline
+operators over the documents table): language-ID, quality scoring,
+token counting, fingerprinting, exact dedup, near-dedup (greedy
+keep-first over the similarity self-join), n-gram-shingle Jaccard
+near-dedup, and top-k document similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.similarity import similarity_join
+from hive_similarity_join_spark.queries.similarity_q import _jaccard_oracle
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+NEAR_DUP_T = 0.9
+NGRAM_DUP_T = 0.5
+DOC_KNN_K = 5
+DOC_KNN_PROBES = 20
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"CAST(len(list_intersect({TX.duck_set()}, {TX.duck_list(markers)})) AS DOUBLE)"
+    )
+
+
+_S1 = _lang_score_sql(TX.LANG_MARKERS["sqlish"])
+_S2 = _lang_score_sql(TX.LANG_MARKERS["streamish"])
+_S3 = _lang_score_sql(TX.LANG_MARKERS["bizish"])
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_S1} >= {_S2} AND {_S1} >= {_S3} THEN 'sqlish'
+            WHEN {_S2} >= {_S3} THEN 'streamish'
+            ELSE 'bizish' END AS lang_pred,
+       {_S1} AS score_sqlish
+FROM documents
+""",
+)
+def q_text_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.set_tokens("text")
+    return d.select(
+        "doc_id",
+        TX.lang_id(toks).alias("lang_pred"),
+        TX.marker_score(toks, TX.LANG_MARKERS["sqlish"]).alias("score_sqlish"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents)
+SELECT doc_id,
+       CAST(len(bag) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag) AS distinct_ratio,
+       CAST(len(list_filter(bag, x -> list_contains({TX.duck_list(TX.STOPWORDS)}, x)))
+            AS DOUBLE) / len(bag) AS stop_ratio,
+       0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))
+     + 0.3 * least(len(bag) / 50.0, 1.0)
+     + 0.2 * (1.0 - CAST(len(list_filter(bag, x ->
+              list_contains({TX.duck_list(TX.STOPWORDS)}, x))) AS DOUBLE) / len(bag))
+         AS quality
+FROM t WHERE len(bag) > 0
+""",
+)
+def q_text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    t = d.select("doc_id", bag.alias("bag")).filter(F.size("bag") > 0)
+    bagc = F.col("bag")
+    return t.select(
+        "doc_id",
+        F.size(bagc).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc)).alias(
+            "distinct_ratio"
+        ),
+        TX.stopword_ratio(bagc).alias("stop_ratio"),
+        (
+            F.lit(0.5) * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
+            + F.lit(0.3)
+            * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
+            + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({TX.duck_bag()}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+""",
+)
+def q_text_tokencount(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TX.bag_tokens("text")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort({TX.duck_set()}), ' ')) AS fp
+FROM documents
+""",
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ------------------------------------------------------------------ dedup
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt,
+       md5(text) AS text_hash
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: hash-groupBy, keep min id per group.
+    At 100 TB this is the cheapest dedup pass (one shuffle on a 128-bit
+    key, partial agg map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_cnt"),
+        )
+        .select("keep_id", "dup_cnt", "text_hash")
+    )
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+WITH pairs AS ({_jaccard_oracle(NEAR_DUP_T)})
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id2 FROM pairs)
+""",
+)
+def q_dedup_near(spark, sf_dir):
+    """Near-duplicate dedup, greedy keep-first semantics: drop any doc
+    that duplicates (Jaccard >= t) a lower-id doc. Deterministic and
+    SQL-expressible; the transitive-closure (connected components)
+    variant lives in operators/dedup.py (iterative, rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(d, "doc_id", "text", threshold=NEAR_DUP_T)
+    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return d.join(dupes, "doc_id", "left_anti").select("doc_id", "source")
+
+
+_NGRAM_TOKS = (
+    "list_transform(range(1, len(bag) - 1), i -> "
+    "bag[i] || ' ' || bag[i+1] || ' ' || bag[i+2])"
+)
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_NGRAM_TOKS}) AS t(g)
+  WHERE len(bag) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {NGRAM_DUP_T}
+""",
+)
+def q_dedup_ngram(spark, sf_dir):
+    """n-gram (word trigram) Jaccard near-dup: same prefix-filter kernel,
+    different token universe — shingles capture word ORDER that the
+    unigram flagship ignores."""
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(TX.word_ngrams(bag, 3)).alias("shingles"),
+    )
+    return similarity_join(
+        shingled, "doc_id", tokens_col="shingles", threshold=NGRAM_DUP_T
+    )
+
+
+@query(
+    "q_knn_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < {DOC_KNN_PROBES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id1, id2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+  FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+)
+SELECT * FROM (
+  SELECT id1, id2, sim,
+         CAST(row_number() OVER (PARTITION BY id1 ORDER BY sim DESC, id2)
+              AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {DOC_KNN_K}
+""",
+)
+def q_knn_topk(spark, sf_dir):
+    """Similarity search: top-k most-similar documents per probe doc.
+    Candidates via the inverted-index token join (every nonzero-overlap
+    doc is a candidate — exact), ranked per probe by Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    from hive_similarity_join_spark.operators.similarity import _tokenized
+
+    r = _tokenized(d, "doc_id", "text", None)
+    probes = r.filter(F.col("_id") < DOC_KNN_PROBES).select(
+        F.col("_id").alias("id1"), F.col("_toks").alias("_toks1")
+    )
+    corpus = r.select(F.col("_id").alias("id2"), F.col("_toks").alias("_toks2"))
+    ea = probes.select("id1", "_toks1", F.explode("_toks1").alias("_tok1"))
+    eb = corpus.select("id2", "_toks2", F.explode("_toks2").alias("_tok2"))
+    cands = (
+        ea.join(eb, (F.col("_tok1") == F.col("_tok2")) & (F.col("id1") != F.col("id2")))
+        .select("id1", "id2", "_toks1", "_toks2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    inter = F.size(F.array_intersect("_toks1", "_toks2")).cast("double")
+    union = F.size(F.array_union("_toks1", "_toks2")).cast("double")
+    scored = cands.select("id1", "id2", (inter / union).alias("sim"))
+    w = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= DOC_KNN_K)

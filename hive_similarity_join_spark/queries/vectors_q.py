@@ -1,0 +1,166 @@
+"""Vector / similarity-search query keys (SURVEY §2.9 + EXT dedup).
+
+Brute-force exact paths here are the correctness baseline; the scale
+path for ANN is the LSH-bucketed variant in ``operators/knn.py``
+(rows-only checked — approximate results are engine-specific).
+
+Join strategy at 100 TB: the probe side is small (a query set), so every
+pairing below is a broadcast join of probes against a streamed corpus —
+no shuffle of the corpus at all; top-k per probe then needs only a
+shuffle of (probe, candidate) pairs bounded by |probes| * corpus_hits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+KNN_K = 5
+N_PROBES = 10
+DEDUP_COS_T = 0.3  # synthetic embeddings are near-orthogonal; 0.3 -> ~1k pairs
+
+
+def _pairs(spark, sf_dir, probe_pred=None):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id1"), V.as_double("embedding").alias("_v1")
+    )
+    if probe_pred is not None:
+        a = a.filter(probe_pred)
+    b = e.select(
+        F.col("vec_id").alias("id2"), V.as_double("embedding").alias("_v2")
+    )
+    return a, b
+
+
+@query(
+    "q_vec_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {V.duck_cosine('a.embedding', 'b.embedding')} AS sim
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE a.vec_id < {N_PROBES}
+""",
+)
+def q_vec_cosine(spark, sf_dir):
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    sim = V.cosine(F.col("_v1"), F.col("_v2"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id2") > F.col("id1"))
+        .select("id1", "id2", sim.alias("sim"))
+    )
+
+
+@query(
+    "q_vec_l2",
+    oracle=f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {V.duck_l2('a.embedding', 'b.embedding')} AS dist
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE a.vec_id < {N_PROBES}
+""",
+)
+def q_vec_l2(spark, sf_dir):
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    dist = V.l2(F.col("_v1"), F.col("_v2"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id2") > F.col("id1"))
+        .select("id1", "id2", dist.alias("dist"))
+    )
+
+
+@query(
+    "q_vec_knn",
+    oracle=f"""
+SELECT * FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         {V.duck_cosine('a.embedding', 'b.embedding')} AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {V.duck_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_PROBES}
+) WHERE rank <= {KNN_K}
+""",
+)
+def q_vec_knn(spark, sf_dir):
+    """Exact brute-force k-NN (the ANN baseline): broadcast probes ->
+    score corpus -> per-probe top-k via window. Cosine is bit-exact
+    across engines, so ranking (with vec_id tie-break) is deterministic.
+    """
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    sim = V.cosine(F.col("_v1"), F.col("_v2"))
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("id1") != F.col("id2"))
+        .select(
+            F.col("id1").alias("probe_id"),
+            F.col("id2").alias("vec_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= KNN_K)
+
+
+@query(
+    "q_vec_centroid",
+    oracle="""
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+           / count(*) AS centroid
+FROM embeddings, unnest(generate_series(1, 64)) AS t(pos)
+GROUP BY label, pos
+""",
+)
+def q_vec_centroid(spark, sf_dir):
+    """Per-label mean vector in long form (label, dim position, value).
+
+    Exactness: float -> double (exact) -> decimal(20,6) per element
+    (quantization well above double-cast noise, so both engines round
+    identically), decimal sum (order-independent), divide by count in
+    double. Scale 10 was NOT stable: DuckDB's double->decimal cast
+    differs from Spark's in the last decimal ulp.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode(V.as_double("embedding")))
+    return (
+        expl.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("col").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {V.duck_cosine('a.embedding', 'b.embedding')} AS sim
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE {V.duck_cosine('a.embedding', 'b.embedding')} >= {DEDUP_COS_T}
+""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs at test
+    scale; the 100 TB path buckets by random hyperplane LSH first —
+    see operators/knn.py)."""
+    a, b = _pairs(spark, sf_dir)
+    sim = V.cosine(F.col("_v1"), F.col("_v2"))
+    return (
+        a.join(b, F.col("id2") > F.col("id1"))
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= DEDUP_COS_T)
+    )
