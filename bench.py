@@ -1,0 +1,59 @@
+"""Benchmark harness: times every registered query key at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with .count() (full compute, no driver-side
+materialization of result rows — matches how a sink would consume it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hive_similarity_join_spark.registry import QUERIES, load_registry
+from hive_similarity_join_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    load_registry()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup.
+    QUERIES["q_scan_project"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        t0 = time.time()
+        try:
+            QUERIES[key](spark, sf_dir).count()
+            timings[key] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line well-formed
+            timings[key] = -1.0
+            print(f"bench error {key}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "wall_clock_all_query_keys",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

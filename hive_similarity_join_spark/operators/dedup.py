@@ -1,0 +1,239 @@
+"""Dedup operators beyond the exact/greedy paths: MinHash+LSH banding
+and connected-components duplicate clustering.
+
+MinHash design (scale path for near-dedup when the exact prefix-filter
+join is infeasible): token sets are mapped to integer ids by the global
+rarest-first rank (same ordering as the similarity kernel), signatures
+use NUM_PERM universal-hash permutations h_i(r) = (a_i*r + b_i) mod P,
+banded into NUM_BANDS groups of ROWS_PER_BAND; docs sharing any band
+signature become candidates; candidates are verified with exact Jaccard.
+Everything is integer arithmetic on both engines -> the "approximate"
+result is DETERMINISTIC and oracle-checkable (the DuckDB oracle mirrors
+the same permutation constants).
+
+100 TB posture: signatures are NUM_PERM longs per doc (tiny); the band
+join shuffles (band, signature) keys whose cardinality is bounded by the
+corpus, never the quadratic pair space; only LSH-colliding pairs reach
+the exact verify. Tune NUM_BANDS/ROWS_PER_BAND for the target threshold
+(s-curve: P(collide) = 1 - (1 - j^rows)^bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators.similarity import tokenize
+
+P_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_PERM = 16
+ROWS_PER_BAND = 4
+NUM_BANDS = NUM_PERM // ROWS_PER_BAND
+
+# Fixed permutation constants (generated once, hard-coded so Spark and
+# the DuckDB oracle share them; any fixed odd a, arbitrary b works).
+PERM_A = (
+    1103515245, 1229087, 2094433, 1664525, 22695477, 65793, 4096993, 9301,
+    214013, 17405, 69069, 1812433253, 134775813, 1566083941, 747796405, 62089911,
+)
+PERM_B = (
+    12345, 987654321, 55555, 1013904223, 1, 828281, 17, 49297,
+    2531011, 10395331, 362437, 29943829, 1, 1406932606, 2891336453, 19,
+)
+assert len(PERM_A) == len(PERM_B) == NUM_PERM
+
+
+def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _r): distinct (doc, token-rank) pairs, rank = global
+    rarest-first ordering (freq asc, token asc) — vocabulary-sized dict,
+    broadcast into the explode join."""
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_tok"))
+        .distinct()
+    )
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    rk = freq.select(
+        "_tok",
+        F.row_number().over(Window.orderBy("_c", "_tok")).alias("_r"),
+    )
+    return tok.join(F.broadcast(rk), "_tok").select("_id", "_r")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _i, _h): per-doc minhash value for each of NUM_PERM perms."""
+    tokr = _ranked_tokens(df, id_col, text_col)
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("_i"),
+                F.lit(PERM_A[i]).alias("_a"),
+                F.lit(PERM_B[i]).alias("_b"),
+            )
+            for i in range(NUM_PERM)
+        ]
+    )
+    exploded = tokr.select("_id", "_r", F.explode(perms).alias("_p"))
+    # bigint arithmetic: a*r overflows int32 (ANSI mode raises, not wraps)
+    h = (
+        F.col("_p._a").cast("bigint") * F.col("_r").cast("bigint")
+        + F.col("_p._b").cast("bigint")
+    ) % F.lit(P_MOD).cast("bigint")
+    return (
+        exploded.select("_id", F.col("_p._i").alias("_i"), h.alias("_hv"))
+        .groupBy("_id", "_i")
+        .agg(F.min("_hv").alias("_h"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard >= threshold.
+
+    Returns (id1, id2, sim) — the deterministic LSH-candidate subset of
+    the exact similarity join (recall < 1 by design; the s-curve at the
+    default 4x4 config keeps high recall near t=0.8+).
+    """
+    sigs = minhash_signatures(df, id_col, text_col)
+    bands = (
+        sigs.withColumn("_band", ((F.col("_i") - 1) / ROWS_PER_BAND).cast("int"))
+        .groupBy("_id", "_band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_h"))),
+                    lambda s: s["_h"].cast("string"),
+                ),
+            ).alias("_bsig")
+        )
+    )
+    a = bands.select(
+        F.col("_id").alias("id1"), F.col("_band").alias("_band1"), F.col("_bsig").alias("_bsig1")
+    )
+    b = bands.select(
+        F.col("_id").alias("id2"), F.col("_band").alias("_band2"), F.col("_bsig").alias("_bsig2")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_band1") == F.col("_band2"))
+            & (F.col("_bsig1") == F.col("_bsig2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("_tid"), tokenize(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    t1 = toks.select(F.col("_tid").alias("id1"), F.col("_toks").alias("_toks1"))
+    t2 = toks.select(F.col("_tid").alias("id2"), F.col("_toks").alias("_toks2"))
+    inter = F.size(F.array_intersect("_toks1", "_toks2")).cast("double")
+    union = F.size(F.array_union("_toks1", "_toks2")).cast("double")
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .select("id1", "id2", (inter / union).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def duck_minhash_oracle(threshold: float) -> str:
+    """DuckDB mirror of minhash_lsh_pairs on the documents table."""
+    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
+tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
+perms AS (
+  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
+  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
+),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
+  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
+         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS i
+  FROM cand c JOIN tok x ON x.doc_id = c.id1 JOIN tok y
+    ON y.doc_id = c.id2 AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT c.id1, c.id2,
+       CAST(coalesce(i.i, 0) AS DOUBLE) / (s1.n + s2.n - coalesce(i.i, 0)) AS sim
+FROM cand c
+LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+JOIN sz s1 ON s1.doc_id = c.id1
+JOIN sz s2 ON s2.doc_id = c.id2
+WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (s1.n + s2.n - coalesce(i.i, 0))
+      >= {threshold}
+"""
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate clustering: transitive closure of a pair graph
+    (id1, id2) -> (id, component) with component = min reachable id.
+
+    Iterative min-label propagation (the standard large-graph approach;
+    each round is one join + one aggregate, both shuffles on ``id``).
+    Converges in O(diameter) rounds; ``localCheckpoint`` truncates the
+    exponentially-growing lineage each round (at cluster scale, use a
+    checkpoint dir on durable storage instead).
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .select(F.col("a").alias("id"), F.least("comp", "id").alias("comp"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -117,20 +117,21 @@ def _rank_tokens(*relations: DataFrame) -> DataFrame:
 
 
 def _sorted_by_rank(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
-    """Stage 2a: re-order each record's token set by global rank
-    (rarest first). Explode -> broadcast-join rank -> re-assemble sorted.
+    """Stage 2a: map each record's token set to its sorted array of
+    global ranks (rarest first). Explode -> broadcast-join rank ->
+    re-assemble sorted.
+
+    After this point the kernel never touches token STRINGS again: the
+    rank mapping is a bijection, so prefix join keys become ints (cheap
+    hashing, small shuffles) and verification intersects int arrays —
+    set measures over ranks equal measures over tokens exactly.
     """
     exploded = rel.select("_id", F.explode("_toks").alias("_tok"))
     joined = exploded.join(F.broadcast(dict_df), "_tok")
     return (
         joined.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_rank", "_tok"))),
-                lambda s: s["_tok"],
-            ).alias("_toks")
-        )
-        .withColumn("_n", F.size("_toks"))
+        .agg(F.array_sort(F.collect_list("_rank")).alias("_rks"))
+        .withColumn("_n", F.size("_rks"))
     )
 
 
@@ -151,9 +152,9 @@ def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
     )
     return rel.select(
         "_id",
-        "_toks",
+        "_rks",
         "_n",
-        F.explode(F.slice("_toks", 1, p)).alias("_ptok"),
+        F.explode(F.slice("_rks", 1, p)).alias("_ptok"),
     )
 
 
@@ -167,6 +168,7 @@ def similarity_join(
     other_id_col: str | None = None,
     other_text_col: str | None = None,
     tokens_col: str | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Exact set-similarity join; returns (id1, id2, sim).
 
@@ -178,6 +180,19 @@ def similarity_join(
     relation feeds both the prefix explode and verification — on repeated
     use, ``.persist()`` it via the returned plan's lineage if profiling
     says so (bench.py does this measurement).
+
+    Partitioning (the load-bearing scale decision): the candidate join's
+    INPUT is small (one row per prefix token) but its OUTPUT is the
+    candidate-pair blowup — AQE sizes post-shuffle partitions by map
+    output and would coalesce this join to ~1 task, serializing the
+    entire verify. Both sides are therefore repartitioned with an
+    EXPLICIT partition count (user-specified numPartitions is exempt
+    from AQE coalescing) on (prefix token, salt): the b-side picks
+    ``salt = hash(id) % n_salts`` and the a-side replicates each prefix
+    row across all salts, splitting every hot token's candidate block
+    across n_salts partitions — frequent-token skew (the Hive
+    reference's ``hive.optimize.skewjoin`` concern) is handled in the
+    plan itself rather than by runtime rescue.
     """
     if measure not in MEASURES:
         raise ValueError(f"measure must be one of {MEASURES}, got {measure!r}")
@@ -202,29 +217,35 @@ def similarity_join(
         c = int(math.ceil(threshold))
         p_expr = F.greatest(F.lit(1), (F.col("_n") - c + 1).cast("int"))
         a = r_sorted.select(
-            "_id", "_toks", "_n", F.explode(F.slice("_toks", 1, p_expr)).alias("_ptok")
+            "_id", "_rks", "_n", F.explode(F.slice("_rks", 1, p_expr)).alias("_ptok")
         )
         b = s_sorted.select(
-            "_id", "_toks", "_n", F.explode(F.slice("_toks", 1, p_expr)).alias("_ptok")
+            "_id", "_rks", "_n", F.explode(F.slice("_rks", 1, p_expr)).alias("_ptok")
         )
     else:
         a = _prefix_exploded(r_sorted, t_eq)
         b = _prefix_exploded(s_sorted, t_eq)
 
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = a.select(
         F.col("_id").alias("id1"),
-        F.col("_toks").alias("_toks1"),
+        F.col("_rks").alias("_rks1"),
         F.col("_n").alias("_n1"),
         F.col("_ptok").alias("_ptok1"),
-    )
+    ).withColumn("_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     b = b.select(
         F.col("_id").alias("id2"),
-        F.col("_toks").alias("_toks2"),
+        F.col("_rks").alias("_rks2"),
         F.col("_n").alias("_n2"),
         F.col("_ptok").alias("_ptok2"),
-    )
+    ).withColumn("_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts)))
+    a = a.repartition(n_part, "_ptok1", "_salt1")
+    b = b.repartition(n_part, "_ptok2", "_salt2")
 
-    cond = [F.col("_ptok1") == F.col("_ptok2")]
+    cond = [
+        F.col("_ptok1") == F.col("_ptok2"),
+        F.col("_salt1") == F.col("_salt2"),
+    ]
     if other is None:
         cond.append(F.col("id1") < F.col("id2"))
     # Symmetric length filter (lossless for ratio measures): J>=t forces
@@ -241,11 +262,11 @@ def similarity_join(
         join_cond = join_cond & c
     cands = (
         a.join(b, join_cond)
-        .select("id1", "id2", "_toks1", "_toks2")
+        .select("id1", "id2", "_rks1", "_rks2")
         .dropDuplicates(["id1", "id2"])
     )
 
-    sim = _sim_expr(measure, F.col("_toks1"), F.col("_toks2"))
+    sim = _sim_expr(measure, F.col("_rks1"), F.col("_rks2"))
     return (
         cands.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)

@@ -1,0 +1,36 @@
+"""MinHash-LSH and connected-components dedup query keys (EXT)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators.dedup import (
+    connected_components,
+    duck_minhash_oracle,
+    minhash_lsh_pairs,
+)
+from hive_similarity_join_spark.operators.similarity import similarity_join
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+MINHASH_T = 0.8
+CC_T = 0.9
+
+
+@query("q_dedup_minhash_lsh", oracle=duck_minhash_oracle(MINHASH_T))
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+
+
+@query("q_dedup_connected")  # iterative -> no single-statement oracle
+def q_dedup_connected(spark, sf_dir):
+    """Transitive-closure near-dup clustering: (doc_id, component id).
+    Iterative min-label propagation — genuinely non-SQL-expressible in
+    one statement, so rows-only checked; clustering correctness is
+    pytest-verified on hand-built graphs (tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )

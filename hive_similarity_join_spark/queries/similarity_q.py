@@ -77,30 +77,35 @@ def q_simjoin_jaccard_rs(spark, sf_dir):
 @query(
     "q_simjoin_edit",
     oracle="""
-SELECT a.p_partkey AS id1, b.p_partkey AS id2,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM part a JOIN part b
-  ON a.p_partkey < b.p_partkey
- AND abs(length(a.p_name) - length(b.p_name)) <= 2
- AND levenshtein(a.p_name, b.p_name) <= 2
+SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(length(a.s_name) - length(b.s_name)) <= 2
+ AND levenshtein(a.s_name, b.s_name) <= 2
 """,
 )
 def q_simjoin_edit(spark, sf_dir):
-    """String-similarity join (edit distance <= 2) on part names.
+    """String-similarity join (edit distance <= 2) on supplier names.
 
     Candidate pruning: the |len(a)-len(b)| <= k length filter is lossless
-    for Levenshtein. Verification is native ``F.levenshtein`` (JVM).
-    At 100 TB this would add a q-gram prefix index for candidate
-    generation; at part-table scale the length-banded nested-loop join is
-    the faster plan (part is broadcastable).
+    for Levenshtein; verification is native ``F.levenshtein`` (JVM) over
+    a broadcast nested-loop join (supplier is dimension-sized). The
+    100 TB path for a fact-sized string join is q-gram / PassJoin-style
+    segment candidate generation feeding the same verify — the
+    length-filter + verify semantics stay identical.
+
+    (Deliberately NOT part.p_name: those are 2-word phrases from a ~200
+    combo vocabulary, so dist<=2 matches ~5.5M of 200M pairs — a
+    degenerate result set that benchmarks output size, not the join.)
     """
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = part.select(F.col("p_partkey").alias("id1"), F.col("p_name").alias("_name1"))
-    b = part.select(F.col("p_partkey").alias("id2"), F.col("p_name").alias("_name2"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = sup.select(F.col("s_suppkey").alias("id1"), F.col("s_name").alias("_name1"))
+    b = sup.select(F.col("s_suppkey").alias("id2"), F.col("s_name").alias("_name2"))
     dist = F.levenshtein(F.col("_name1"), F.col("_name2"))
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("id1") < F.col("id2"))
             & (F.abs(F.length("_name1") - F.length("_name2")) <= 2),
         )

@@ -1,0 +1,102 @@
+"""Property + regression tests for the similarity-join kernel
+(SURVEY §5.4): measure axioms, threshold monotonicity, prefix-filter
+losslessness vs the naive inverted-index path, empty-set handling, and
+the FIXTURES.md regression anchors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators.similarity import (
+    naive_similarity_join,
+    similarity_join,
+    tokenize,
+)
+from tests.conftest import SF_SMOKE
+
+VOCAB = ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]
+
+
+def _random_docs(seed: int, n: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 8)
+        rows.append(Row(id=i, text=" ".join(rng.choices(VOCAB, k=k))))
+    return rows
+
+
+def _pairs(df):
+    return {(r.id1, r.id2, round(r.sim, 12)) for r in df.collect()}
+
+
+def test_flagship_regression_anchor(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = similarity_join(docs, "doc_id", "text", threshold=0.8)
+    assert out.count() == 32191  # FIXTURES.md validated anchor
+
+
+@pytest.mark.parametrize("measure", ["jaccard", "dice", "cosine"])
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_prefix_filter_lossless(spark, measure, seed):
+    """Prefix+length filtering must be exactly lossless vs brute force."""
+    df = spark.createDataFrame(_random_docs(seed))
+    t = 0.6
+    fast = similarity_join(df, "id", "text", threshold=t, measure=measure)
+    slow = naive_similarity_join(df, "id", "text", threshold=t, measure=measure)
+    assert _pairs(fast) == _pairs(slow)
+
+
+def test_threshold_monotonicity(spark):
+    df = spark.createDataFrame(_random_docs(7, n=80))
+    lo = _pairs(similarity_join(df, "id", "text", threshold=0.5))
+    hi = _pairs(similarity_join(df, "id", "text", threshold=0.8))
+    assert {(a, b) for a, b, _ in hi} <= {(a, b) for a, b, _ in lo}
+
+
+def test_self_similarity_and_bounds(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="x y z"), Row(id=2, text="x y z"), Row(id=3, text="x q")]
+    )
+    out = {(r.id1, r.id2): r.sim for r in
+           similarity_join(df, "id", "text", threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0  # identical token sets
+    for sim in out.values():
+        assert 0.0 <= sim <= 1.0
+
+
+def test_empty_token_sets_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="   "), Row(id=2, text=""), Row(id=3, text="a b")]
+    )
+    out = similarity_join(df, "id", "text", threshold=0.1)
+    assert out.count() == 0  # empty docs never pair (documented exclusion)
+
+
+def test_rs_join_matches_filtered_self_join(spark):
+    df = spark.createDataFrame(_random_docs(11, n=50))
+    left = df.filter(F.col("id") < 25)
+    right = df.filter(F.col("id") >= 25)
+    rs = similarity_join(left, "id", "text", threshold=0.6, other=right)
+    full = similarity_join(df, "id", "text", threshold=0.6)
+    expect = {(a, b, s) for a, b, s in _pairs(full) if a < 25 <= b}
+    assert {(a, b, s) for a, b, s in _pairs(rs)} == expect
+
+
+def test_tokenize_set_semantics(spark):
+    df = spark.createDataFrame([Row(text="A  a b B   b")])
+    toks = df.select(tokenize("text").alias("t")).collect()[0].t
+    assert sorted(toks) == ["a", "b"]
+
+
+def test_overlap_measure(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="a b c d"), Row(id=2, text="a b c e"), Row(id=3, text="a z")]
+    )
+    out = {(r.id1, r.id2): r.sim for r in
+           similarity_join(df, "id", "text", threshold=3, measure="overlap").collect()}
+    assert out == {(1, 2): 3.0}
