@@ -1,0 +1,57 @@
+"""Multimodal plumbing tests: schema shape, deterministic fake decode,
+real byte features, frame sampling, and the NotImplementedError gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_media,
+    frame_sample,
+    synthesize_media,
+)
+from hive_similarity_join_spark.sources.loader import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(load_table(spark, SF_SMOKE, "documents"))
+
+
+def test_media_schema(media):
+    d = dict(media.dtypes)
+    assert d["payload"] == "binary"
+    assert d["meta"].startswith("struct<source:string,declared_len:bigint")
+
+
+def test_fake_decode_deterministic(media):
+    a = decode_media(media, fake=True).orderBy("media_id").limit(5).collect()
+    b = decode_media(media, fake=True).orderBy("media_id").limit(5).collect()
+    assert a == b
+    assert all(r.n_bytes > 0 and 1 <= r.width <= 640 for r in a)
+
+
+def test_real_decode_gated(media, spark):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, fake=False).count()
+
+
+def test_byte_features_are_distributions(media):
+    rows = byte_histogram_features(media).limit(10).collect()
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-3
+
+
+def test_frame_sample_counts(media):
+    got = frame_sample(media, every_n_bytes=64)
+    joined = (
+        got.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("frames"))
+        .join(media.select("media_id", F.octet_length("payload").alias("nb")), "media_id")
+    )
+    for r in joined.collect():
+        assert r.frames == (max(r.nb - 1, 0) // 64) + 1
