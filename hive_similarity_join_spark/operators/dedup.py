@@ -204,6 +204,10 @@ def connected_components(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
         .distinct()
+        # materialize once: every iteration re-reads the edge set, and
+        # without this the full upstream pair computation (e.g. a
+        # similarity join) re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("a")

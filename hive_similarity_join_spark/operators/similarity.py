@@ -229,13 +229,11 @@ def similarity_join(
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = a.select(
         F.col("_id").alias("id1"),
-        F.col("_rks").alias("_rks1"),
         F.col("_n").alias("_n1"),
         F.col("_ptok").alias("_ptok1"),
     ).withColumn("_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     b = b.select(
         F.col("_id").alias("id2"),
-        F.col("_rks").alias("_rks2"),
         F.col("_n").alias("_n2"),
         F.col("_ptok").alias("_ptok2"),
     ).withColumn("_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts)))
@@ -260,15 +258,23 @@ def similarity_join(
     join_cond = cond[0]
     for c in cond[1:]:
         join_cond = join_cond & c
+    # Candidates carry ONLY the id pair through the join + dedupe shuffle
+    # (16 bytes/row, not the token arrays — pairs are duplicated once per
+    # shared prefix token, so array-carrying multiplies shuffle bytes by
+    # the duplication factor). Arrays are joined back once per side after
+    # dedupe for verification.
     cands = (
         a.join(b, join_cond)
-        .select("id1", "id2", "_rks1", "_rks2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-
+    v1 = r_sorted.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
+    v2 = s_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
     sim = _sim_expr(measure, F.col("_rks1"), F.col("_rks2"))
     return (
-        cands.withColumn("sim", sim)
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
     )

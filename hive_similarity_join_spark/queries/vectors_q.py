@@ -25,6 +25,11 @@ DEDUP_COS_T = 0.3  # synthetic embeddings are near-orthogonal; 0.3 -> ~1k pairs
 
 
 def _pairs(spark, sf_dir, probe_pred=None):
+    """(probe side a, corpus side b). The streamed (non-broadcast) side
+    is explicitly repartitioned: a nested-loop pair join's OUTPUT is
+    quadratic while its input is one parquet chunk, so without this the
+    whole scoring loop runs in a single task (AQE sizes by input)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id1"), V.as_double("embedding").alias("_v1")
@@ -33,7 +38,7 @@ def _pairs(spark, sf_dir, probe_pred=None):
         a = a.filter(probe_pred)
     b = e.select(
         F.col("vec_id").alias("id2"), V.as_double("embedding").alias("_v2")
-    )
+    ).repartition(n_part)
     return a, b
 
 
@@ -160,7 +165,8 @@ def q_dedup_embedding(spark, sf_dir):
     a, b = _pairs(spark, sf_dir)
     sim = V.cosine(F.col("_v1"), F.col("_v2"))
     return (
-        a.join(b, F.col("id2") > F.col("id1"))
+        F.broadcast(a)
+        .join(b, F.col("id2") > F.col("id1"))
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= DEDUP_COS_T)
     )
