@@ -188,6 +188,93 @@ WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (s1.n + s2.n - coalesce(i.i, 0))
 """
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed long exactly
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _fp): 60-bit SimHash per document.
+
+    Token hash = first 15 hex chars of md5 (engine-portable, no JVM
+    hash dependency); per-bit majority vote over the token set, built
+    from 60 conditional-sum aggregates — wide but fully codegen'd,
+    one shuffle on the doc id.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_tok"))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    tok = tok.select("_id", h.alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"_b{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = bit if fp is None else fp + bit
+    return agg.select("_id", fp.alias("_fp"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id1, id2, hamming): near-dup pairs by SimHash distance.
+
+    Banding (4 x 15 bits) makes candidate generation an equi-join: any
+    pair within Hamming distance 3 shares at least one intact band
+    (pigeonhole), so the blocking is LOSSLESS for max_hamming < 4;
+    verification is exact ``bit_count(xor)``.
+    """
+    fps = simhash_fingerprints(df, id_col, text_col)
+    bands = fps.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_band"),
+                        F.shiftright(F.col("_fp"), i * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("_bv"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("_id", "_fp", F.col("_bs._band").alias("_band"), F.col("_bs._bv").alias("_bv"))
+    a = bands.select(
+        F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"), "_band", "_bv"
+    )
+    b = bands.select(
+        F.col("_id").alias("id2"), F.col("_fp").alias("_fp2"),
+        F.col("_band").alias("_band2"), F.col("_bv").alias("_bv2"),
+    )
+    ham = F.bit_count(F.col("_fp1").bitwiseXOR(F.col("_fp2")))
+    return (
+        a.join(
+            b,
+            (F.col("_band") == F.col("_band2"))
+            & (F.col("_bv") == F.col("_bv2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2", "_fp1", "_fp2")
+        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

@@ -8,7 +8,9 @@ from hive_similarity_join_spark.operators.dedup import (
     connected_components,
     duck_minhash_oracle,
     minhash_lsh_pairs,
+    simhash_pairs,
 )
+from hive_similarity_join_spark.operators.knn import ann_topk
 from hive_similarity_join_spark.operators.similarity import similarity_join
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
@@ -21,6 +23,25 @@ CC_T = 0.9
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+
+
+@query("q_text_simhash")  # md5-hex->int not expressible in DuckDB 1.0 SQL
+def q_text_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 over 60-bit fingerprints).
+    Banded blocking is lossless for this radius (pigeonhole over 4
+    bands); deterministic but rows-only checked — DuckDB 1.0 has no
+    hex->int conversion to mirror the md5-derived token hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query("q_vec_knn_ann")  # approximate by design -> rows-only
+def q_vec_knn_ann(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH + multi-probe + exact
+    re-scoring — the scale path whose exact twin is q_vec_knn."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return ann_topk(e, probes, k=5, n_planes=4)
 
 
 @query("q_dedup_connected")  # iterative -> no single-statement oracle

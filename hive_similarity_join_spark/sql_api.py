@@ -1,0 +1,96 @@
+"""E2 entry point: the SQL surface.
+
+The Hive reference exposes its operators as HiveQL + ``CREATE TEMPORARY
+FUNCTION`` Java UDFs (``ADD JAR`` etc.). Here the equivalents are:
+
+- temp views with the same table names the DuckDB oracle sees
+  (``register_views``), so queries run verbatim via ``spark.sql``;
+- **SQL scalar functions** (Spark 4 ``CREATE TEMPORARY FUNCTION …
+  RETURN <expr>``) for the measure/tokenizer surface — these inline
+  into Catalyst plans and stay inside whole-stage codegen, unlike
+  ``spark.udf.register`` Python UDFs which would put a Python worker in
+  every row's path.
+
+After ``register_all(spark, sf_dir)``:
+
+    SELECT jaccard(tokenize_text(a.text), tokenize_text(b.text))
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+
+is a pure-JVM plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from hive_similarity_join_spark.sources.loader import register_views
+
+SQL_FUNCTIONS: dict[str, str] = {
+    "tokenize_text": """
+        CREATE OR REPLACE TEMPORARY FUNCTION tokenize_text(s STRING)
+        RETURNS ARRAY<STRING>
+        RETURN array_distinct(filter(split(lower(s), '\\\\s+'), t -> t != ''))
+    """,
+    "jaccard": """
+        CREATE OR REPLACE TEMPORARY FUNCTION jaccard(
+            a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN CAST(size(array_intersect(a, b)) AS DOUBLE)
+               / size(array_union(a, b))
+    """,
+    "overlap_sim": """
+        CREATE OR REPLACE TEMPORARY FUNCTION overlap_sim(
+            a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN CAST(size(array_intersect(a, b)) AS DOUBLE)
+    """,
+    "dice_sim": """
+        CREATE OR REPLACE TEMPORARY FUNCTION dice_sim(
+            a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN 2.0 * size(array_intersect(a, b)) / (size(a) + size(b))
+    """,
+    "cosine_set_sim": """
+        CREATE OR REPLACE TEMPORARY FUNCTION cosine_set_sim(
+            a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN size(array_intersect(a, b)) / sqrt(CAST(size(a) AS DOUBLE) * size(b))
+    """,
+    "vec_dot": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vec_dot(
+            a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+                         (acc, x) -> acc + x)
+    """,
+    "vec_cosine": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vec_cosine(
+            a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+                         (acc, x) -> acc + x)
+               / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y),
+                                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+                  * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y),
+                                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)))
+    """,
+    "doc_fingerprint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(s STRING)
+        RETURNS STRING
+        RETURN md5(CAST(array_join(array_sort(
+            array_distinct(filter(split(lower(s), '\\\\s+'), t -> t != ''))), ' ')
+            AS BINARY))
+    """,
+}
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    for ddl in SQL_FUNCTIONS.values():
+        spark.sql(ddl)
+    return sorted(SQL_FUNCTIONS)
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Views + SQL functions: the full E2 surface in one call."""
+    register_views(spark, sf_dir)
+    register_sql_functions(spark)

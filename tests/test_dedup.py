@@ -1,0 +1,52 @@
+"""Dedup operator tests: connected components on known graphs, MinHash
+LSH determinism + recall against the exact join."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from hive_similarity_join_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from hive_similarity_join_spark.operators.similarity import similarity_join
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_known_graph(spark):
+    # two chains and a singleton-free isolated pair:
+    # {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2), Row(id1=2, id2=3), Row(id1=3, id2=4),
+         Row(id1=10, id2=11), Row(id1=21, id2=20), Row(id1=21, id2=22)]
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 40  # diameter >> default label rounds only if propagation broken
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(n)])
+    got = {r.id: r.comp for r in connected_components(pairs, max_iter=50).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_minhash_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", 0.8).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", 0.8).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_is_subset_of_exact_with_high_recall(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    lsh = {(r.id1, r.id2) for r in
+           minhash_lsh_pairs(docs, "doc_id", "text", 0.9).collect()}
+    exact = {(r.id1, r.id2) for r in
+             similarity_join(docs, "doc_id", "text", threshold=0.9).collect()}
+    assert lsh <= exact  # verification makes LSH precision exact
+    # 4 bands x 4 rows: theory says ~0.98 collide at j=0.9, but with only
+    # 16 perms the signature variance drags borderline pairs down;
+    # measured recall ~0.87 on this corpus. Anchor at 0.75.
+    assert len(lsh) >= 0.75 * len(exact)

@@ -1,0 +1,75 @@
+"""Plan-property tests: the scale contract, asserted on explain output.
+
+A correct result with the wrong plan is a 100 TB incident — these lock
+in pushdown, pruning, broadcast placement, top-k planning, explicit
+candidate-join parallelism, and Python-free hot paths.
+"""
+
+from __future__ import annotations
+
+from hive_similarity_join_spark.plans.inspect import assert_in_plan, explain_str
+from hive_similarity_join_spark.registry import QUERIES, load_registry
+from tests.conftest import SF_SMOKE
+
+load_registry()
+
+
+def _q(name, spark):
+    return QUERIES[name](spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = explain_str(_q("q_filter_pred", spark))
+    assert "PushedFilters:" in plan
+    # the OR-of-ANDs predicate is partially pushable; at minimum the
+    # scan must not read with an empty pushdown while a Filter exists
+    assert "Or(" in plan or "In(l_returnflag" in plan or "GreaterThan" in plan
+
+
+def test_column_pruning(spark):
+    plan = explain_str(_q("q_scan_project", spark))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    line = read[0]
+    assert "l_orderkey" in line and "l_shipdate" in line
+    assert "l_extendedprice" not in line  # unprojected column not read
+
+
+def test_broadcast_join_planned(spark):
+    assert_in_plan(_q("q_join_broadcast", spark), "BroadcastHashJoin")
+
+
+def test_orderby_limit_is_topk(spark):
+    assert_in_plan(_q("q_orderby_limit", spark), "TakeOrderedAndProject")
+
+
+def test_flagship_plan_properties(spark):
+    plan = explain_str(_q("q_simjoin_jaccard_self", spark))
+    # no Python in the hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # token dictionary broadcast somewhere in the pipeline
+    assert "BroadcastHashJoin" in plan
+    # the explicit salted repartition survives into the physical plan
+    # (user-specified numPartitions => exempt from AQE coalescing).
+    # At smoke scale Catalyst may legally broadcast the candidate join
+    # (file stats < threshold); the partition-count pin is what we own.
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "_salt" in plan
+
+
+def test_semi_anti_plans(spark):
+    assert_in_plan(_q("q_join_semi", spark), "LeftSemi")
+    assert_in_plan(_q("q_join_anti", spark), "LeftAnti")
+
+
+def test_vector_ops_udf_free(spark):
+    for key in ("q_vec_cosine", "q_vec_knn", "q_vec_centroid"):
+        plan = explain_str(_q(key, spark))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # hash agg appears twice (partial + final) around one exchange
+    plan = explain_str(_q("q_agg_groupby", spark))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
