@@ -59,30 +59,33 @@ def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return tok.join(F.broadcast(rk), "_tok").select("_id", "_r")
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, _i, _h): per-doc minhash value for each of NUM_PERM perms."""
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, with_rank_arrays: bool = False
+) -> DataFrame:
+    """(_id, _h1.._h{NUM_PERM}[, _rks]): one row per doc, wide signature.
+
+    All NUM_PERM permutations are computed as parallel ``min`` aggregates
+    over the SAME (_id, _r) rows — one shuffle on the doc id with map-side
+    partial mins, instead of exploding NUM_PERM copies of every token row
+    and shuffling (_id, perm) keys. At 100 TB this is the difference
+    between shuffling |tokens| and NUM_PERM x |tokens| rows.
+
+    ``with_rank_arrays`` additionally collects the sorted int rank array
+    (bijective with the token set) in the SAME aggregate, so the verify
+    step can intersect int arrays without a second tokenize pass.
+    """
     tokr = _ranked_tokens(df, id_col, text_col)
-    perms = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("_i"),
-                F.lit(PERM_A[i]).alias("_a"),
-                F.lit(PERM_B[i]).alias("_b"),
-            )
-            for i in range(NUM_PERM)
-        ]
-    )
-    exploded = tokr.select("_id", "_r", F.explode(perms).alias("_p"))
     # bigint arithmetic: a*r overflows int32 (ANSI mode raises, not wraps)
-    h = (
-        F.col("_p._a").cast("bigint") * F.col("_r").cast("bigint")
-        + F.col("_p._b").cast("bigint")
-    ) % F.lit(P_MOD).cast("bigint")
-    return (
-        exploded.select("_id", F.col("_p._i").alias("_i"), h.alias("_hv"))
-        .groupBy("_id", "_i")
-        .agg(F.min("_hv").alias("_h"))
-    )
+    r = F.col("_r").cast("bigint")
+    aggs = [
+        F.min(
+            (F.lit(PERM_A[i]).cast("bigint") * r + F.lit(PERM_B[i])) % F.lit(P_MOD)
+        ).alias(f"_h{i + 1}")
+        for i in range(NUM_PERM)
+    ]
+    if with_rank_arrays:
+        aggs.append(F.array_sort(F.collect_list("_r")).alias("_rks"))
+    return tokr.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -94,26 +97,37 @@ def minhash_lsh_pairs(
     the exact similarity join (recall < 1 by design; the s-curve at the
     default 4x4 config keeps high recall near t=0.8+).
     """
-    sigs = minhash_signatures(df, id_col, text_col)
-    bands = (
-        sigs.withColumn("_band", ((F.col("_i") - 1) / ROWS_PER_BAND).cast("int"))
-        .groupBy("_id", "_band")
-        .agg(
+    sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
+    # Band signatures are plain column concats over the wide signature row
+    # (no second groupBy); band order matches the oracle's ORDER BY i.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("_band"),
             F.concat_ws(
                 "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_i", "_h"))),
-                    lambda s: s["_h"].cast("string"),
-                ),
-            ).alias("_bsig")
+                *[
+                    F.col(f"_h{b * ROWS_PER_BAND + j + 1}").cast("string")
+                    for j in range(ROWS_PER_BAND)
+                ],
+            ).alias("_bsig"),
         )
-    )
+        for b in range(NUM_BANDS)
+    ]
+    bands = sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select("_id", F.col("_bs._band").alias("_band"), F.col("_bs._bsig").alias("_bsig"))
+    # The band join's INPUT is tiny (docs x bands rows) while its OUTPUT
+    # is the candidate-pair blowup — AQE sizes post-shuffle partitions by
+    # map output and would coalesce the join (and the verify behind it)
+    # to ~1 task. Explicit repartition counts opt these shuffles out of
+    # coalescing, same as the similarity kernel's candidate join.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = bands.select(
         F.col("_id").alias("id1"), F.col("_band").alias("_band1"), F.col("_bsig").alias("_bsig1")
-    )
+    ).repartition(n_part, "_band1", "_bsig1")
     b = bands.select(
         F.col("_id").alias("id2"), F.col("_band").alias("_band2"), F.col("_bsig").alias("_bsig2")
-    )
+    ).repartition(n_part, "_band2", "_bsig2")
     cand = (
         a.join(
             b,
@@ -122,15 +136,16 @@ def minhash_lsh_pairs(
             & (F.col("id1") < F.col("id2")),
         )
         .select("id1", "id2")
+        .repartition(n_part, "id1", "id2")
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col).alias("_tid"), tokenize(text_col).alias("_toks")
-    ).filter(F.size("_toks") > 0)
-    t1 = toks.select(F.col("_tid").alias("id1"), F.col("_toks").alias("_toks1"))
-    t2 = toks.select(F.col("_tid").alias("id2"), F.col("_toks").alias("_toks2"))
-    inter = F.size(F.array_intersect("_toks1", "_toks2")).cast("double")
-    union = F.size(F.array_union("_toks1", "_toks2")).cast("double")
+    # Verify on int rank arrays (bijective with token sets — identical
+    # Jaccard), reusing the signature relation: no second tokenize pass
+    # over the corpus, and int intersects beat string intersects.
+    t1 = sigs.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
+    t2 = sigs.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    inter = F.size(F.array_intersect("_rks1", "_rks2")).cast("double")
+    union = (F.size("_rks1") + F.size("_rks2")).cast("double") - inter
     return (
         cand.join(t1, "id1")
         .join(t2, "id2")
@@ -302,6 +317,8 @@ def connected_components(
         .select(F.col("a").alias("id"), F.least("comp", "id").alias("comp"))
     )
     for _ in range(max_iter):
+        # 1-hop neighbor min. Labels only ever decrease, so "changed" is
+        # derivable inline (new < old) — no old-vs-new join per round.
         neigh = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
@@ -314,17 +331,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce(F.col("n_comp"), F.col("comp")) < F.col("comp")).alias(
+                    "_chg"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels
