@@ -8,3 +8,4 @@ import hive_similarity_join_spark.queries.text_q  # noqa: F401
 import hive_similarity_join_spark.queries.events_q  # noqa: F401
 import hive_similarity_join_spark.queries.dedup_q  # noqa: F401
 import hive_similarity_join_spark.queries.multimodal_q  # noqa: F401
+import hive_similarity_join_spark.queries.tpch_q  # noqa: F401
