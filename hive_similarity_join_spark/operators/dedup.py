@@ -47,6 +47,11 @@ def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, _r): distinct (doc, token-rank) pairs, rank = global
     rarest-first ordering (freq asc, token asc) — vocabulary-sized dict,
     broadcast into the explode join."""
+    # Spread a few-partition input before the tokenize/explode map work
+    # (a small single-file scan would otherwise run it on 1-2 cores).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_tok"))
         .distinct()
@@ -216,6 +221,9 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     from 60 conditional-sum aggregates — wide but fully codegen'd,
     one shuffle on the doc id.
     """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
     tok = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_tok"))
         .distinct()

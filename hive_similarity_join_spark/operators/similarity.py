@@ -90,7 +90,18 @@ def _sim_expr(measure: str, a: Column, b: Column) -> Column:
 
 def _tokenized(df: DataFrame, id_col: str, text_col: str, tokens_col: str | None) -> DataFrame:
     """(_id, _toks) with empty token sets dropped (degenerate for every
-    measure and for prefix arithmetic; documented exclusion)."""
+    measure and for prefix arithmetic; documented exclusion).
+
+    If the input arrives in fewer partitions than the session's shuffle
+    parallelism (typical for a small un-partitioned file), spread it
+    BEFORE tokenizing: every downstream map stage (tokenize, explode,
+    prefix emit) inherits the scan's partitioning, and 2 scan tasks
+    would serialize work meant for 32 cores. At real scale the input
+    already has >= shuffle-partition files and this is a no-op.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
     toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
     return (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
@@ -169,6 +180,7 @@ def similarity_join(
     other_text_col: str | None = None,
     tokens_col: str | None = None,
     n_salts: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact set-similarity join; returns (id1, id2, sim).
 
@@ -176,10 +188,18 @@ def similarity_join(
     orientation, SURVEY §7) and measure >= threshold.
     R-S join: pairs (id1 from df, id2 from other), no id ordering.
 
-    Entirely lazy; the caller owns persistence decisions. The token-sorted
-    relation feeds both the prefix explode and verification — on repeated
-    use, ``.persist()`` it via the returned plan's lineage if profiling
-    says so (bench.py does this measurement).
+    Persistence (``persist=True`` default): the tokenized relation is
+    consumed twice (dictionary build, rank-sort) and the rank-sorted
+    relation up to four times (both prefix explodes + both verify
+    sides); without caching, Catalyst re-executes the tokenizer for
+    every consumer — ruinous when ``tokens_col`` is an expensive
+    expression (n-gram shingling). The reference family materializes
+    exactly these stage boundaries to HDFS between its MR jobs; we keep
+    them in executor storage (MEMORY_AND_DISK — spills, never OOMs,
+    sized O(corpus tokens) which at 100 TB is the same scratch the MR
+    jobs would write to disk anyway). Pass ``persist=False`` for a
+    fully lazy plan (composition into larger DAGs, single-consumer
+    callers).
 
     Partitioning (the load-bearing scale decision): the candidate join's
     INPUT is small (one row per prefix token) but its OUTPUT is the
@@ -201,17 +221,27 @@ def similarity_join(
     else:
         t_eq = _equivalent_jaccard_threshold(threshold, measure)
 
+    from pyspark import StorageLevel
+
     r = _tokenized(df, id_col, text_col, tokens_col)
+    if persist:
+        r = r.persist(StorageLevel.MEMORY_AND_DISK)
     rels = [r]
     if other is not None:
         s = _tokenized(
             other, other_id_col or id_col, other_text_col or text_col, tokens_col
         )
+        if persist:
+            s = s.persist(StorageLevel.MEMORY_AND_DISK)
         rels.append(s)
 
     dict_df = _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
+    if persist:
+        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
     s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
+    if persist and other is not None:
+        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
 
     if measure == "overlap":
         c = int(math.ceil(threshold))

@@ -255,16 +255,25 @@ def q_knn_topk(spark, sf_dir):
         F.col("_id").alias("id1"), F.col("_toks").alias("_toks1")
     )
     corpus = r.select(F.col("_id").alias("id2"), F.col("_toks").alias("_toks2"))
-    ea = probes.select("id1", "_toks1", F.explode("_toks1").alias("_tok1"))
-    eb = corpus.select("id2", "_toks2", F.explode("_toks2").alias("_tok2"))
+    # Probe side is tiny -> broadcast the inverted-index join; candidates
+    # cross the dedupe shuffle as bare (id1, id2) and the token arrays
+    # join back once per side (same bytes-on-the-wire discipline as the
+    # similarity kernel's candidate join).
+    ea = probes.select("id1", F.explode("_toks1").alias("_tok1"))
+    eb = corpus.select("id2", F.explode("_toks2").alias("_tok2"))
     cands = (
-        ea.join(eb, (F.col("_tok1") == F.col("_tok2")) & (F.col("id1") != F.col("id2")))
-        .select("id1", "id2", "_toks1", "_toks2")
+        F.broadcast(ea)
+        .join(eb, (F.col("_tok1") == F.col("_tok2")) & (F.col("id1") != F.col("id2")))
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
     inter = F.size(F.array_intersect("_toks1", "_toks2")).cast("double")
     union = F.size(F.array_union("_toks1", "_toks2")).cast("double")
-    scored = cands.select("id1", "id2", (inter / union).alias("sim"))
+    scored = (
+        cands.join(F.broadcast(probes), "id1")
+        .join(corpus, "id2")
+        .select("id1", "id2", (inter / union).alias("sim"))
+    )
     w = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
