@@ -40,6 +40,10 @@ def main() -> None:
         except Exception as e:  # keep the bench line well-formed
             timings[key] = -1.0
             print(f"bench error {key}: {e}", file=sys.stderr)
+        # drop relations the query persisted: each key is timed cold on
+        # its own merits, and 65 keys' caches otherwise accumulate heap
+        # pressure that taxes whoever runs last
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

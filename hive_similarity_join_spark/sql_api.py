@@ -91,6 +91,12 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
-    """Views + SQL functions: the full E2 surface in one call."""
+    """Views + SQL functions + UDTF/UDAF: the full E2 surface in one
+    call (scalar measures stay pure-Catalyst; tokenize_rows /
+    harmonic_mean are the Python table/aggregate extensions,
+    functions/udx.py)."""
+    from hive_similarity_join_spark.functions.udx import register_udx
+
     register_views(spark, sf_dir)
     register_sql_functions(spark)
+    register_udx(spark)
