@@ -313,7 +313,10 @@ def connected_components(
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
-        .distinct()
+        # No distinct: canonical (id1 < id2) input pairs make both
+        # orientation legs duplicate-free, and min-label propagation is
+        # idempotent under duplicate edges regardless — a full
+        # shuffle+dedupe of the edge set would be pure overhead.
         # materialize once: every iteration re-reads the edge set, and
         # without this the full upstream pair computation (e.g. a
         # similarity join) re-executes per round

@@ -44,6 +44,19 @@ def q_vec_knn_ann(spark, sf_dir):
     return ann_topk(e, probes, k=5, n_planes=4)
 
 
+@query("q_vec_knn_ivf")  # approximate by design -> rows-only
+def q_vec_knn_ivf(spark, sf_dir):
+    """IVF-Flat ANN: coarse k-means cells + nprobe-cell search + exact
+    re-scoring (operators/ivf.py) — the inverted-list scale path; at
+    100 TB the corpus is bucketed by cell id so a probe reads
+    nprobe/n_cells of the data."""
+    from hive_similarity_join_spark.operators.ivf import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, probes, k=5, n_cells=16, nprobe=4)
+
+
 @query("q_dedup_connected")  # iterative -> no single-statement oracle
 def q_dedup_connected(spark, sf_dir):
     """Transitive-closure near-dup clustering: (doc_id, component id).

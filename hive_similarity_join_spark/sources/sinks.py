@@ -92,3 +92,35 @@ def read_files(
     if fmt == "json":
         r = r.option("timestampFormat", _TS_FMT)
     return r.format(fmt).load(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style CLUSTERED BY ... INTO n BUCKETS (catalog table).
+
+    THE shuffle-elimination tool for repeated big-big joins: two tables
+    bucketed into the same count on the join key sort-merge-join with
+    ZERO Exchange on either side — the shuffle is paid once at write
+    time instead of per query. At 100 TB, bucket the fact tables on
+    their join keys (orders/lineitem on the order key) and every later
+    join/groupBy on that key is exchange-free; ``sort_cols`` adds
+    in-bucket ordering so the SMJ skips its sort too.
+    """
+    _check_format(fmt)
+    w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read; bucketing metadata rides along so Catalyst can
+    plan exchange-free joins between co-bucketed tables."""
+    return spark.table(table)

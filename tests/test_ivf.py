@@ -1,0 +1,66 @@
+"""IVF ANN: structure, determinism-of-shape, and recall vs exact kNN."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.operators.ivf import assign_cells, ivf_topk, train_cells
+from hive_similarity_join_spark.sources.loader import load_table
+from tests.conftest import SF_SMOKE
+
+K = 5
+N_PROBES = 20
+
+
+def _exact_topk(e, probes):
+    a = probes.select(F.col("vec_id").alias("probe_id"), V.as_double("embedding").alias("_p"))
+    b = e.select(F.col("vec_id").alias("vec_id2"), V.as_double("embedding").alias("_v"))
+    sim = V.cosine(F.col("_p"), F.col("_v"))
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("probe_id") != F.col("vec_id2"))
+        .select("probe_id", F.col("vec_id2").alias("vec_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
+
+
+def test_every_row_gets_exactly_one_cell(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = train_cells(e, n_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assigned = assign_cells(e, cents)
+    assert assigned.count() == e.count()
+    assert assigned.select("vec_id").distinct().count() == e.count()
+    assert assigned.agg(F.countDistinct("cell")).collect()[0][0] <= 8
+
+
+def test_ivf_returns_k_per_probe_and_decent_recall(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES)
+    approx = ivf_topk(e, probes, k=K, n_cells=8, nprobe=4).collect()
+    per_probe = {}
+    for r in approx:
+        per_probe.setdefault(r.probe_id, set()).add(r.vec_id)
+    assert all(len(v) == K for v in per_probe.values())
+    exact = _exact_topk(e, probes).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r.probe_id, set()).add(r.vec_id)
+    hits = sum(len(per_probe[p] & want[p]) for p in want)
+    recall = hits / (len(want) * K)
+    # nprobe=4 of 8 cells on near-orthogonal synthetic vectors: recall
+    # stays well above chance; exactness is the brute-force twin's job
+    assert recall >= 0.5, recall
+
+
+def test_full_nprobe_equals_exact(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES)
+    approx = ivf_topk(e, probes, k=K, n_cells=8, nprobe=8)
+    exact = _exact_topk(e, probes)
+    assert sorted(map(tuple, approx.select("probe_id", "vec_id").collect())) == sorted(
+        map(tuple, exact.select("probe_id", "vec_id").collect())
+    )

@@ -73,3 +73,27 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = explain_str(_q("q_agg_groupby", spark))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_tpch_q6_predicates_push_to_scan(spark):
+    plan = explain_str(_q("q_tpch_q6", spark))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    # all three predicate families reach the parquet reader
+    assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
+
+
+def test_tpch_q3_is_topk_with_partial_agg(spark):
+    plan = explain_str(_q("q_tpch_q3", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    # dims (nation/region/customer at smoke scale) broadcast; the fact
+    # side must never be the built side
+    for key in ("q_tpch_q5", "q_tpch_q10"):
+        plan = explain_str(_q(key, spark))
+        assert "BroadcastHashJoin" in plan, key
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
