@@ -408,6 +408,30 @@ def q_agg_rollup(spark, sf_dir):
 
 
 @query(
+    "q_agg_groupingsets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_agg_groupingsets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind rollup/cube);
+    Spark plans one Expand + single hash agg, not one job per set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@query(
     "q_agg_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
@@ -518,6 +542,37 @@ def q_win_lag(spark, sf_dir):
         "event_id",
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "q_win_rankfuncs",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 9) AS prank,
+       round(cume_dist() OVER w, 9) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_win_rankfuncs(spark, sf_dir):
+    """The full ranking-function family over one window spec; rounding
+    pins the two ratio functions to identical text on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("prank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
     )
 
 
