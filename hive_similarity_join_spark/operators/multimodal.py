@@ -132,6 +132,51 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
     return media.withColumn("features", hist(F.col("payload")))
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize plumbing via mapInPandas: with codecs absent the 'resample'
+    is a deterministic byte-stride subsample to target_w*target_h bytes
+    (REAL byte work with the exact batch shape a PIL/ffmpeg resize would
+    have; the codec call slots into the marked line)."""
+    import numpy as np
+
+    n_out = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def one(b: bytes) -> bytes:
+                if not HAVE_CODECS:
+                    # <- real decode+resample goes here when codecs exist
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if arr.size == 0:
+                        return bytes(n_out)
+                    idx = (np.arange(n_out) * arr.size) // n_out
+                    return arr[idx].tobytes()
+                raise NotImplementedError
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": pdf["payload"].map(one),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame sampling plumbing: for video payloads, emit one row per
     sampled 'frame' (byte offset stride stands in for time stride).

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from hive_similarity_join_spark.operators.multimodal import (
     byte_histogram_features,
     decode_media,
+    frame_sample,
+    resize_media,
     synthesize_media,
 )
 from hive_similarity_join_spark.registry import query
@@ -50,4 +52,37 @@ def q_multimodal_features(spark, sf_dir):
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return byte_histogram_features(media).select(
         "media_id", F.size("features").alias("dim"), "features"
+    )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(t.o AS BIGINT) AS frame_offset
+FROM documents, unnest(range(0, octet_length(encode(text)), 64)) AS t(o)
+WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+""",
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over video payloads: one row per byte-stride
+    'frame'; the expansion is a native sequence+explode (no Python),
+    so it IS oracle-checkable unlike the pandas-UDF plumbing."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+    return frame_sample(media, every_n_bytes=64).select(
+        "media_id", F.col("frame_offset").cast("bigint").alias("frame_offset")
+    )
+
+
+@query("q_multimodal_resize")  # mapInPandas -> rows-only check
+def q_multimodal_resize(spark, sf_dir):
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, target_w=32, target_h=32).select(
+        "media_id",
+        "kind",
+        "target_w",
+        "target_h",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
     )

@@ -55,3 +55,14 @@ def test_frame_sample_counts(media):
     )
     for r in joined.collect():
         assert r.frames == (max(r.nb - 1, 0) // 64) + 1
+
+
+def test_resize_payload_lengths_and_determinism(media):
+    from hive_similarity_join_spark.operators.multimodal import resize_media
+
+    a = resize_media(media, target_w=8, target_h=4).orderBy("media_id").limit(10).collect()
+    b = resize_media(media, target_w=8, target_h=4).orderBy("media_id").limit(10).collect()
+    assert a == b
+    for r in a:
+        assert r.target_w == 8 and r.target_h == 4
+        assert len(r.payload) == 8 * 4  # resampled to exactly w*h bytes
