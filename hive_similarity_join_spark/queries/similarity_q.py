@@ -74,6 +74,78 @@ def q_simjoin_jaccard_rs(spark, sf_dir):
     )
 
 
+def _measure_oracle(measure_sql: str, pred_sql: str) -> str:
+    """Shared relational skeleton for the non-Jaccard measures; the
+    measure expression is written IDENTICALLY to the Spark side so the
+    IEEE double math matches bit-exact (int sizes -> exact doubles;
+    sqrt is correctly rounded on both engines)."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, {measure_sql} AS sim
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE {pred_sql}
+"""
+
+
+T_DICE = 0.9
+T_COS = 0.9
+T_OVERLAP = 20
+
+
+@query(
+    "q_simjoin_dice",
+    oracle=_measure_oracle(
+        "2.0 * i / (s1.n + s2.n)", f"2.0 * i / (s1.n + s2.n) >= {T_DICE}"
+    ),
+)
+def q_simjoin_dice(spark, sf_dir):
+    """Dice-measure self-join: candidates pruned via the lossless
+    equivalent-Jaccard bound t/(2-t), verified exactly (§2.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(docs, "doc_id", "text", threshold=T_DICE, measure="dice")
+
+
+@query(
+    "q_simjoin_cosine",
+    oracle=_measure_oracle(
+        "i / sqrt(CAST(s1.n AS DOUBLE) * s2.n)",
+        f"i / sqrt(CAST(s1.n AS DOUBLE) * s2.n) >= {T_COS}",
+    ),
+)
+def q_simjoin_cosine(spark, sf_dir):
+    """Set-cosine self-join: candidate bound jaccard >= t^2 (lossless),
+    exact verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(docs, "doc_id", "text", threshold=T_COS, measure="cosine")
+
+
+@query(
+    "q_simjoin_overlap",
+    oracle=_measure_oracle(
+        "CAST(i AS DOUBLE)", f"i >= {T_OVERLAP}"
+    ),
+)
+def q_simjoin_overlap(spark, sf_dir):
+    """Absolute-overlap self-join (|A∩B| >= c): prefix length n - c + 1,
+    both sizes >= c — the T-overlap primitive under the ratio measures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(
+        docs, "doc_id", "text", threshold=T_OVERLAP, measure="overlap"
+    )
+
+
 @query(
     "q_simjoin_edit",
     oracle="""
