@@ -147,7 +147,8 @@ def _sorted_by_rank(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
 
 
 def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
-    """Stage 2b: emit the first ``p = n - ceil(t_eq*n) + 1`` tokens.
+    """Stage 2b: emit the first ``p = n - ceil(t_eq*n) + 1`` tokens,
+    with their 0-based position (for the PPJoin positional filter).
 
     ``F.ceil`` returns LONG — the arithmetic is kept integral on purpose
     (SURVEY §7 hard parts). A tiny epsilon guards ceil(t*n) when t*n is
@@ -165,7 +166,7 @@ def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
         "_id",
         "_rks",
         "_n",
-        F.explode(F.slice("_rks", 1, p)).alias("_ptok"),
+        F.posexplode(F.slice("_rks", 1, p)).alias("_ppos", "_ptok"),
     )
 
 
@@ -247,10 +248,16 @@ def similarity_join(
         c = int(math.ceil(threshold))
         p_expr = F.greatest(F.lit(1), (F.col("_n") - c + 1).cast("int"))
         a = r_sorted.select(
-            "_id", "_rks", "_n", F.explode(F.slice("_rks", 1, p_expr)).alias("_ptok")
+            "_id",
+            "_rks",
+            "_n",
+            F.posexplode(F.slice("_rks", 1, p_expr)).alias("_ppos", "_ptok"),
         )
         b = s_sorted.select(
-            "_id", "_rks", "_n", F.explode(F.slice("_rks", 1, p_expr)).alias("_ptok")
+            "_id",
+            "_rks",
+            "_n",
+            F.posexplode(F.slice("_rks", 1, p_expr)).alias("_ppos", "_ptok"),
         )
     else:
         a = _prefix_exploded(r_sorted, t_eq)
@@ -260,11 +267,13 @@ def similarity_join(
     a = a.select(
         F.col("_id").alias("id1"),
         F.col("_n").alias("_n1"),
+        F.col("_ppos").alias("_pp1"),
         F.col("_ptok").alias("_ptok1"),
     ).withColumn("_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     b = b.select(
         F.col("_id").alias("id2"),
         F.col("_n").alias("_n2"),
+        F.col("_ppos").alias("_pp2"),
         F.col("_ptok").alias("_ptok2"),
     ).withColumn("_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts)))
     a = a.repartition(n_part, "_ptok1", "_salt1")
@@ -284,6 +293,26 @@ def similarity_join(
     else:
         cond.append(F.col("_n2").cast("double") >= F.col("_n1") * t_eq - 1e-9)
         cond.append(F.col("_n1").cast("double") >= F.col("_n2") * t_eq - 1e-9)
+    # PPJoin positional filter (Xiao et al., WWW 2008): a shared prefix
+    # token at 0-based positions (i, j) bounds the total overlap by
+    # 1 + min(n1-i-1, n2-j-1); rows whose bound can't reach the
+    # measure's required overlap alpha are dropped BEFORE the dedupe
+    # shuffle. Lossless: for a qualifying pair, its FIRST shared token
+    # in rank order has every other shared token after both positions,
+    # so that row's bound >= true overlap >= alpha and it survives.
+    n1, n2 = F.col("_n1").cast("double"), F.col("_n2").cast("double")
+    if measure == "jaccard":
+        alpha = (n1 + n2) * (threshold / (1.0 + threshold))
+    elif measure == "dice":
+        alpha = (n1 + n2) * (threshold / 2.0)
+    elif measure == "cosine":
+        alpha = F.sqrt(n1 * n2) * threshold
+    else:  # overlap
+        alpha = F.lit(float(math.ceil(threshold)))
+    ubound = 1 + F.least(
+        F.col("_n1") - F.col("_pp1") - 1, F.col("_n2") - F.col("_pp2") - 1
+    )
+    cond.append(ubound.cast("double") >= alpha - 1e-9)
 
     join_cond = cond[0]
     for c in cond[1:]:
