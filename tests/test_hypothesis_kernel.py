@@ -1,0 +1,93 @@
+"""Hypothesis property tests (SURVEY §5.4): the kernel vs a pure-Python
+model on randomized corpora — exercises empty token sets, duplicate
+docs, single-token docs, and threshold edge cases the fixed fixtures
+can't enumerate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hive_similarity_join_spark.operators.similarity import similarity_join
+
+ALPHABET = ["a", "b", "c", "d", "e"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(ALPHABET), min_size=0, max_size=6),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _model_pairs(docs: list[list[str]], threshold: float, measure: str):
+    """Reference implementation: all pairs, exact set measures."""
+    sets = [frozenset(d) for d in docs]
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if measure == "jaccard":
+                sim = inter / len(a | b)
+            elif measure == "dice":
+                sim = 2.0 * inter / (len(a) + len(b))
+            elif measure == "cosine":
+                sim = inter / math.sqrt(len(a) * len(b))
+            else:
+                sim = float(inter)
+            if sim >= threshold:
+                out[(i, j)] = sim
+    return out
+
+
+@pytest.mark.parametrize("measure,threshold", [
+    ("jaccard", 0.5),
+    ("dice", 0.7),
+    ("cosine", 0.6),
+    ("overlap", 2.0),
+])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_kernel_matches_model(spark, measure, threshold, docs):
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in similarity_join(
+            df, "doc_id", "text", threshold=threshold, measure=measure,
+            persist=False,
+        ).collect()
+    }
+    want = _model_pairs(docs, threshold, measure)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_threshold_monotonicity(spark, docs):
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = {
+        (r.id1, r.id2)
+        for r in similarity_join(df, "doc_id", "text", 0.4, persist=False).collect()
+    }
+    hi = {
+        (r.id1, r.id2)
+        for r in similarity_join(df, "doc_id", "text", 0.8, persist=False).collect()
+    }
+    assert hi <= lo
