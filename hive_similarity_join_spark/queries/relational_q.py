@@ -632,6 +632,26 @@ def q_setops(spark, sf_dir):
 
 
 @query(
+    "q_except",
+    oracle="""
+SELECT n_nationkey AS nk FROM nation
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 8000
+""",
+)
+def q_except(spark, sf_dir):
+    """EXCEPT (distinct set difference): nations with no high-balance
+    supplier (the filter keeps the result non-degenerate)."""
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return n.subtract(s)
+
+
+@query(
     "q_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
