@@ -236,6 +236,101 @@ def q_tpch_q10(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q7",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+""",
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: bilateral trade between two nations by
+    ship year. Both nation lookups broadcast; the OR-of-pairs predicate
+    evaluates after the joins like the spec query."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    pair_pred = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("_cnk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("_snk"))
+        .filter(pair_pred)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_dsum(_disc_price(), scale=6).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+SELECT 100.00 *
+       CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) /
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    promo parts. part broadcasts; the conditional sum rides the same
+    decimal-cast discipline as every other revenue aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _disc_price()
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.00)
+                * _dsum(promo, scale=6)
+                / _dsum(_disc_price(), scale=6)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
     "q_tpch_q18",
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
