@@ -57,6 +57,36 @@ def q_vec_knn_ivf(spark, sf_dir):
     return ivf_topk(e, probes, k=5, n_cells=16, nprobe=4)
 
 
+@query("q_dedup_embedding_lsh")  # approximate blocking -> rows-only
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs with hyperplane-LSH blocking — the
+    100 TB twin of the exact all-pairs q_dedup_embedding: candidates
+    only form inside a shared sign-bucket (expected bucket size
+    |corpus| / 2^n_planes), then exact cosine verifies. Approximate by
+    blocking (recall < 1), hence rows-only."""
+    from hive_similarity_join_spark.functions import vectors as V
+    from hive_similarity_join_spark.operators.knn import _hyperplanes, bucket_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(4)
+    v = e.select(
+        F.col("vec_id").alias("_id"), V.as_double("embedding").alias("_v")
+    ).withColumn("_bkt", bucket_expr(F.col("_v"), planes))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = v.select(
+        F.col("_id").alias("id1"), F.col("_v").alias("_v1"), "_bkt"
+    ).repartition(n_part, "_bkt")
+    b = v.select(
+        F.col("_id").alias("id2"), F.col("_v").alias("_v2"), F.col("_bkt").alias("_bkt2")
+    )
+    sim = V.cosine(F.col("_v1"), F.col("_v2"))
+    return (
+        a.join(b, (F.col("_bkt") == F.col("_bkt2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
 @query("q_dedup_connected")  # iterative -> no single-statement oracle
 def q_dedup_connected(spark, sf_dir):
     """Transitive-closure near-dup clustering: (doc_id, component id).
