@@ -147,6 +147,29 @@ def q_simjoin_overlap(spark, sf_dir):
 
 
 @query(
+    "q_simjoin_edit_scalable",
+    oracle="""
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def q_simjoin_edit_scalable(spark, sf_dir):
+    """Segment-filtered (PassJoin-style) edit join on customer names —
+    the fact-scale path q_simjoin_edit's broadcast nested-loop can't
+    take: candidates form only on shared (segment, index, length) keys
+    (operators/editjoin.py), then exact levenshtein verifies. The
+    DuckDB oracle is the brute-force formulation; the segment filter
+    is lossless so results hash-match."""
+    from hive_similarity_join_spark.operators.editjoin import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_join(cust, "c_custkey", "c_name", k=1)
+
+
+@query(
     "q_simjoin_edit",
     oracle="""
 SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
