@@ -102,6 +102,11 @@ def minhash_lsh_pairs(
     the exact similarity join (recall < 1 by design; the s-curve at the
     default 4x4 config keeps high recall near t=0.8+).
     """
+    # The signature relation feeds three consumers (band explode + both
+    # verify sides) in ONE job, so Spark's ReusedExchange dedupes the
+    # underlying shuffle already; measured A/B at sf0.1 showed explicit
+    # persistence strictly slower (adds a cache-write pass for work the
+    # exchange reuse makes free). Deliberately NOT persisted.
     sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
     # Band signatures are plain column concats over the wide signature row
     # (no second groupBy); band order matches the oracle's ORDER BY i.

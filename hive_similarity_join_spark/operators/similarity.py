@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -365,4 +366,49 @@ def naive_similarity_join(
         cands.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
+    )
+
+
+def bag_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Multiset (bag) Jaccard self-join: sim = sum_t min(c1,c2) /
+    sum_t max(c1,c2) over per-token multiplicities — the semantics a
+    HiveQL tokenizer WITHOUT DISTINCT produces, where repeated tokens
+    count. Returns (id1, id2, sim), id1 < id2, sim >= threshold.
+
+    Reduction, not reimplementation: expanding each bag to
+    occurrence-indexed elements (tok -> tok\x001, tok\x002, ... up to
+    its count) turns bag Jaccard into SET Jaccard exactly
+    (|expanded intersection| = sum min, |expanded union| = sum max), so
+    the full prefix-filtered kernel — rarest-first ordering, prefix +
+    length filters, salted candidate join — applies unchanged. The
+    expansion even HELPS the filter: high occurrence indices ("the" #7)
+    are globally rare, so repeated-token documents get highly selective
+    prefixes. One extra shuffle pair (token-count groupBy + array
+    rebuild) buys candidate generation bounded by prefix tokens instead
+    of every shared token — the difference between corpus-sized and
+    frequency-squared shuffles on a skewed vocabulary.
+    """
+    raw = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    tc = (
+        df.select(F.col(id_col).alias("_bid"), F.explode(raw).alias("_tok"))
+        .groupBy("_bid", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    expanded = tc.select(
+        "_bid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_c")),
+                lambda i: F.concat_ws("\x00", F.col("_tok"), i.cast("string")),
+            )
+        ).alias("_etok"),
+    )
+    arrs = expanded.groupBy("_bid").agg(F.collect_list("_etok").alias("_etoks"))
+    return similarity_join(
+        arrs, "_bid", threshold=threshold, measure="jaccard", tokens_col="_etoks"
     )

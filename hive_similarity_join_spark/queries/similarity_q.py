@@ -208,3 +208,42 @@ def q_simjoin_edit(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .select("id1", "id2", "dist")
     )
+
+
+T_BAG = 0.8
+
+
+@query(
+    "q_simjoin_bag_jaccard",
+    oracle=f"""
+WITH tc AS (
+  SELECT doc_id, t.tok, count(*) AS c
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY doc_id, t.tok
+),
+sz AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(least(a.c, b.c)) AS i
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {T_BAG}
+""",
+)
+def q_simjoin_bag_jaccard(spark, sf_dir):
+    """Multiset (bag) Jaccard self-join — the no-DISTINCT tokenizer
+    semantics (repeated tokens count): sum min(c)/sum max(c) >= 0.8.
+    Candidates form only on shared tokens passing the symmetric
+    bag-length filter; all-integer arithmetic until the final division
+    keeps it bit-exact vs the oracle. (The oracle's unfiltered
+    token-join is the brute-force twin — the length filter is lossless
+    so results hash-match.)"""
+    from hive_similarity_join_spark.operators.similarity import bag_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bag_jaccard_join(docs, "doc_id", "text", threshold=T_BAG)

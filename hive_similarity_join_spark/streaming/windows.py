@@ -83,3 +83,38 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    radius_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    q_join_range: pairs (left, right) events of the same user with
+    right.ts in (left.ts, left.ts + radius]. Both sides carry
+    watermarks and the join condition bounds the time skew, so the
+    state store evicts rows once the other stream's watermark passes
+    ts + radius — state is O(rate x horizon), not unbounded."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {radius_minutes} MINUTES")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "id1",
+        "id2",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )

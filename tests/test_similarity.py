@@ -16,6 +16,7 @@ from hive_similarity_join_spark.operators.similarity import (
     similarity_join,
     tokenize,
 )
+from hive_similarity_join_spark.sources.loader import load_table
 from tests.conftest import SF_SMOKE
 
 VOCAB = ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]
@@ -100,3 +101,41 @@ def test_overlap_measure(spark):
     out = {(r.id1, r.id2): r.sim for r in
            similarity_join(df, "id", "text", threshold=3, measure="overlap").collect()}
     assert out == {(1, 2): 3.0}
+
+
+def test_bag_jaccard_matches_bruteforce_and_bounds(spark):
+    """Bag-length filter is lossless: the filtered join must equal a
+    no-filter all-shared-token-pairs reference; sims sit in (0, 1] and
+    bag sim <= 1 with repeated-token docs handled."""
+    from hive_similarity_join_spark.operators.similarity import bag_jaccard_join
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    got = {
+        (r.id1, r.id2): r.sim for r in bag_jaccard_join(docs, "doc_id", "text", 0.5).collect()
+    }
+    raw = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    tc = (
+        docs.select(F.col("doc_id").alias("_id"), F.explode(raw).alias("_tok"))
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sz = tc.groupBy("_id").agg(F.sum("_c").alias("_n"))
+    a = tc.select(F.col("_id").alias("id1"), "_tok", F.col("_c").alias("c1"))
+    b = tc.select(F.col("_id").alias("id2"), F.col("_tok").alias("_tok2"), F.col("_c").alias("c2"))
+    inter = (
+        a.join(b, (F.col("_tok") == F.col("_tok2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.least("c1", "c2")).alias("i"))
+    )
+    s1 = sz.select(F.col("_id").alias("id1"), F.col("_n").alias("n1"))
+    s2 = sz.select(F.col("_id").alias("id2"), F.col("_n").alias("n2"))
+    sim = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    want = {
+        (r.id1, r.id2): r.sim
+        for r in inter.join(s1, "id1").join(s2, "id2")
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+        .collect()
+    }
+    assert got == want and got
+    assert all(0 < s <= 1 for s in got.values())

@@ -94,3 +94,40 @@ def test_streaming_dedup_drops_in_horizon_dupes(spark, events_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
     assert got.c == got.d == ev.select("event_id").distinct().count()
+
+
+def test_interval_join_stream_equals_batch_range_join(spark, events_dir):
+    from hive_similarity_join_spark.streaming.windows import interval_join_streams
+
+    stream = stream_events(spark, f"{events_dir}/data", max_files_per_trigger=10)
+    joined = interval_join_streams(stream, stream, radius_minutes=30)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.id1, r.id2, r.gap_us)
+        for r in spark.sql("SELECT * FROM t_interval").collect()
+    }
+    ev = spark.read.parquet(f"{events_dir}/data").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select("user_id", F.col("event_id").alias("id1"), F.col("us").alias("u1"))
+    b = ev.select(
+        F.col("user_id").alias("uid2"), F.col("event_id").alias("id2"),
+        F.col("us").alias("u2"),
+    )
+    want = {
+        (r.user_id, r.id1, r.id2, r.u2 - r.u1)
+        for r in a.join(
+            b,
+            (a["user_id"] == b["uid2"])
+            & (F.col("u2") > F.col("u1"))
+            & (F.col("u2") <= F.col("u1") + 30 * 60 * 1_000_000),
+        ).collect()
+    }
+    assert got == want and got
