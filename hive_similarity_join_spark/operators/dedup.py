@@ -315,6 +315,7 @@ def connected_components(
     exponentially-growing lineage each round (at cluster scale, use a
     checkpoint dir on durable storage instead).
     """
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -322,6 +323,13 @@ def connected_components(
         # orientation legs duplicate-free, and min-label propagation is
         # idempotent under duplicate edges regardless — a full
         # shuffle+dedupe of the edge set would be pure overhead.
+        # Hash-partition by the per-round join key BEFORE checkpointing:
+        # localCheckpoint preserves the physical partitioning, so every
+        # iteration's edges-to-labels join shuffles only the NODE-sized
+        # label relation while the (much larger) edge set stays put —
+        # near-dup graphs are dense (edges >> nodes), so this moves the
+        # per-round shuffle from O(edges) to O(nodes).
+        .repartition(n_part, "b")
         # materialize once: every iteration re-reads the edge set, and
         # without this the full upstream pair computation (e.g. a
         # similarity join) re-executes per round
