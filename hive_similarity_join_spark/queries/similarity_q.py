@@ -247,3 +247,64 @@ def q_simjoin_bag_jaccard(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bag_jaccard_join(docs, "doc_id", "text", threshold=T_BAG)
+
+
+T_TOPK = 0.8
+K_TOPK = 3
+
+
+@query(
+    "q_simjoin_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS qid, b.doc_id AS nid, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT qid, nid, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = qid
+  JOIN sz s2 ON s2.doc_id = nid
+  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {T_TOPK}
+)
+SELECT qid, nid, sim
+FROM (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rn
+      FROM sims) r
+WHERE rn <= {K_TOPK}
+""",
+)
+def q_simjoin_topk(spark, sf_dir):
+    """Top-k similarity search over text: each document's K_TOPK most
+    similar others (Jaccard >= 0.8, ties broken by neighbor id). The
+    kernel's canonical (id1 < id2) pairs are mirrored into both
+    orientations, then one window per query doc takes the top k — the
+    'similarity search' composition of the same exact join, and the
+    text twin of q_vec_knn. The threshold bounds the candidate space
+    so the window never ranks the quadratic pair set. (On this corpus
+    even true pairs are dense — 3M at t=0.8 over 5k docs — so the key
+    is output-bound: the threshold is the knob that keeps 'top-k' from
+    meaning 'materialize a third of the pair space'.)"""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(docs, "doc_id", "text", threshold=T_TOPK)
+    both = pairs.select(
+        F.col("id1").alias("qid"), F.col("id2").alias("nid"), "sim"
+    ).unionByName(
+        pairs.select(F.col("id2").alias("qid"), F.col("id1").alias("nid"), "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_TOPK)
+        .select("qid", "nid", "sim")
+    )
