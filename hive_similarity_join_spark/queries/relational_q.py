@@ -824,3 +824,31 @@ def q_ngram(spark, sf_dir):
         ),
     )
     return t.select("doc_id", F.explode(bigrams).alias("bigram"))
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       median(l_extendedprice) AS med_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_median(spark, sf_dir):
+    """Exact grouped median (Hive's percentile(col, 0.5) surface).
+    Deterministic across engines: both interpolate even-count medians
+    as the midpoint of two order statistics, which is exact arithmetic
+    here (l_quantity integral; l_extendedprice a 2-decimal double whose
+    midpoint stays representable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.median("l_extendedprice").alias("med_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -314,8 +314,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 )
 def q_tpch_q14(spark, sf_dir):
     """TPC-H Q14 promotion effect: share of one month's revenue from
-    promo parts. part broadcasts; the conditional sum rides the same
-    decimal-cast discipline as every other revenue aggregate."""
+    promo parts. part's join strategy is Catalyst's call (it grows with
+    scale factor); the conditional sum rides the same decimal-cast
+    discipline as every other revenue aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
@@ -325,7 +326,7 @@ def q_tpch_q14(spark, sf_dir):
         F.col("p_type").like("PROMO%"), _disc_price()
     ).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             (
                 F.lit(100.00)
@@ -443,8 +444,10 @@ ORDER BY o_year
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 national market share: one nation's share of regional
     revenue for one part type, by order year. Seven-way star join —
-    part/supplier/nation/region broadcast, lineitem-orders-customer
-    carry the shuffles."""
+    only the CONSTANT-size dims (nation/region) carry broadcast hints;
+    part/supplier/customer grow linearly with scale factor, so their
+    join strategy is left to Catalyst+AQE, which broadcasts them at
+    bench scale and shuffles them at 100 TB."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -460,8 +463,8 @@ def q_tpch_q8(spark, sf_dir):
     vol = _disc_price()
     nation_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(c, c["c_custkey"] == o["o_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == F.col("_cnk"))
@@ -510,8 +513,8 @@ def q_tpch_q9(spark, sf_dir):
     )
     amount = _disc_price() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == F.col("_snk"))
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -652,12 +655,12 @@ def q_tpch_q17(spark, sf_dir):
     is deterministic."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = load_table(spark, sf_dir, "lineitem")
-    brand_lines = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    brand_lines = li.join(p, li["l_partkey"] == p["p_partkey"])
     avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_thresh")
     )
     return (
-        brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        brand_lines.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_thresh"))
         .agg(
             (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
@@ -701,7 +704,7 @@ def q_tpch_q19(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(clause)
         .agg(_dsum(_disc_price(), scale=6).alias("revenue"))
     )
@@ -754,7 +757,7 @@ def q_tpch_q21(spark, sf_dir):
         late.join(order_supps, "l_orderkey")
         .join(late_supps, late["l_orderkey"] == F.col("_lk"))
         .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

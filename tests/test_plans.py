@@ -97,3 +97,29 @@ def test_tpch_dimension_joins_broadcast(spark):
         plan = explain_str(_q(key, spark))
         assert "BroadcastHashJoin" in plan, key
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_edit_join_has_no_nested_loop(spark):
+    """Symmetric-deletion candidates must plan as a hash/merge equi-join
+    — a BroadcastNestedLoopJoin would mean the quadratic loop is back."""
+    plan = explain_str(_q("q_simjoin_edit_scalable", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # exact verify present
+
+
+def test_asof_join_is_pure_window(spark):
+    """The as-of join must contain NO join operator at all: one window
+    sort per user carries the last click forward."""
+    plan = explain_str(_q("q_join_asof", spark))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_blocked(spark):
+    """The interval self-join must ride the (user, bucket) equi keys —
+    no nested loop; the exact interval predicate is a post-join filter."""
+    plan = explain_str(_q("q_join_range", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
