@@ -123,3 +123,26 @@ def test_range_join_is_equi_blocked(spark):
     plan = explain_str(_q("q_join_range", spark))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_python_eval_in_any_non_multimodal_plan(spark):
+    """Suite-wide 100 TB audit: NO registered query may contain a Python
+    evaluation node — row-at-a-time (BatchEvalPython) anywhere, and
+    Arrow-batched (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas)
+    only in the multimodal keys, whose Pandas decode path is the
+    documented exception (media codecs are genuinely Python)."""
+    arrow_ok = {k for k in QUERIES if k.startswith("q_multimodal")}
+    # udx keys exercise the registered Python UDTF/UDAF surface on
+    # purpose — they demonstrate the escape hatch, not a hot path
+    arrow_ok |= {k for k in QUERIES if "udtf" in k or "udaf" in k}
+    offenders = {}
+    for key in sorted(QUERIES):
+        plan = explain_str(QUERIES[key](spark, SF_SMOKE))
+        if "BatchEvalPython" in plan and key not in arrow_ok:
+            offenders[key] = "BatchEvalPython"
+        elif key not in arrow_ok and any(
+            n in plan for n in ("ArrowEvalPython", "MapInPandas",
+                                "FlatMapGroupsInPandas")
+        ):
+            offenders[key] = "Arrow/Pandas node"
+    assert not offenders, f"Python leaked into hot paths: {offenders}"
