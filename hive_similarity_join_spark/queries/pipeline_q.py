@@ -14,7 +14,10 @@ Five plan families the rest of the suite didn't cover yet:
   rows that can possibly match, then the exact interval predicate
   verifies — same blocking discipline as the similarity kernel;
 - latest-per-key dedup (row_number desc = 1) — the canonical
-  "keep newest snapshot" pipeline step.
+  "keep newest snapshot" pipeline step;
+- the corpus-cleaning composition (q_pipeline_corpus_clean): quality
+  gate -> exact dedup -> near-dup removal, all stages sharing their
+  expressions with the standalone keys, in one Catalyst plan.
 
 Timestamp discipline matches events_q.py: ns parquet reads as us in
 Spark, so oracle SQL casts TIMESTAMP_NS -> TIMESTAMP; timestamps are
@@ -237,4 +240,108 @@ def q_dedup_latest(spark, sf_dir):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
             "value",
         )
+    )
+
+
+Q_MIN_TOKENS = 5
+Q_MIN_QUALITY = 0.5
+CLEAN_NEAR_T = 0.9
+
+
+def _quality_sql() -> str:
+    from hive_similarity_join_spark.functions import text as TX
+
+    stop = TX.duck_list(TX.STOPWORDS)
+    return (
+        "0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))"
+        " + 0.3 * least(len(bag) / 50.0, 1.0)"
+        f" + 0.2 * (1.0 - CAST(len(list_filter(bag, x -> list_contains({stop}, x)))"
+        " AS DOUBLE) / len(bag))"
+    )
+
+
+def _clean_oracle() -> str:
+    from hive_similarity_join_spark.functions import text as TX
+
+    return f"""
+WITH bags AS (
+  SELECT doc_id, text, lang, {TX.duck_bag()} AS bag FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, len(bag) AS n_tokens, {_quality_sql()} AS quality
+  FROM bags WHERE len(bag) > 0
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {Q_MIN_TOKENS} AND quality >= {Q_MIN_QUALITY}
+),
+exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+surv AS (SELECT k.doc_id, k.lang, k.n_tokens, k.text
+         FROM kept k JOIN exact e USING (doc_id)),
+tok AS (
+  SELECT DISTINCT s.doc_id, t.tok
+  FROM surv s, unnest(string_split(lower(s.text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {CLEAN_NEAR_T}
+)
+SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM surv s
+WHERE s.doc_id NOT IN (SELECT id2 FROM pairs)
+"""
+
+
+@query("q_pipeline_corpus_clean", oracle=_clean_oracle())
+def q_pipeline_corpus_clean(spark, sf_dir):
+    """The training-data pipeline, end to end in ONE Catalyst plan:
+    quality gate (token count + composite quality score) -> exact dedup
+    (content groupBy, keep min id) -> near-dup removal (exact t=0.9
+    kernel over the SURVIVORS ONLY, greedy keep-first) -> cleaned
+    corpus (doc_id, lang, n_tokens). Each stage shrinks the input of
+    the next — the cheap O(corpus) gates run before the expensive
+    pair-generating join, which is the ordering that matters at 100 TB.
+    Stage expressions are shared verbatim with q_text_quality /
+    q_dedup_exact / q_dedup_near, so the composition is oracle-checked
+    with the same bit-exactness discipline as each stage alone."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators.similarity import similarity_join
+
+    d = load_table(spark, sf_dir, "documents")
+    bagc = F.col("bag")
+    scored = (
+        d.select("doc_id", "text", "lang", TX.bag_tokens("text").alias("bag"))
+        .filter(F.size("bag") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(bagc).alias("n_tokens"),
+            (
+                F.lit(0.5)
+                * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
+                + F.lit(0.3)
+                * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
+                + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
+            ).alias("quality"),
+        )
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
+    )
+    exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(exact_keep, "doc_id", "left_semi")
+    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
+    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return (
+        surv.join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
