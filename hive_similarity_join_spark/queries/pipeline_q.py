@@ -345,3 +345,90 @@ def q_pipeline_corpus_clean(spark, sf_dir):
         surv.join(dupes, "doc_id", "left_anti")
         .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
+
+
+VAL_HEX_CUTOFF = "1999999999999999"  # ~10% of the 64-bit hex space
+
+
+@query(
+    "q_split_train_val",
+    oracle=f"""
+SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{VAL_HEX_CUTOFF}'
+            THEN 'val' ELSE 'train' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+)
+def q_split_train_val(spark, sf_dir):
+    """Reproducible train/val split: assignment is a pure function of
+    the stable id (md5 hex compared against a cutoff — ~10% val), so
+    the split is identical on ANY engine, any partitioning, any run —
+    the property a training pipeline needs from a split (a seeded
+    random sample is only reproducible within one engine's RNG).
+    Emits per-split-per-lang counts as the checkable summary."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    split = F.when(h < VAL_HEX_CUTOFF, "val").otherwise("train")
+    return (
+        d.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q_funnel_stages",
+    oracle="""
+WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+      FROM events e JOIN s ON s.user_id = e.user_id
+                         AND CAST(e.ts AS TIMESTAMP) > s.st
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS pt
+      FROM events e JOIN c ON c.user_id = e.user_id
+                         AND CAST(e.ts AS TIMESTAMP) > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_signup_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_signup_click_purchase
+""",
+)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel over the event log: users whose first
+    signup precedes a click precedes a purchase (strict event-time
+    order). Each stage is one conditional-min aggregate joined to the
+    previous stage's frontier — per-stage shuffles keyed on user_id,
+    no window over the whole log, no event-sequence blowup."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_signup_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_signup_click_purchase")))
+    )
