@@ -90,3 +90,65 @@ def running_user_totals(stream: DataFrame, ttl_minutes: int | None = None) -> Da
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4.x): the successor API to
+# applyInPandasWithState — typed state variables (value/list/map), timers,
+# and TTL handled by the runtime instead of a hand-rolled tuple schema.
+# Same operator semantics as running_user_totals above, expressed the
+# Spark-4-native way. RUNTIME DEPENDENCY: the transformWithState state
+# server speaks protobuf to the Python worker, so `google.protobuf`
+# must be importable on workers — the test skips where it is absent
+# (this container), and applyInPandasWithState above remains the
+# dependency-free arbitrary-state path.
+# --------------------------------------------------------------------------
+
+try:  # public in Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """Per-user lifetime (count, sum) in a typed ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas twin of running_user_totals: the
+        state variable is declared with its own schema and lives in the
+        state store per key; the runtime (not the operator) owns
+        serialization, timers, and TTL. Update mode emits one row per
+        touched user per micro-batch."""
+        return (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_RunningTotalsProcessor(),
+                outputStructType=RUNNING_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    running_user_totals_tws = None  # type: ignore[assignment]

@@ -65,3 +65,48 @@ def test_running_totals_converge_to_batch(spark, events_dir):
     for uid in w:
         assert g[uid][0] == w[uid][0]
         assert g[uid][1] == pytest.approx(w[uid][1], rel=1e-9)
+
+
+def test_tws_running_totals_converge_to_batch(spark, events_dir):
+    """The transformWithStateInPandas twin must agree with both the
+    applyInPandasWithState operator and the batch aggregate."""
+    from hive_similarity_join_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    if running_user_totals_tws is None:
+        pytest.skip("Spark < 4.0: transformWithState unavailable")
+    # the transformWithState state-server protocol needs the protobuf
+    # python package at RUNTIME (worker side); absent here -> skip
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot start in this environment")
+    stream = stream_events(spark, f"{events_dir}/data")
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """
+        SELECT user_id, max_by(total_value, n_events) AS total_value,
+               max(n_events) AS n_events
+        FROM t_tws GROUP BY user_id
+        """
+    )
+    ev = spark.read.parquet(f"{events_dir}/data")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    w = {r.user_id: (r.n_events, r.total_value) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0]
+        assert g[uid][1] == pytest.approx(w[uid][1], rel=1e-9)
