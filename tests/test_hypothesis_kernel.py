@@ -91,3 +91,47 @@ def test_threshold_monotonicity(spark, docs):
         for r in similarity_join(df, "doc_id", "text", 0.8, persist=False).collect()
     }
     assert hi <= lo
+
+
+def _model_bag_pairs(docs: list[list[str]], threshold: float):
+    """Reference: multiset Jaccard = sum min(counts) / sum max(counts)."""
+    from collections import Counter
+
+    bags = [Counter(d) for d in docs]
+    out = {}
+    for i in range(len(bags)):
+        for j in range(i + 1, len(bags)):
+            a, b = bags[i], bags[j]
+            if not a or not b:
+                continue
+            toks = set(a) | set(b)
+            mins = sum(min(a[t], b[t]) for t in toks)
+            maxs = sum(max(a[t], b[t]) for t in toks)
+            sim = mins / maxs
+            if sim >= threshold:
+                out[(i, j)] = sim
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_bag_jaccard_expansion_matches_multiset_model(spark, docs):
+    """The bag-to-set expansion through the kernel must equal a direct
+    multiset-Jaccard model — including repeated tokens, empty docs,
+    and exact-duplicate bags."""
+    from hive_similarity_join_spark.operators.similarity import bag_jaccard_join
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in bag_jaccard_join(df, "doc_id", "text", threshold=0.4).collect()
+    }
+    want = _model_bag_pairs(docs, 0.4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
