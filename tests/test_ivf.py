@@ -64,3 +64,39 @@ def test_full_nprobe_equals_exact(spark):
     assert sorted(map(tuple, approx.select("probe_id", "vec_id").collect())) == sorted(
         map(tuple, exact.select("probe_id", "vec_id").collect())
     )
+
+
+def test_indexed_search_equals_inmemory_and_prunes(spark, tmp_path):
+    """The partitioned on-disk index must return exactly the in-memory
+    ivf_topk results (same centroids), and its scan must carry a
+    partition filter on cell — the read-less-bytes property that makes
+    the index worth materializing."""
+    import shutil
+    from pathlib import Path
+
+    from hive_similarity_join_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from hive_similarity_join_spark.plans.inspect import explain_str
+    from hive_similarity_join_spark.sources.loader import load_table
+
+    repo_tmp = Path(__file__).resolve().parent / "_ivf_tmp"
+    repo_tmp.mkdir(exist_ok=True)
+    path = str(repo_tmp / "ivf_index")
+    try:
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        probes = e.filter(F.col("vec_id") < 10)
+        centroids = build_ivf_index(e, path, n_cells=8)
+        got = ivf_topk_indexed(spark, path, probes, k=5, nprobe=3)
+        want = ivf_topk(
+            e, probes, k=5, n_cells=8, nprobe=3, centroids=centroids
+        )
+        g = sorted((r.probe_id, r.vec_id, r.rank) for r in got.collect())
+        w = sorted((r.probe_id, r.vec_id, r.rank) for r in want.collect())
+        assert g == w and g
+        plan = explain_str(got)
+        assert "PartitionFilters" in plan and "cell" in plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
