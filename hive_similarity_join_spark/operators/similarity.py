@@ -181,7 +181,7 @@ def similarity_join(
     other_id_col: str | None = None,
     other_text_col: str | None = None,
     tokens_col: str | None = None,
-    n_salts: int = 8,
+    n_salts: int = 32,
     persist: bool = True,
 ) -> DataFrame:
     """Exact set-similarity join; returns (id1, id2, sim).
@@ -214,7 +214,12 @@ def similarity_join(
     row across all salts, splitting every hot token's candidate block
     across n_salts partitions — frequent-token skew (the Hive
     reference's ``hive.optimize.skewjoin`` concern) is handled in the
-    plan itself rather than by runtime rescue.
+    plan itself rather than by runtime rescue. Default 32: a measured
+    sweep at sf0.1 (4/8/16/32 -> ~5.6/5.1/4.2/3.8s flagship) shows
+    more salts keep paying up to the local core count; the cost is
+    a-side replication (prefix rows only), so the ceiling should stay
+    well below shuffle parallelism on a large cluster rather than
+    track it.
     """
     if measure not in MEASURES:
         raise ValueError(f"measure must be one of {MEASURES}, got {measure!r}")
