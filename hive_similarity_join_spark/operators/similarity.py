@@ -183,6 +183,7 @@ def similarity_join(
     tokens_col: str | None = None,
     n_salts: int = 32,
     persist: bool = True,
+    token_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity join; returns (id1, id2, sim).
 
@@ -242,7 +243,14 @@ def similarity_join(
             s = s.persist(StorageLevel.MEMORY_AND_DISK)
         rels.append(s)
 
-    dict_df = _rank_tokens(*rels)
+    # ``token_dict``: a prebuilt (_tok, _rank) dictionary (see
+    # build_token_dict) — the steady-state shape for REPEATED joins over
+    # one corpus, where recomputing the global frequency pass per query
+    # is a full-corpus shuffle for an answer that never changes. The
+    # dict MUST come from the same corpus: stage 2a inner-joins on _tok,
+    # so tokens absent from the dictionary silently vanish from the
+    # token sets (changing results) rather than erroring.
+    dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
     if persist:
         r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
@@ -417,3 +425,25 @@ def bag_jaccard_join(
     return similarity_join(
         arrs, "_bid", threshold=threshold, measure="jaccard", tokens_col="_etoks"
     )
+
+
+def build_token_dict(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Materialize the kernel's stage-1 token dictionary: the global
+    rarest-first (_tok, _rank) relation for ``df``. Pass the result (or
+    ``spark.read.parquet(path)``) to ``similarity_join(token_dict=...)``
+    to skip the per-query frequency pass — the catalog-table shape for
+    a corpus that is joined repeatedly. The dictionary is only valid
+    for the corpus (and tokenizer) it was built from.
+    """
+    rel = _tokenized(df, id_col, text_col, tokens_col)
+    d = _rank_tokens(rel)
+    if path is not None:
+        d.write.mode("overwrite").parquet(path)
+        d = df.sparkSession.read.parquet(path)
+    return d

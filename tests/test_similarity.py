@@ -139,3 +139,41 @@ def test_bag_jaccard_matches_bruteforce_and_bounds(spark):
     }
     assert got == want and got
     assert all(0 < s <= 1 for s in got.values())
+
+
+def test_prebuilt_token_dict_matches_inline(spark, tmp_path):
+    """similarity_join(token_dict=...) must reproduce the inline
+    stage-1 results exactly, both from a live DataFrame and from the
+    parquet-materialized catalog shape."""
+    import shutil
+    from pathlib import Path
+
+    from hive_similarity_join_spark.operators.similarity import build_token_dict
+
+    repo_tmp = Path(__file__).resolve().parent / "_dict_tmp"
+    repo_tmp.mkdir(exist_ok=True)
+    path = str(repo_tmp / "token_dict")
+    try:
+        docs = load_table(spark, SF_SMOKE, "documents")
+        want = sorted(
+            (r.id1, r.id2, r.sim)
+            for r in similarity_join(docs, "doc_id", "text", 0.8).collect()
+        )
+        d_live = build_token_dict(docs, "doc_id", "text")
+        got_live = sorted(
+            (r.id1, r.id2, r.sim)
+            for r in similarity_join(
+                docs, "doc_id", "text", 0.8, token_dict=d_live
+            ).collect()
+        )
+        build_token_dict(docs, "doc_id", "text", path=path)
+        d_disk = spark.read.parquet(path)
+        got_disk = sorted(
+            (r.id1, r.id2, r.sim)
+            for r in similarity_join(
+                docs, "doc_id", "text", 0.8, token_dict=d_disk
+            ).collect()
+        )
+        assert got_live == want and got_disk == want and want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
