@@ -278,3 +278,45 @@ def q_knn_topk(spark, sf_dir):
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= DOC_KNN_K)
+
+
+@query(
+    "q_text_vocab_stats",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+SELECT tok, CAST(c AS BIGINT) AS doc_freq,
+       CAST(row_number() OVER (ORDER BY c, tok) AS BIGINT) AS rarity_rank
+FROM freq
+ORDER BY rarity_rank
+LIMIT 100
+""",
+)
+def q_text_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: per-token document frequency and
+    the rarest-first rank — literally stage 1 of the similarity kernel
+    exposed as a query (the relation build_token_dict materializes).
+    Top-100 rarest keeps the checked result bounded; the full relation
+    is vocabulary-sized regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(TX.set_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.asc("c"), F.asc("tok"))
+    return (
+        freq.select(
+            "tok",
+            F.col("c").cast("bigint").alias("doc_freq"),
+            F.row_number().over(w).cast("bigint").alias("rarity_rank"),
+        )
+        .orderBy("rarity_rank")
+        .limit(100)
+    )
