@@ -852,3 +852,33 @@ def q_agg_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(l_quantity) AS BIGINT) AS lo,
+       CAST(max(l_quantity) AS BIGINT) AS hi
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_agg_histogram(spark, sf_dir):
+    """Value histogram (Hive's histogram_numeric surface, made exact):
+    fixed-width buckets via floor arithmetic — deterministic on the
+    integral quantity column where the sketch-based built-ins are not —
+    one partial+final hash aggregate, no sort until the 10-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_quantity") - 1) / 5).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_quantity").cast("bigint").alias("lo"),
+            F.max("l_quantity").cast("bigint").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -308,3 +308,59 @@ def q_simjoin_topk(spark, sf_dir):
         .filter(F.col("rn") <= K_TOPK)
         .select("qid", "nid", "sim")
     )
+
+
+T_GROUPED = 0.8
+
+
+@query(
+    "q_simjoin_grouped",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang AS lang, count(*) AS i
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id1, id2, lang, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS sim
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {T_GROUPED}
+""",
+)
+def q_simjoin_grouped(spark, sf_dir):
+    """Group-scoped similarity join: pairs only form INSIDE a lang
+    group (the 'join within partition key' every dedup pipeline wants:
+    never compare en docs to fr docs). Zero new machinery: tokens are
+    namespaced with the group key (lang || NUL || token), which makes
+    cross-group intersections structurally empty, so the standard
+    kernel — prefix filter, salting and all — enforces the group
+    predicate for free, and candidates never even form across groups
+    (a post-filter on pairs would generate and then discard them).
+    Per-doc sizes are unchanged by the bijective namespacing, so sim
+    values equal the plain within-group Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    namespaced = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ),
+            lambda t: F.concat_ws("\x00", F.col("lang"), t),
+        ).alias("_gtoks"),
+    )
+    pairs = similarity_join(
+        namespaced, "doc_id", threshold=T_GROUPED, tokens_col="_gtoks"
+    )
+    lang_of = docs.select(F.col("doc_id").alias("id1"), "lang")
+    return pairs.join(lang_of, "id1").select("id1", "id2", "lang", "sim")
