@@ -432,3 +432,37 @@ def q_funnel_stages(spark, sf_dir):
         .join(c.agg(F.count(F.lit(1)).alias("n_signup_click")))
         .join(p.agg(F.count(F.lit(1)).alias("n_signup_click_purchase")))
     )
+
+
+STRATA_N = 20
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents
+) r
+WHERE rn <= {STRATA_N}
+""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic subsample: the {STRATA_N} docs per lang
+    with the smallest id-hash. The hash order is uniform-but-frozen, so
+    the 'random' sample is reproducible across engines, runs, and
+    partitionings — same rationale as q_split_train_val, applied to
+    per-group downsampling (cap every language at N docs). One window
+    shuffle on the group key; no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATA_N)
+        .select("lang", "doc_id", "n_chars")
+    )
