@@ -434,6 +434,38 @@ def q_funnel_stages(spark, sf_dir):
     )
 
 
+SHUFFLE_EXPORT_N = 500
+
+
+@query(
+    "q_shuffle_export",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {SHUFFLE_EXPORT_N}
+""",
+)
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic global shuffle for training-data export: order the
+    corpus by an id-hash (uniform-but-frozen permutation — the batch
+    order a trainer reads) and take the first {SHUFFLE_EXPORT_N}. The
+    hash ordering breaks any source/time locality in the raw table
+    without a true RNG, so the 'shuffle' is reproducible across engines
+    and re-runs. limit-after-sort plans as TakeOrderedAndProject: per
+    partition a bounded top-N heap, then one driver merge of N*parts
+    rows — no global sort at any scale. (A FULL shuffled export at
+    100 TB is the same expression minus the limit: range-partitioned
+    sort on the hash, written partition-per-shard.)"""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        d.select("doc_id", "lang", "source")
+        .orderBy(h, "doc_id")
+        .limit(SHUFFLE_EXPORT_N)
+    )
+
+
 STRATA_N = 20
 
 

@@ -217,6 +217,47 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 @query(
+    "q_text_repetition",
+    oracle=f"""
+WITH bags AS (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents),
+ng AS (
+  SELECT doc_id, {_NGRAM_TOKS} AS grams
+  FROM bags WHERE len(bag) >= 3
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           AS dup_ngram_frac,
+       (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+           AS is_repetitive
+FROM ng
+""",
+)
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition scoring (Gopher/C4-style quality rule):
+    the fraction of word trigrams that are duplicates of an earlier
+    trigram in the SAME document. High dup_ngram_frac marks boilerplate
+    / TV-static text a training pipeline drops before dedup even runs.
+    Per-row map work only (no shuffle at all): size + array_distinct
+    over the shingle array, whole-stage codegen'd; the flag threshold
+    is an exact double compare mirrored verbatim in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    t = d.select("doc_id", TX.word_ngrams(bag, 3).alias("grams")).filter(
+        F.size(bag) >= 3
+    )
+    frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size(
+        "grams"
+    )
+    return t.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_ngrams"),
+        frac.alias("dup_ngram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
     "q_knn_topk",
     oracle=f"""
 WITH tok AS (
