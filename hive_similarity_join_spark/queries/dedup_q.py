@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.dedup import (
     connected_components,
+    connected_components_alternating,
     duck_minhash_oracle,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -96,5 +97,21 @@ def q_dedup_connected(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
     return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@query("q_dedup_connected_star")  # iterative -> no single-statement oracle
+def q_dedup_connected_star(spark, sf_dir):
+    """Same clustering as q_dedup_connected, computed by alternating
+    large-star/small-star contraction (Kiveris et al., SoCC 2014) —
+    the O(log n)-round scale path whose round count is independent of
+    graph diameter, vs min-label propagation's O(diameter). Registered
+    on the SAME pair graph so the two algorithms are directly
+    comparable in the bench; pytest asserts identical labelings
+    (tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
+    return connected_components_alternating(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )

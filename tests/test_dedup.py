@@ -50,3 +50,53 @@ def test_minhash_is_subset_of_exact_with_high_recall(spark):
     # 16 perms the signature variance drags borderline pairs down;
     # measured recall ~0.87 on this corpus. Anchor at 0.75.
     assert len(lsh) >= 0.75 * len(exact)
+
+
+def test_alternating_cc_matches_min_label_on_known_graphs(spark):
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2), Row(id1=2, id2=3), Row(id1=3, id2=4),
+         Row(id1=10, id2=11), Row(id1=21, id2=20), Row(id1=21, id2=22)]
+    )
+    got = {r.id: r.comp for r in connected_components_alternating(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_alternating_cc_deep_chain_in_logarithmic_rounds(spark):
+    """A 200-edge path has diameter 200: min-label propagation would need
+    200 rounds, the alternating star contraction stays under ~12."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(n)])
+    got = {r.id: r.comp for r in
+           connected_components_alternating(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_alternating_cc_matches_min_label_on_random_graph(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame([Row(id1=a, id2=b) for a, b in edges])
+    a = {r.id: r.comp for r in connected_components(pairs, max_iter=50).collect()}
+    b = {r.id: r.comp for r in connected_components_alternating(pairs).collect()}
+    assert a == b
