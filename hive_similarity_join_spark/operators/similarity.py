@@ -147,9 +147,24 @@ def _sorted_by_rank(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
     )
 
 
-def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
-    """Stage 2b: emit the first ``p = n - ceil(t_eq*n) + 1`` tokens,
-    with their 0-based position (for the PPJoin positional filter).
+def _prefix_exploded(rel: DataFrame, t_eq: float, short: bool = False) -> DataFrame:
+    """Stage 2b: emit prefix tokens with their 0-based position (for the
+    PPJoin positional filter).
+
+    ``short=False`` — the standard probing prefix
+    ``p = n - ceil(t_eq*n) + 1`` (valid against ANY partner passing the
+    length filter: partner size >= t_eq*n forces required overlap
+    alpha >= t_eq*n).
+
+    ``short=True`` — the VCL/PPJoin INDEXING prefix
+    ``p = n - ceil(2*t_eq/(1+t_eq)*n) + 1``, valid only for the
+    SMALLER-size record of a pair: with n2 >= n1, the required overlap
+    alpha >= t_eq/(1+t_eq)*(n1+n2) >= 2*t_eq/(1+t_eq)*n1. The first
+    shared token (in global rank order) of a qualifying pair provably
+    sits inside the smaller record's SHORT prefix and the larger
+    record's STANDARD prefix — so joining short-side x standard-side is
+    lossless when the join orients pairs by (size, id), and the
+    positional filter's first-shared-token argument is unchanged.
 
     ``F.ceil`` returns LONG — the arithmetic is kept integral on purpose
     (SURVEY §7 hard parts). A tiny epsilon guards ceil(t*n) when t*n is
@@ -159,9 +174,10 @@ def _prefix_exploded(rel: DataFrame, t_eq: float) -> DataFrame:
     rounding DOWN the ceil argument can only lengthen the prefix, which
     is always safe; shortening it is not).
     """
+    rate = (2.0 * t_eq / (1.0 + t_eq)) if short else t_eq
     p = F.greatest(
         F.lit(1),
-        (F.col("_n") - F.ceil(F.col("_n") * t_eq - 1e-9) + 1).cast("int"),
+        (F.col("_n") - F.ceil(F.col("_n") * rate - 1e-9) + 1).cast("int"),
     )
     return rel.select(
         "_id",
@@ -274,7 +290,13 @@ def similarity_join(
             F.posexplode(F.slice("_rks", 1, p_expr)).alias("_ppos", "_ptok"),
         )
     else:
-        a = _prefix_exploded(r_sorted, t_eq)
+        # Self-join: orient each pair by (size, id) so the a-side is the
+        # pair's SMALLER record and can emit the short indexing prefix —
+        # fewer salt-replicated prefix rows AND fewer candidate-join
+        # matches, losslessly (see _prefix_exploded). R-S joins must keep
+        # (R, S) orientation, so both sides emit the standard prefix and
+        # the same bound is applied as a join predicate instead.
+        a = _prefix_exploded(r_sorted, t_eq, short=(other is None))
         b = _prefix_exploded(s_sorted, t_eq)
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -297,8 +319,34 @@ def similarity_join(
         F.col("_ptok1") == F.col("_ptok2"),
         F.col("_salt1") == F.col("_salt2"),
     ]
-    if other is None:
+    size_oriented = other is None and measure != "overlap"
+    if size_oriented:
+        # (size, id) pair orientation: a-side = smaller record, matching
+        # its short indexing prefix against the b-side standard prefix.
+        cond.append(
+            (F.col("_n1") < F.col("_n2"))
+            | ((F.col("_n1") == F.col("_n2")) & (F.col("id1") < F.col("id2")))
+        )
+    elif other is None:
         cond.append(F.col("id1") < F.col("id2"))
+    if other is not None and measure != "overlap":
+        # R-S twin of the indexing-prefix bound: the pair's smaller side
+        # must match within ITS short prefix (the first shared token
+        # always does). Standard prefixes are emitted; this predicate
+        # prunes candidate matches beyond the short bound.
+        rate2 = 2.0 * t_eq / (1.0 + t_eq)
+        ls1 = F.greatest(
+            F.lit(1),
+            (F.col("_n1") - F.ceil(F.col("_n1") * rate2 - 1e-9) + 1).cast("int"),
+        )
+        ls2 = F.greatest(
+            F.lit(1),
+            (F.col("_n2") - F.ceil(F.col("_n2") * rate2 - 1e-9) + 1).cast("int"),
+        )
+        cond.append(
+            ((F.col("_n1") <= F.col("_n2")) & (F.col("_pp1") < ls1))
+            | ((F.col("_n2") <= F.col("_n1")) & (F.col("_pp2") < ls2))
+        )
     # Symmetric length filter (lossless for ratio measures): J>=t forces
     # t*n1 <= n2 and t*n2 <= n1. For overlap: both sizes >= c.
     if measure == "overlap":
@@ -344,13 +392,22 @@ def similarity_join(
     v1 = r_sorted.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
     v2 = s_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
     sim = _sim_expr(measure, F.col("_rks1"), F.col("_rks2"))
-    return (
+    out = (
         cands.join(v1, "id1")
         .join(v2, "id2")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
-        .select("id1", "id2", "sim")
     )
+    if size_oriented:
+        # Size orientation is an internal detail; the contract is
+        # canonical id1 < id2 (every measure is symmetric, so sim is
+        # orientation-free).
+        return out.select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+            "sim",
+        )
+    return out.select("id1", "id2", "sim")
 
 
 def naive_similarity_join(
