@@ -434,6 +434,80 @@ def q_funnel_stages(spark, sf_dir):
     )
 
 
+MIX_CASE_SQL = """CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c'
+                  WHEN 'src2' THEN '8' WHEN 'src3' THEN '4' ELSE '2' END"""
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE md5('mix:' || CAST(doc_id AS VARCHAR)) < {MIX_CASE_SQL}
+""",
+)
+def q_sample_mixture(spark, sf_dir):
+    """Pretraining mixture construction: downsample each source at its
+    own rate (src0 keep-all, src1 3/4, src2 1/2, src3 1/4, tail 1/8)
+    with a deterministic per-doc coin — keep when the doc's salted
+    id-hash falls below the source's threshold. Rates are expressed as
+    HEX-PREFIX thresholds compared as strings ('8' keeps the half of
+    md5 space starting 0-7), which sidesteps hex->int conversion (not
+    expressible in DuckDB 1.0) and makes the coin engine-portable.
+    Pure per-row map work — no shuffle, no sort, scales linearly; the
+    'mix:' salt decorrelates this coin from the split/sample keys'
+    hashes so composed pipelines don't accidentally reuse randomness."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary"))
+    thresh = (
+        F.when(F.col("source") == "src0", F.lit("g"))
+        .when(F.col("source") == "src1", F.lit("c"))
+        .when(F.col("source") == "src2", F.lit("8"))
+        .when(F.col("source") == "src3", F.lit("4"))
+        .otherwise(F.lit("2"))
+    )
+    return d.filter(h < thresh).select("doc_id", "source", "lang")
+
+
+PACK_BUDGET = 2048
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   - n_chars) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING)
+            - n_chars AS BIGINT) AS start_offset
+FROM documents
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout): docs are laid end-to-end per source in deterministic
+    doc_id order and cut every {PACK_BUDGET} chars; a doc's bin is the
+    chunk its start offset lands in. One running-sum window per source
+    partition — each source's stream packs independently and in
+    parallel, no global sort; at 100 TB the partition key is whatever
+    unit a shard must stay contiguous within (source here)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor(start / F.lit(float(PACK_BUDGET))).cast("bigint").alias("bin_id"),
+        start.cast("bigint").alias("start_offset"),
+    )
+
+
 SHUFFLE_EXPORT_N = 500
 
 
