@@ -855,6 +855,44 @@ def q_agg_median(spark, sf_dir):
 
 
 @query(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+       quantile_disc(l_quantity, 0.95) AS p95_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (Hive's percentile / percentile_cont
+    surface): continuous (interpolated) quartiles + tail, and the
+    discrete 95th order statistic. Both engines interpolate between the
+    same two order statistics; round(,6) absorbs the one place their
+    arithmetic may associate differently (a + f*(b-a) vs
+    (1-f)*a + f*b). The discrete percentile needs no rounding — it IS a
+    data value. Exact percentiles sort within each group; the
+    approx_percentile sketch is the 100 TB path when groups outgrow
+    executor memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "p95_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_agg_histogram",
     oracle="""
 SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bucket,
