@@ -322,6 +322,53 @@ def q_knn_topk(spark, sf_dir):
 
 
 @query(
+    "q_report_dup_rate",
+    oracle=f"""
+WITH pairs AS ({_jaccard_oracle(NEAR_DUP_T)}),
+dup AS (
+  SELECT DISTINCT id FROM (
+    SELECT id1 AS id FROM pairs UNION SELECT id2 AS id FROM pairs
+  )
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup.id) AS BIGINT) AS n_dup,
+       CAST(count(dup.id) AS DOUBLE) / count(*) AS dup_rate
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def q_report_dup_rate(spark, sf_dir):
+    """Dedup QA report: per-source share of documents involved in at
+    least one near-duplicate pair (Jaccard >= t) — the rollup a data
+    curator reads to decide which source needs cleaning. Composes the
+    flagship similarity join into a report plan: pairs -> distinct
+    touched ids -> left join onto the corpus -> one grouped count. The
+    touched-id relation is doc-bounded (never pair-bounded), so the
+    report adds one node-sized shuffle on top of the join regardless
+    of how pair-dense the corpus is."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(d, "doc_id", "text", threshold=NEAR_DUP_T)
+    dup = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        d.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("_dup").cast("bigint").alias("n_dup"),
+            (F.count("_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_text_vocab_stats",
     oracle="""
 WITH tok AS (
