@@ -131,6 +131,10 @@ def minhash_lsh_pairs(
     # map output and would coalesce the join (and the verify behind it)
     # to ~1 task. Explicit repartition counts opt these shuffles out of
     # coalescing, same as the similarity kernel's candidate join.
+    # (Salting the signature key like the kernel does was measured a
+    # wash here at sf0.1 — this corpus's band buckets aren't hot enough
+    # to serialize; adopt the kernel's salt pattern if a corpus with
+    # larger duplicate clusters makes one bucket dominate.)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = bands.select(
         F.col("_id").alias("id1"), F.col("_band").alias("_band1"), F.col("_bsig").alias("_bsig1")
