@@ -356,12 +356,16 @@ def connected_components_alternating(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
         mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        # No mid-round distinct: the duplicates (each undirected edge is
+        # seen from both endpoints) at most double the next stage's
+        # input, while deduping them would cost a full edge-sized
+        # shuffle; every consumer below (min aggregate, final distinct)
+        # is duplicate-tolerant.
         ls = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star on (u > v) orientation: re-point every smaller
         # neighbor (and u itself) at the min smaller neighbor.
@@ -383,12 +387,14 @@ def connected_components_alternating(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            ss.join(e, ["u", "v"], "left_anti")
-            .unionByName(e.join(ss, ["u", "v"], "left_anti"))
-            .limit(1)
-            .count()
-        )
+        # Convergence: both sets are distinct, so equal counts + empty
+        # one-sided anti-join <=> equal sets. Counts come free off the
+        # checkpointed relations, so the anti-join (an edge-sized probe)
+        # only runs on rounds whose counts already agree — i.e. at most
+        # the final round and count-collision rounds.
+        changed = 1
+        if ss.count() == e.count():
+            changed = ss.join(e, ["u", "v"], "left_anti").limit(1).count()
         e = ss
         if changed == 0:
             break
