@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from hive_similarity_join_spark.registry import ORACLES, QUERIES, load_registry
+from hive_similarity_join_spark.registry import (
+    ORACLES,
+    QUERIES,
+    load_registry,
+    ordered,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -33,9 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_registry()
-    return dict(QUERIES)
+    return ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     load_registry()
-    return dict(ORACLES)
+    return ordered(ORACLES)

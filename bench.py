@@ -46,13 +46,42 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
+    # Full per-key timings go to BENCH_LOCAL.json; the stdout line stays
+    # compact (round 1's 3.5 KB line overflowed the driver's tail capture
+    # -> BENCH_r01 "parsed": null). Headline keys only.
+    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
         json.dumps(
             {
                 "metric": "wall_clock_all_query_keys",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf,
+            },
+            indent=1,
+        )
+    )
+    headline = [
+        "q_simjoin_jaccard_self",
+        "q_simjoin_topk",
+        "q_dedup_minhash_lsh",
+        "q_dedup_near",
+        "q_dedup_connected",
+        "q_vec_knn",
+        "q_knn_topk",
+        "q_tpch_q1",
+        "q_tpch_q9",
+        "q_tpch_q18",
+        "q_pipeline_corpus_clean",
+        "q_stream_session",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "wall_clock_all_query_keys",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: timings[k] for k in headline if k in timings},
                 "sf": sf,
             }
         )

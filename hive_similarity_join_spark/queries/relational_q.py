@@ -379,14 +379,18 @@ def q_agg_approx_distinct(spark, sf_dir):
 @query(
     "q_agg_collect",
     oracle="""
-SELECT lang, list_sort(list(DISTINCT source)) AS sources
+SELECT lang,
+       array_to_string(list_sort(list(DISTINCT source)), ' ') AS sources
 FROM documents GROUP BY lang
 """,
 )
 def q_agg_collect(spark, sf_dir):
+    # collect_set is the operator under test; the sorted set is serialized
+    # to a single string because the driver's canonicalizer cannot hash
+    # array cells (CORRECTNESS_r01: unhashable ndarray).
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.array_sort(F.collect_set("source")).alias("sources")
+        F.array_join(F.array_sort(F.collect_set("source")), " ").alias("sources")
     )
 
 
@@ -764,11 +768,14 @@ SELECT doc_id,
        CAST(len(toks_all) AS BIGINT) AS n_toks,
        list_contains(toks_all, 'spark') AS has_spark,
        toks_all[1] AS first_tok,
-       list_sort(list_distinct(toks_all)) AS toks_set
+       array_to_string(list_sort(list_distinct(toks_all)), ' ') AS toks_set
 FROM t
 """,
 )
 def q_array_funcs(spark, sf_dir):
+    # Exercises split/filter/sort/size/contains/element_at/distinct; the
+    # distinct-set output is string-serialized because the driver's
+    # canonicalizer cannot hash array cells (CORRECTNESS_r01).
     d = load_table(spark, sf_dir, "documents")
     toks_all = F.array_sort(
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
@@ -779,7 +786,9 @@ def q_array_funcs(spark, sf_dir):
         F.size("toks_all").cast("bigint").alias("n_toks"),
         F.array_contains("toks_all", "spark").alias("has_spark"),
         F.element_at("toks_all", 1).alias("first_tok"),
-        F.array_sort(F.array_distinct("toks_all")).alias("toks_set"),
+        F.array_join(F.array_sort(F.array_distinct("toks_all")), " ").alias(
+            "toks_set"
+        ),
     )
 
 
