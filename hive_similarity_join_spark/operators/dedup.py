@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hive_similarity_join_spark.operators.rank import ranked_by
 from hive_similarity_join_spark.operators.similarity import tokenize
 
 P_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -57,10 +58,9 @@ def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .distinct()
     )
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    rk = freq.select(
-        "_tok",
-        F.row_number().over(Window.orderBy("_c", "_tok")).alias("_r"),
-    )
+    # Distributed rank (operators/rank.py): the vocabulary's long tail is
+    # not small at web scale, so no single-task global sort here.
+    rk = ranked_by(freq, ["_c", "_tok"], "_r").select("_tok", "_r")
     return tok.join(F.broadcast(rk), "_tok").select("_id", "_r")
 
 

@@ -44,6 +44,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hive_similarity_join_spark.operators.rank import ranked_by
+
 MEASURES = ("jaccard", "overlap", "dice", "cosine")
 
 
@@ -116,16 +118,17 @@ def _rank_tokens(*relations: DataFrame) -> DataFrame:
 
     The result is |vocabulary|-sized — small relative to the corpus even
     at 100 TB (vocab grows sub-linearly) — so it is broadcast at the join.
-    The single-partition window is fine at vocab scale; if vocab ever
-    rivals corpus size, swap for a sort + zipWithIndex-free monotonic rank.
+    The rank itself is computed distributed (range-partitioned two-pass,
+    operators/rank.py): at web scale the vocabulary's long tail (typos,
+    URLs, numbers) is NOT small, and a global no-partition window would
+    serialize its sort onto one task.
     """
     freq = None
     for rel in relations:
         f = rel.select(F.explode("_toks").alias("_tok"))
         freq = f if freq is None else freq.unionByName(f)
     freq = freq.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
-    w = Window.orderBy(F.asc("_freq"), F.asc("_tok"))
-    return freq.select("_tok", F.row_number().over(w).alias("_rank"))
+    return ranked_by(freq, ["_freq", "_tok"], "_rank").select("_tok", "_rank")
 
 
 def _sorted_by_rank(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
