@@ -222,6 +222,53 @@ SIMHASH_BANDS = 4
 _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
+def duck_simhash_oracle(max_hamming: int) -> str:
+    """DuckDB mirror of simhash_pairs on the documents table.
+
+    Token hash: Spark computes ``conv(substr(md5(tok), 1, 15), 16, 10)``;
+    DuckDB reads the same 15 hex chars via a '0x' string cast (exact —
+    60 bits fit a BIGINT). Votes, fingerprint assembly, banding and the
+    bit_count(xor) verify are integer math, identical on both engines.
+    """
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes),
+bands AS (
+  SELECT doc_id, fp, t.i AS band,
+         (fp >> (t.i * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS bv
+  FROM fp, unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS fp1, b.fp AS fp2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp1, fp2)) <= {max_hamming}
+"""
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(_id, _fp): 60-bit SimHash per document.
 

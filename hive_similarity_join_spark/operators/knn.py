@@ -48,6 +48,29 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def duck_plane_dot(vec_sql: str, plane: list[float], dim: int = DIM) -> str:
+    """DuckDB mirror of ``V.dot(vec, literal plane)`` — same left-fold
+    association order as the Spark expression, plane inlined with
+    ``repr`` (17 significant digits -> the literal parses back to the
+    identical IEEE double on both engines)."""
+    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1,{dim}), "
+        f"i -> CAST({vec_sql}[i] AS DOUBLE)*CAST(({lits})[i] AS DOUBLE)), "
+        f"(x,y) -> x+y)"
+    )
+
+
+def duck_bucket(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of ``bucket_expr`` (sign bits of the projections).
+    Projections are bit-exact (duck_plane_dot), so the buckets match."""
+    terms = [
+        f"(CASE WHEN {duck_plane_dot(vec_sql, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def ann_topk(
     corpus: DataFrame,
     probes: DataFrame,

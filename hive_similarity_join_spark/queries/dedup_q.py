@@ -4,14 +4,20 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hive_similarity_join_spark.functions.vectors import duck_cosine
 from hive_similarity_join_spark.operators.dedup import (
     connected_components,
     connected_components_alternating,
     duck_minhash_oracle,
+    duck_simhash_oracle,
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from hive_similarity_join_spark.operators.knn import ann_topk
+from hive_similarity_join_spark.operators.knn import (
+    _hyperplanes,
+    ann_topk,
+    duck_bucket,
+)
 from hive_similarity_join_spark.operators.similarity import similarity_join
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
@@ -20,26 +26,101 @@ MINHASH_T = 0.8
 CC_T = 0.9
 
 
+def _duck_cc_oracle(threshold: float) -> str:
+    """DuckDB mirror of the transitive-closure dedup keys: the exact
+    Jaccard pair graph at ``threshold`` (same relational skeleton as the
+    similarity-join oracles) closed with a recursive CTE — component =
+    min reachable id, exactly the min-label semantics of both Spark CC
+    implementations."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = id1
+  JOIN sz s2 ON s2.doc_id = id2
+  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {threshold}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 @query("q_dedup_minhash_lsh", oracle=duck_minhash_oracle(MINHASH_T))
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
 
 
-@query("q_text_simhash")  # md5-hex->int not expressible in DuckDB 1.0 SQL
+@query("q_text_simhash", oracle=duck_simhash_oracle(max_hamming=3))
 def q_text_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3 over 60-bit fingerprints).
     Banded blocking is lossless for this radius (pigeonhole over 4
-    bands); deterministic but rows-only checked — DuckDB 1.0 has no
-    hex->int conversion to mirror the md5-derived token hashes."""
+    bands). Fully deterministic (md5-derived token hashes), so the
+    DuckDB oracle mirrors the whole pipeline hash-exactly — the 60-bit
+    hash reads the same 15 md5 hex chars via a '0x' cast."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
-@query("q_vec_knn_ann")  # approximate by design -> rows-only
+_ANN_PLANES = _hyperplanes(4)
+_ANN_FLIPS = ", ".join(f"xor(bkt0, {1 << i})" for i in range(4))
+
+_ANN_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         CAST({duck_bucket('embedding', _ANN_PLANES)} AS BIGINT) AS bkt
+  FROM embeddings
+),
+p0 AS (
+  SELECT vec_id AS probe_id, embedding AS pe, bkt AS bkt0
+  FROM c WHERE vec_id < 10
+),
+pb AS (
+  SELECT probe_id, pe, t.bkt
+  FROM p0, unnest([bkt0, {_ANN_FLIPS}]) AS t(bkt)
+),
+scored AS (
+  SELECT DISTINCT probe_id, c.vec_id AS vec_id,
+         {duck_cosine('pe', 'c.embedding')} AS sim
+  FROM pb JOIN c ON c.bkt = pb.bkt AND c.vec_id <> pb.probe_id
+)
+SELECT * FROM (
+  SELECT probe_id, vec_id, sim,
+         CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("q_vec_knn_ann", oracle=_ANN_ORACLE)
 def q_vec_knn_ann(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH + multi-probe + exact
-    re-scoring — the scale path whose exact twin is q_vec_knn."""
+    re-scoring — the scale path whose exact twin is q_vec_knn.
+    Approximate vs brute force, but DETERMINISTIC (seeded hyperplanes,
+    exact re-scoring, (sim desc, id) tie-break), so the DuckDB oracle
+    mirrors the same algorithm with the planes inlined as literals."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     return ann_topk(e, probes, k=5, n_planes=4)
@@ -58,13 +139,27 @@ def q_vec_knn_ivf(spark, sf_dir):
     return ivf_topk(e, probes, k=5, n_cells=16, nprobe=4)
 
 
-@query("q_dedup_embedding_lsh")  # approximate blocking -> rows-only
+_ELSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         CAST({duck_bucket('embedding', _ANN_PLANES)} AS BIGINT) AS bkt
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {duck_cosine('a.embedding', 'b.embedding')} AS sim
+FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+"""
+
+
+@query("q_dedup_embedding_lsh", oracle=_ELSH_ORACLE)
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup pairs with hyperplane-LSH blocking — the
     100 TB twin of the exact all-pairs q_dedup_embedding: candidates
     only form inside a shared sign-bucket (expected bucket size
     |corpus| / 2^n_planes), then exact cosine verifies. Approximate by
-    blocking (recall < 1), hence rows-only."""
+    blocking (recall < 1) but deterministic (seeded planes), so the
+    DuckDB oracle mirrors the same blocking + verify hash-exactly."""
     from hive_similarity_join_spark.functions import vectors as V
     from hive_similarity_join_spark.operators.knn import _hyperplanes, bucket_expr
 
@@ -88,12 +183,14 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-@query("q_dedup_connected")  # iterative -> no single-statement oracle
+@query("q_dedup_connected", oracle=_duck_cc_oracle(CC_T))
 def q_dedup_connected(spark, sf_dir):
     """Transitive-closure near-dup clustering: (doc_id, component id).
-    Iterative min-label propagation — genuinely non-SQL-expressible in
-    one statement, so rows-only checked; clustering correctness is
-    pytest-verified on hand-built graphs (tests/test_dedup.py)."""
+    Iterative min-label propagation on the Spark side; the DuckDB
+    oracle closes the SAME exact-Jaccard pair graph with a recursive
+    CTE (component = min reachable id), so the key is hash-checked
+    end to end. Clustering correctness is additionally pytest-verified
+    on hand-built graphs (tests/test_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
     return connected_components(pairs).select(
@@ -101,7 +198,7 @@ def q_dedup_connected(spark, sf_dir):
     )
 
 
-@query("q_dedup_connected_star")  # iterative -> no single-statement oracle
+@query("q_dedup_connected_star", oracle=_duck_cc_oracle(CC_T))
 def q_dedup_connected_star(spark, sf_dir):
     """Same clustering as q_dedup_connected, computed by alternating
     large-star/small-star contraction (Kiveris et al., SoCC 2014) —
