@@ -382,20 +382,30 @@ def connected_components_alternating(
     canonical edge set is empty) is final, because both stars are
     deterministic functions of the edge set.
     """
-    e = (
+    # ONE eager checkpoint of the canonical pair set: everything below
+    # (the edge set, the node universe, every round's lineage root)
+    # derives from it. Checkpointing edges and nodes separately would
+    # execute the upstream pair computation (typically a full
+    # similarity join) TWICE — two independent eager jobs share no
+    # exchange reuse.
+    e0 = (
         pairs.select(
             F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = e0.filter(F.col("u") != F.col("v"))
     nodes = (
-        pairs.select(F.col("id1").alias("id"))
-        .unionByName(pairs.select(F.col("id2").alias("id")))
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # Edge count per round is tracked driver-side: each round's input
+    # count equals the previous round's (checkpoint-materialized) output
+    # count, so only the NEW edge set is ever counted — one count job
+    # per round instead of two.
+    e_cnt = e.count()
     for _ in range(max_iter):
         # large-star over the symmetrized view: from each endpoint a,
         # re-point every LARGER neighbor b at min(neighbors(a) + [a]).
@@ -440,9 +450,10 @@ def connected_components_alternating(
         # only runs on rounds whose counts already agree — i.e. at most
         # the final round and count-collision rounds.
         changed = 1
-        if ss.count() == e.count():
+        ss_cnt = ss.count()
+        if ss_cnt == e_cnt:
             changed = ss.join(e, ["u", "v"], "left_anti").limit(1).count()
-        e = ss
+        e, e_cnt = ss, ss_cnt
         if changed == 0:
             break
     # Converged edge set is a star per component: (member, root). Roots
