@@ -5,9 +5,14 @@ operators; these keys prove the engine composes scans, selective
 predicates, multi-way joins, aggregation and top-k ordering in ONE
 Catalyst plan the way the classic TPC-H suite exercises a warehouse.
 Shapes follow the public TPC-H spec queries, trimmed to the columns the
-synthetic tables carry. 18 of the 22 spec shapes are covered; the four
-that are structurally impossible without a `partsupp` table (Q2, Q11,
-Q16, Q20) are omitted rather than faked. Columns the generator dropped
+synthetic tables carry. All 22 spec shapes are covered. The generator
+ships no `partsupp` table, so Q2/Q11/Q16/Q20 run against a DERIVED
+part-supplier relation aggregated from lineitem (`_partsupp`:
+supplycost = min unit price, availqty = total shipped quantity) — the
+join topology, correlated-min / scalar-threshold / NOT-IN / nested-IN
+shapes those four queries exist to exercise are preserved exactly, only
+the base relation is derived instead of scanned. Columns the generator
+dropped
 are substituted with same-shaped predicates (noted per query): there is
 no l_shipmode/l_commitdate/l_receiptdate/c_phone/p_container, so Q4/Q21
 define "late" as shipping >N days after the order date, Q12 groups by
@@ -807,4 +812,253 @@ def q_tpch_q22(spark, sf_dir):
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --- Q2 / Q11 / Q16 / Q20: the partsupp-family shapes over a derived
+# part-supplier relation (the generator ships no partsupp table).
+
+_PS_SQL = """ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+  FROM lineitem
+  GROUP BY 1, 2
+)"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: one row per (part, supplier) ever shipped;
+    supplycost = min observed line price (kept division-free so its
+    2-decimal values, and every product built from them, sit ~1e-7
+    from their decimal bins — decimal casts then round identically on
+    both engines), availqty = decimal-exact total quantity. At 100 TB
+    this is one map-side-combined shuffle on a well-spread composite
+    key — the same shape a real partsupp scan's aggregation pushdown
+    would produce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice")).alias("ps_supplycost"),
+        _dsum(F.col("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+WITH {_PS_SQL},
+cost AS (
+  SELECT p.p_partkey, p.p_brand, s.s_acctbal, s.s_name, n.n_name,
+         ps.ps_supplycost
+  FROM part p
+  JOIN ps ON ps.ps_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  WHERE p.p_size IN (15, 25, 35) AND p.p_type LIKE '%E%'
+),
+minc AS (SELECT p_partkey, min(ps_supplycost) AS mc FROM cost GROUP BY 1)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand
+FROM cost c
+JOIN minc m ON m.p_partkey = c.p_partkey AND c.ps_supplycost = m.mc
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier: the correlated-min shape,
+    expressed as groupBy-min + equality join back (the distributed
+    formulation of the correlated scalar subquery; Catalyst broadcasts
+    the per-part minima). p_brand substitutes the dropped p_mfgr.
+    The LIMIT cutoff is deterministic: (s_name, p_partkey) is unique
+    per row and both appear in the ORDER BY."""
+    ps = _partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(15, 25, 35) & F.col("p_type").like("%E%"))
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = (
+        p.join(ps, p["p_partkey"] == ps["ps_partkey"])
+        .join(s, ps["ps_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("p_partkey", "p_brand", "s_acctbal", "s_name", "n_name", "ps_supplycost")
+    )
+    minc = cost.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("_mc"))
+    return (
+        cost.join(F.broadcast(minc), "p_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+WITH {_PS_SQL},
+v AS (
+  SELECT ps.ps_partkey,
+         CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,4)))
+              AS DOUBLE) AS part_value
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) AS t FROM v)
+SELECT v.ps_partkey, v.part_value
+FROM v, tot
+WHERE v.part_value > tot.t * 0.0005
+""",
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock: HAVING over a scalar-subquery
+    threshold, expressed as a single-row aggregate broadcast into the
+    filter. Group values and the total are decimal-exact on both
+    engines; the 0.0005 fraction replaces the spec's 0.0001/SF."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        ps.join(s, ps["ps_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("ps_partkey")
+        .agg(
+            _dsum(F.col("ps_supplycost") * F.col("ps_availqty"), scale=4).alias(
+                "part_value"
+            )
+        )
+    )
+    tot = v.agg(_dsum(F.col("part_value"), scale=4).alias("_t"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("_t") * 0.0005)
+        .select("ps_partkey", "part_value")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=f"""
+WITH {_PS_SQL}
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MED%'
+  AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship: multi-predicate dimension
+    filter + NOT IN excluded-supplier subquery (a LEFT ANTI join — safe
+    because s_suppkey is non-null) + count-distinct per group. The
+    excluded set keys on negative account balance, substituting the
+    dropped s_comment complaints filter with the same anti-join shape."""
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MED%")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(p, ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+WITH {_PS_SQL},
+q96 AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE '%e%'
+  JOIN q96 q ON q.l_partkey = ps.ps_partkey AND q.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty > 8.0 * q.qty
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN excess e ON e.ps_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+ORDER BY s.s_name
+""",
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 excess-stock suppliers: the nested-IN shape — suppliers
+    whose availqty for a 'small%'-named part exceeds a multiple of that
+    part's 1996 shipped quantity. The correlated per-(part,supplier)
+    aggregate is a grouped relation joined back on the composite key;
+    the 8x factor replaces the spec's 0.5x because derived availqty
+    (total shipped over the 7-year date span) strictly contains the
+    one-year window — 0.5x would select every row."""
+    ps = _partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%e%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            q96,
+            (ps["ps_partkey"] == q96["l_partkey"])
+            & (ps["ps_suppkey"] == q96["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 8.0 * F.col("_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(excess, s["s_suppkey"] == excess["ps_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
