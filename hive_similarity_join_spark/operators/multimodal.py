@@ -111,10 +111,12 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
 BYTE_FEATURES_DIM = 16
 
 
-def byte_histogram_features(media: DataFrame) -> DataFrame:
+def byte_histogram_features(media: DataFrame, normalized: bool = True) -> DataFrame:
     """Real byte-level feature extraction: 16-bin byte histogram as
     array<float> (the shape an embedding model would produce), via an
-    Arrow-batched scalar pandas_udf."""
+    Arrow-batched scalar pandas_udf. ``normalized=False`` returns raw
+    integer bin counts (exact — the oracle-checkable form; bin =
+    byte // 16, matching np.histogram's uniform [0,256) edges)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -125,6 +127,8 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
             if arr.size == 0:
                 return np.zeros(BYTE_FEATURES_DIM, dtype=np.float32)
             h, _ = np.histogram(arr, bins=BYTE_FEATURES_DIM, range=(0, 256))
+            if not normalized:
+                return h.astype(np.float32)
             return (h / arr.size).astype(np.float32)
 
         return payload.map(one)

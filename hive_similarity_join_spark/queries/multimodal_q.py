@@ -41,17 +41,62 @@ def q_multimodal_bytes(spark, sf_dir):
     )
 
 
-@query("q_multimodal_decode")  # mapInPandas -> rows-only check
+@query(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
 def q_multimodal_decode(spark, sf_dir):
+    """Decode plumbing (mapInPandas, Arrow-batched). The fake decode's
+    dimension arithmetic is a pure function of payload length, so the
+    DuckDB oracle mirrors it exactly — the Python batch path itself is
+    what the Spark side exercises."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
 
 
-@query("q_multimodal_features")  # pandas_udf -> rows-only check
+@query(
+    "q_multimodal_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, ascii(substr(text, CAST(t.i AS INTEGER), 1)) // 16 AS bin
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+),
+c AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT d.doc_id AS media_id,
+       CAST(16 AS INTEGER) AS dim,
+       string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY gs.b)
+           AS hist_counts
+FROM documents d
+CROSS JOIN unnest(range(0, 16)) AS gs(b)
+LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = gs.b
+GROUP BY d.doc_id
+""",
+)
 def q_multimodal_features(spark, sf_dir):
+    """Byte-histogram features (Arrow-batched pandas_udf). The key
+    emits the UN-normalized counts serialized to a string: integer
+    counts are exact on both engines (float32-normalized features
+    would double-round at the DuckDB mirror), and the serialization
+    sidesteps array-typed cells in the driver's canonicalizer. The
+    documents corpus is pure ASCII, so DuckDB's char positions equal
+    byte positions and bin = ascii // 16 mirrors np.histogram's
+    uniform [0,256) edges."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return byte_histogram_features(media).select(
-        "media_id", F.size("features").alias("dim"), "features"
+    feats = byte_histogram_features(media, normalized=False)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("int").cast("string"))
+        ).alias("hist_counts"),
     )
 
 
@@ -76,13 +121,44 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-@query("q_multimodal_resize")  # mapInPandas -> rows-only check
+@query(
+    "q_multimodal_resize",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT doc_id,
+         string_agg(substr(text, CAST((t.i * n) // 1024 AS INTEGER) + 1, 1),
+                    '' ORDER BY t.i) AS resampled
+  FROM s, unnest(range(0, 1024)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 AS INTEGER) AS target_w,
+       CAST(32 AS INTEGER) AS target_h,
+       CAST(1024 AS BIGINT) AS n_bytes,
+       md5(resampled) AS payload_hash
+FROM px
+""",
+)
 def q_multimodal_resize(spark, sf_dir):
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    """Resize plumbing (mapInPandas byte-stride resample to 32x32).
+    The key emits an md5 digest of the resampled payload so the
+    deterministic byte output is hash-checked end to end: the DuckDB
+    oracle rebuilds the same stride — index (i * n) // 1024, i in
+    [0, 1024) — from the ASCII text (char positions == byte positions)
+    and hashes it. Binary cells never reach the driver's canonicalizer."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
     return resize_media(media, target_w=32, target_h=32).select(
         "media_id",
         "kind",
         "target_w",
         "target_h",
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_hash"),
     )

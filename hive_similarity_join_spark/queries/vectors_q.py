@@ -22,6 +22,7 @@ from hive_similarity_join_spark.sources.loader import load_table
 KNN_K = 5
 N_PROBES = 10
 DEDUP_COS_T = 0.3  # synthetic embeddings are near-orthogonal; 0.3 -> ~1k pairs
+EXACT_DEDUP_MAX_ROWS = 100_000  # exact all-pairs dedup cap: ~100k x 64 doubles
 
 
 def _pairs(spark, sf_dir, probe_pred=None):
@@ -159,10 +160,21 @@ WHERE {V.duck_cosine('a.embedding', 'b.embedding')} >= {DEDUP_COS_T}
 """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs at test
-    scale; the 100 TB path buckets by random hyperplane LSH first —
-    see operators/knn.py)."""
+    """Embedding-cosine near-duplicate pairs — the EXACT all-pairs
+    baseline, guarded so it cannot become a quadratic trap: the
+    broadcast side is counted up front (a parquet metadata count) and
+    the operator refuses corpora past EXACT_DEDUP_MAX_ROWS with a
+    pointer to its scale twin q_dedup_embedding_lsh (hyperplane-LSH
+    blocking, operators/knn.py). Within the cap the result is exact
+    and identical to the LSH twin's verify measure."""
     a, b = _pairs(spark, sf_dir)
+    n = a.count()
+    if n > EXACT_DEDUP_MAX_ROWS:
+        raise ValueError(
+            f"exact all-pairs dedup refused: corpus has {n} rows > "
+            f"EXACT_DEDUP_MAX_ROWS={EXACT_DEDUP_MAX_ROWS}; use "
+            "q_dedup_embedding_lsh (hyperplane-LSH blocking) at this scale"
+        )
     sim = V.cosine(F.col("_v1"), F.col("_v2"))
     return (
         F.broadcast(a)

@@ -130,12 +130,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; pins session tz to UTC so timestamp semantics match
     the (naive-timestamp) DuckDB oracle regardless of host timezone.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; it is read as raw nanos
-    (``nanosAsLong``) and converted to TimestampType (microseconds) with
-    integer arithmetic — ``div`` not ``/`` so the int64 epoch keeps full
-    precision. Truncation ns->us is monotone, so orderings and window
-    assignments match the ns-precision oracle.
+    ``events.ts`` has shipped in two physical flavors across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read as raw nanos via ``nanosAsLong`` and converted with
+    integer arithmetic, ``div`` not ``/`` so the int64 epoch keeps full
+    precision) and TIMESTAMP(MICROS) isAdjustedToUTC=false (read
+    natively as TIMESTAMP_NTZ — cast to session-tz TimestampType,
+    identical wall values under the pinned UTC session). Both paths
+    yield the same TimestampType column the oracle sees as naive
+    microsecond timestamps; ns->us truncation is monotone, so
+    orderings and window assignments match either way.
     """
     tune(spark)
     if name not in SCHEMAS:
@@ -145,7 +149,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) era
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
