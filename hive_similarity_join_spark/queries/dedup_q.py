@@ -212,3 +212,93 @@ def q_dedup_connected_star(spark, sf_dir):
     return connected_components_alternating(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+def _duck_reps_oracle(threshold: float) -> str:
+    """DuckDB mirror of q_dedup_representatives: minhash-LSH pair graph
+    (same CTE as q_dedup_minhash_lsh, nested as a subquery) closed with
+    a recursive CTE, then one representative per component by
+    (quality DESC, doc_id) — identical min-label closure and identical
+    quality arithmetic (see pipeline_q._quality_sql)."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.queries.pipeline_q import _quality_sql
+
+    return f"""
+WITH RECURSIVE pairs AS ({duck_minhash_oracle(threshold)}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id, {_quality_sql()} AS quality
+  FROM (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents)
+  WHERE len(bag) > 0
+),
+lab AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+  FROM q LEFT JOIN comp c ON c.id = q.doc_id
+),
+rnk AS (
+  SELECT component, doc_id, quality,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM lab
+)
+SELECT component, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members,
+       quality AS rep_quality
+FROM rnk WHERE rn = 1
+"""
+
+
+@query("q_dedup_representatives", oracle=_duck_reps_oracle(MINHASH_T))
+def q_dedup_representatives(spark, sf_dir):
+    """End-to-end dedup pipeline: MinHash-LSH candidate graph ->
+    connected components -> keep the best-quality document per cluster
+    (ties by doc_id; singletons represent themselves). This is the
+    composition a 100 TB training-data pipeline actually runs — banded
+    LSH bounds the pair space, CC is O(log) label rounds, and the
+    representative pick is one window over the node-sized label table.
+    Hash-checked end to end against the recursive-CTE closure of the
+    same deterministic pair graph."""
+    from pyspark.sql import Window
+
+    from hive_similarity_join_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+    comp = connected_components(pairs)
+    q = (
+        docs.select("doc_id", F.col("text"))
+        .withColumn("_bag", TX.bag_tokens("text"))
+        .filter(F.size("_bag") > 0)
+        .select("doc_id", TX.quality_score("text").alias("quality"))
+    )
+    lab = (
+        q.join(comp, q["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    wc = Window.partitionBy("component")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_id"),
+            "n_members",
+            F.col("quality").alias("rep_quality"),
+        )
+    )
