@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hive_similarity_join_spark.functions import text as TX
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 
@@ -929,3 +930,60 @@ def q_agg_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------- §2.4/§2.8 round-3 breadth additions
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                           * 10000000 + o_orderkey) AS top_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                           * 10000000 + o_orderkey) AS bottom_order,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents,
+       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_argmax(spark, sf_dir):
+    """ARGMAX/ARGMIN aggregates (Hive's max_by/min_by surface, DuckDB's
+    arg_max/arg_min). The ordering value folds the 2-decimal price into
+    integer cents and appends the order key in the low digits, so the
+    argmax is TOTAL-ordered — max_by on a tied value is engine-
+    nondeterministic otherwise. round() before the bigint cast on both
+    engines: Spark truncates double->long while DuckDB rounds, so the
+    cast must be fed an exact integer-valued double."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    keyv = cents * F.lit(10_000_000).cast("bigint") + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", keyv).alias("top_order"),
+        F.min_by("o_orderkey", keyv).alias("bottom_order"),
+        F.max(cents).cast("bigint").alias("max_cents"),
+        F.min(cents).cast("bigint").alias("min_cents"),
+    )
+
+
+@query(
+    "q_lateral_explode",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents)
+SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, bag[CAST(g.i AS INTEGER)] AS tok
+FROM t, unnest(generate_series(1, len(bag))) AS g(i)
+""",
+)
+def q_lateral_explode(spark, sf_dir):
+    """Hive LATERAL VIEW posexplode mapped to Spark's native generator:
+    one row per (doc, position, token) with the parent row's columns
+    available alongside the generated ones — the UDTF-expansion shape
+    HiveQL similarity scripts use for tokenization. Map-side only (no
+    shuffle; the generator runs inside whole-stage codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(TX.bag_tokens("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")

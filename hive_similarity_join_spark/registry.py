@@ -50,7 +50,7 @@ PRIORITY: list[str] = [
     "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
     # new in round 3 — TPC-H completion to 22/22
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_dedup_representatives",
+    "q_dedup_representatives", "q_agg_argmax", "q_lateral_explode",
     # round-2 priority tail (re-checks; driver re-confirms after this
     # round's perf work on the similarity/CC/rank paths)
     "q_agg_collect", "q_array_funcs",
@@ -61,8 +61,7 @@ PRIORITY: list[str] = [
     "q_simjoin_jaccard_self", "q_simjoin_jaccard_rs", "q_knn_topk",
     "q_dedup_near", "q_dedup_ngram", "q_dedup_exact",
     "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
-    "q_vec_knn", "q_vec_centroid", "q_dedup_embedding",
-    "q_stream_tumbling",
+    "q_vec_knn", "q_dedup_embedding",
 ]
 
 

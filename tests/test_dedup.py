@@ -100,3 +100,40 @@ def test_alternating_cc_matches_min_label_on_random_graph(spark):
     a = {r.id: r.comp for r in connected_components(pairs, max_iter=50).collect()}
     b = {r.id: r.comp for r in connected_components_alternating(pairs).collect()}
     assert a == b
+
+
+def test_representatives_quality_dominates_cluster(spark):
+    """Every cluster's representative has the max quality among its
+    members (ties by lowest doc_id), components partition the corpus,
+    and n_members sums to the doc count."""
+    from hive_similarity_join_spark.queries.dedup_q import (
+        q_dedup_representatives,
+    )
+    from hive_similarity_join_spark.queries.dedup_q import MINHASH_T
+    from hive_similarity_join_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from hive_similarity_join_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    reps = {r.component: r for r in q_dedup_representatives(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    qual = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", TX.quality_score("text").alias("q")
+        ).collect()
+    }
+    n_docs = docs.count()
+    # components partition the corpus: every doc maps to exactly one rep row
+    assert sum(r.n_members for r in reps.values()) == n_docs
+    for doc_id, q in qual.items():
+        c = comp.get(doc_id, doc_id)
+        rep = reps[c]
+        assert (q, -doc_id) <= (rep.rep_quality, -rep.rep_id) or doc_id == rep.rep_id
+        assert rep.rep_quality >= q or rep.rep_id != doc_id
+    for c, rep in reps.items():
+        assert qual[rep.rep_id] == rep.rep_quality
