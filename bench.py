@@ -67,6 +67,7 @@ def main() -> None:
         "q_dedup_minhash_lsh",
         "q_dedup_near",
         "q_dedup_connected",
+        "q_dedup_representatives",
         "q_vec_knn",
         "q_knn_topk",
         "q_tpch_q1",
