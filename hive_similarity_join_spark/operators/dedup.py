@@ -355,7 +355,7 @@ def simhash_pairs(
 
 
 def connected_components_alternating(
-    pairs: DataFrame, max_iter: int = 50
+    pairs: DataFrame, max_iter: int = 50, probe_every: int = 2
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
@@ -381,6 +381,12 @@ def connected_components_alternating(
     detected exactly: a round that changes nothing (anti-join on the
     canonical edge set is empty) is final, because both stars are
     deterministic functions of the edge set.
+
+    ``probe_every`` batches that many star rounds into one Spark job
+    between convergence probes (checkpoint + count): fewer blocking
+    driver round trips at the cost of up to probe_every-1 rounds of
+    overshoot past the fixed point. 1 = probe every round (least work,
+    most round trips); 2 = the default latency/work balance.
     """
     # ONE eager checkpoint of the canonical pair set: everything below
     # (the edge set, the node universe, every round's lineage root)
@@ -406,53 +412,66 @@ def connected_components_alternating(
     # count, so only the NEW edge set is ever counted — one count job
     # per round instead of two.
     e_cnt = e.count()
-    for _ in range(max_iter):
-        # large-star over the symmetrized view: from each endpoint a,
-        # re-point every LARGER neighbor b at min(neighbors(a) + [a]).
-        sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
-            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
-        )
-        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
-        # No mid-round distinct: the duplicates (each undirected edge is
-        # seen from both endpoints) at most double the next stage's
-        # input, while deduping them would cost a full edge-sized
-        # shuffle; every consumer below (min aggregate, final distinct)
-        # is duplicate-tolerant.
-        ls = (
-            sym.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        # small-star on (u > v) orientation: re-point every smaller
-        # neighbor (and u itself) at the min smaller neighbor.
-        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
-            ls.join(smins, "u")
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("v").alias("x"), F.col("m").alias("y")),
-                        F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
-                    )
-                ).alias("_e")
+    # Two star rounds run per blocking probe: checkpoint + count + (maybe)
+    # anti-join are the driver round trips that dominate wall clock on
+    # small-to-medium graphs, and both stars are lazily composable — the
+    # intermediate round's relation never needs materializing. Comparing
+    # the edge set across a 2-round batch stays an EXACT convergence test:
+    # star contraction monotonically decreases the Kiveris potential, so
+    # no period-2 cycle exists — equal sets across the batch imply a
+    # fixed point was reached inside it.
+    for _ in range((max_iter + probe_every - 1) // probe_every):
+        prev = e  # pre-batch edge set (checkpointed, or a filter over it)
+        for _step in range(probe_every):
+            # large-star over the symmetrized view: from each endpoint a,
+            # re-point every LARGER neighbor b at min(neighbors(a) + [a]).
+            sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+                e.select(F.col("v").alias("a"), F.col("u").alias("b"))
             )
-            .select(
-                F.greatest("_e.x", "_e.y").alias("u"), F.least("_e.x", "_e.y").alias("v")
+            mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+            # No mid-round distinct: the duplicates (each undirected edge
+            # is seen from both endpoints) at most double the next
+            # stage's input, while deduping them would cost a full
+            # edge-sized shuffle; every consumer below (min aggregate,
+            # final distinct) is duplicate-tolerant.
+            ls = (
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
             )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+            # small-star on (u > v) orientation: re-point every smaller
+            # neighbor (and u itself) at the min smaller neighbor.
+            smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+            e = (
+                ls.join(smins, "u")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("v").alias("x"), F.col("m").alias("y")),
+                            F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                        )
+                    ).alias("_e")
+                )
+                .select(
+                    F.greatest("_e.x", "_e.y").alias("u"),
+                    F.least("_e.x", "_e.y").alias("v"),
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+        ss = e.localCheckpoint(eager=True)
         # Convergence: both sets are distinct, so equal counts + empty
         # one-sided anti-join <=> equal sets. Counts come free off the
         # checkpointed relations, so the anti-join (an edge-sized probe)
-        # only runs on rounds whose counts already agree — i.e. at most
-        # the final round and count-collision rounds.
+        # only runs on batches whose counts already agree — i.e. at most
+        # the final batch and count-collision batches. `prev` is the
+        # previous batch's checkpointed relation, so the anti-join reads
+        # two materialized sets, never recomputes a star round.
         changed = 1
         ss_cnt = ss.count()
         if ss_cnt == e_cnt:
-            changed = ss.join(e, ["u", "v"], "left_anti").limit(1).count()
+            changed = ss.join(prev, ["u", "v"], "left_anti").limit(1).count()
         e, e_cnt = ss, ss_cnt
         if changed == 0:
             break
@@ -466,7 +485,7 @@ def connected_components_alternating(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, probe_every: int = 2
 ) -> DataFrame:
     """Duplicate clustering: transitive closure of a pair graph
     (id1, id2) -> (id, component) with component = min reachable id.
@@ -479,6 +498,11 @@ def connected_components(
     in 6 rounds (pure propagation would need 119). ``localCheckpoint``
     truncates the exponentially-growing lineage each round (at cluster
     scale, use a checkpoint dir on durable storage instead).
+
+    ``probe_every`` batches that many propagate+compress steps into one
+    Spark job between convergence probes (checkpoint + `_chg` count):
+    fewer blocking driver round trips at the cost of up to
+    probe_every-1 steps of overshoot past the fixed point.
     """
     n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = (
@@ -505,41 +529,48 @@ def connected_components(
         .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .select(F.col("a").alias("id"), F.least("comp", "id").alias("comp"))
     )
-    for _ in range(max_iter):
-        # 1-hop neighbor min. Labels only ever decrease, so "changed" is
-        # derivable inline (new < old) — no old-vs-new join per round.
-        neigh = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("n_comp"))
-        )
-        prop = labels.join(neigh, labels["id"] == neigh["a"], "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
-                "comp"
-            ),
-            (F.coalesce(F.col("n_comp"), F.col("comp")) < F.col("comp")).alias("_chg"),
-        )
-        # Path compression (pointer doubling): follow comp -> comp(comp)
-        # on the NODE-sized label table, halving every remaining label
-        # chain per round — the propagation above moves information one
-        # edge hop, this moves it 2^round hops, so total rounds drop
-        # from O(diameter) to O(log diameter) edge shuffles (the
-        # dominant per-round cost at scale; the compression join only
-        # shuffles labels). Convergence is still judged on the EDGE
-        # step's _chg alone: a propagation fixed point is already
-        # component-min everywhere, and compression never changes a
-        # fixed point.
-        m = prop.select(F.col("id").alias("comp"), F.col("comp").alias("_cc"))
-        new_labels = (
-            prop.join(m, "comp", "left")
-            .select(
+    # Two propagate+compress steps run per blocking probe: the eager
+    # checkpoint and the `_chg` count are driver round trips, and on a
+    # latency-bound run (small graph, many partitions) they — not the
+    # shuffles — dominate wall clock. Convergence is judged on the LAST
+    # step's `_chg` alone, which stays exact: labels only ever decrease,
+    # a propagation that changes nothing is a fixed point, and a fixed
+    # point is invariant under further steps — so "step 2k changed
+    # nothing" is final regardless of what step 2k-1 did.
+    for _ in range((max_iter + probe_every - 1) // probe_every):
+        cur = labels
+        for _step in range(probe_every):
+            # 1-hop neighbor min. Labels only ever decrease, so
+            # "changed" is derivable inline (new < old) — no old-vs-new
+            # join per round.
+            neigh = (
+                edges.join(cur, edges["b"] == cur["id"])
+                .groupBy("a")
+                .agg(F.min("comp").alias("n_comp"))
+            )
+            prop = cur.join(neigh, cur["id"] == neigh["a"], "left").select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("n_comp"), F.col("comp")) < F.col("comp")).alias(
+                    "_chg"
+                ),
+            )
+            # Path compression (pointer doubling): follow comp ->
+            # comp(comp) on the NODE-sized label table, halving every
+            # remaining label chain per step — the propagation above
+            # moves information one edge hop, this moves it 2^step hops,
+            # so total steps drop from O(diameter) to O(log diameter)
+            # edge shuffles (the dominant per-step cost at scale; the
+            # compression join only shuffles labels).
+            m = prop.select(F.col("id").alias("comp"), F.col("comp").alias("_cc"))
+            cur = prop.join(m, "comp", "left").select(
                 "id",
                 F.least("comp", F.coalesce("_cc", "comp")).alias("comp"),
                 "_chg",
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cur.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:
