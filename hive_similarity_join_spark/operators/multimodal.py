@@ -63,7 +63,14 @@ DECODED_SCHEMA = T.StructType(
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Build a media table from documents (demo source): payload =
-    utf-8 bytes of text, kind cycles by doc_id, metadata typed."""
+    utf-8 bytes of text, kind cycles by doc_id, metadata typed.
+
+    Text is projected to pure ASCII first (non-ASCII codepoints -> '?',
+    one per codepoint, mirrored in every multimodal oracle): byte-level
+    oracles index the payload by CHARACTER position in DuckDB, which is
+    only byte-exact when char position == byte position. The projection
+    is the identity on ASCII corpora and keeps the keys deterministic if
+    a regenerated corpus ever carries non-ASCII text."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -72,7 +79,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(F.regexp_replace("text", r"[^\x00-\x7F]", "?"), "UTF-8").alias(
+            "payload"
+        ),
         F.struct(
             F.col("source").alias("source"),
             F.col("n_chars").alias("declared_len"),

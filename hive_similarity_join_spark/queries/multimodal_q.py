@@ -23,8 +23,8 @@ from hive_similarity_join_spark.sources.loader import load_table
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_hash
+       CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) AS BIGINT) AS n_bytes,
+       md5(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS payload_hash
 FROM documents
 """,
 )
@@ -47,9 +47,9 @@ def q_multimodal_bytes(spark, sf_dir):
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) AS BIGINT) AS n_bytes
 FROM documents
 """,
 )
@@ -66,8 +66,8 @@ def q_multimodal_decode(spark, sf_dir):
     "q_multimodal_features",
     oracle="""
 WITH b AS (
-  SELECT doc_id, ascii(substr(text, CAST(t.i AS INTEGER), 1)) // 16 AS bin
-  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+  SELECT doc_id, ascii(substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'), CAST(t.i AS INTEGER), 1)) // 16 AS bin
+  FROM documents, unnest(range(1, length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) + 1)) AS t(i)
 ),
 c AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2)
 SELECT d.doc_id AS media_id,
@@ -105,8 +105,8 @@ def q_multimodal_features(spark, sf_dir):
     oracle="""
 SELECT doc_id AS media_id,
        CAST(t.o AS BIGINT) AS frame_offset
-FROM documents, unnest(range(0, octet_length(encode(text)), 64)) AS t(o)
-WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+FROM documents, unnest(range(0, octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))), 64)) AS t(o)
+WHERE doc_id % 3 = 2 AND octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) > 0
 """,
 )
 def q_multimodal_frames(spark, sf_dir):
@@ -125,7 +125,7 @@ def q_multimodal_frames(spark, sf_dir):
     "q_multimodal_resize",
     oracle="""
 WITH s AS (
-  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS text, length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS n FROM documents WHERE length(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) > 0
 ),
 px AS (
   SELECT doc_id,

@@ -934,19 +934,36 @@ def q_agg_histogram(spark, sf_dir):
 
 # ----------------------------------- §2.4/§2.8 round-3 breadth additions
 
+# Packed argmax ordering key: cents * _ARGMAX_M + o_orderkey is collision-
+# free iff o_orderkey < _ARGMAX_M, and fits int64 iff cents < 2^63 /
+# _ARGMAX_M ~ 9.2e7 (TPC-H totalprice tops out near 6e5 -> 6e7 cents).
+# 1e11 covers orderkeys through roughly SF 16,000; both engines RAISE on
+# a violated bound instead of going silently engine-nondeterministic.
+_ARGMAX_M = 100_000_000_000
+
+
 @query(
     "q_agg_argmax",
-    oracle="""
+    oracle=f"""
+WITH k AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderkey >= {_ARGMAX_M}
+                   OR CAST(round(o_totalprice * 100) AS BIGINT)
+                      >= 9223372036854775807 // {_ARGMAX_M}
+              THEN CAST(error('q_agg_argmax packed-key bound exceeded')
+                        AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   * {_ARGMAX_M} + o_orderkey
+         END AS keyv
+  FROM orders
+)
 SELECT o_orderpriority,
-       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
-                           * 10000000 + o_orderkey) AS top_order,
-       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
-                           * 10000000 + o_orderkey) AS bottom_order,
-       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS max_cents,
-       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS min_cents
-FROM orders
+       arg_max(o_orderkey, keyv) AS top_order,
+       arg_min(o_orderkey, keyv) AS bottom_order,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents
+FROM k
 GROUP BY o_orderpriority
 """,
 )
@@ -955,12 +972,22 @@ def q_agg_argmax(spark, sf_dir):
     arg_max/arg_min). The ordering value folds the 2-decimal price into
     integer cents and appends the order key in the low digits, so the
     argmax is TOTAL-ordered — max_by on a tied value is engine-
-    nondeterministic otherwise. round() before the bigint cast on both
-    engines: Spark truncates double->long while DuckDB rounds, so the
-    cast must be fed an exact integer-valued double."""
+    nondeterministic otherwise. The packing bound is ASSERTED in-query
+    on both engines (raise_error / error), so an out-of-range orderkey
+    fails loudly rather than silently re-tying. round() before the
+    bigint cast on both engines: Spark truncates double->long while
+    DuckDB rounds, so the cast must be fed an exact integer-valued
+    double."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-    keyv = cents * F.lit(10_000_000).cast("bigint") + F.col("o_orderkey")
+    in_bounds = (F.col("o_orderkey") < F.lit(_ARGMAX_M)) & (
+        cents < F.lit(9223372036854775807 // _ARGMAX_M)
+    )
+    keyv = F.when(
+        in_bounds, cents * F.lit(_ARGMAX_M).cast("bigint") + F.col("o_orderkey")
+    ).otherwise(
+        F.raise_error("q_agg_argmax packed-key bound exceeded").cast("bigint")
+    )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", keyv).alias("top_order"),
         F.min_by("o_orderkey", keyv).alias("bottom_order"),

@@ -1018,8 +1018,11 @@ ORDER BY s.s_name
 )
 def q_tpch_q20(spark, sf_dir):
     """TPC-H Q20 excess-stock suppliers: the nested-IN shape — suppliers
-    whose availqty for a 'small%'-named part exceeds a multiple of that
-    part's 1996 shipped quantity. The correlated per-(part,supplier)
+    whose availqty for a matched-name part exceeds a multiple of that
+    part's 1996 shipped quantity. The ``p_name LIKE '%e%'`` predicate
+    (code and oracle) substitutes the spec's 'forest%' prefix filter:
+    the generator's part names don't carry the spec's color vocabulary,
+    and '%e%' keeps a selective-but-nonempty match on this data. The correlated per-(part,supplier)
     aggregate is a grouped relation joined back on the composite key;
     the 8x factor replaces the spec's 0.5x because derived availqty
     (total shipped over the 7-year date span) strictly contains the

@@ -162,16 +162,20 @@ WHERE {V.duck_cosine('a.embedding', 'b.embedding')} >= {DEDUP_COS_T}
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the EXACT all-pairs
     baseline, guarded so it cannot become a quadratic trap: the
-    broadcast side is counted up front (a parquet metadata count) and
-    the operator refuses corpora past EXACT_DEDUP_MAX_ROWS with a
-    pointer to its scale twin q_dedup_embedding_lsh (hyperplane-LSH
-    blocking, operators/knn.py). Within the cap the result is exact
-    and identical to the LSH twin's verify measure."""
+    operator refuses corpora past EXACT_DEDUP_MAX_ROWS with a pointer
+    to its scale twin q_dedup_embedding_lsh (hyperplane-LSH blocking,
+    operators/knn.py). The guard count is LIMIT-bounded (cap+1 rows),
+    so probing the size costs O(cap) scan work however large the
+    corpus is — never a full count. Past the cap the key RAISES (the
+    driver records an error, not a skip) — deliberate: a silent
+    fallback would misreport which algorithm produced the rows.
+    Within the cap the result is exact and identical to the LSH
+    twin's verify measure."""
     a, b = _pairs(spark, sf_dir)
-    n = a.count()
+    n = a.limit(EXACT_DEDUP_MAX_ROWS + 1).count()
     if n > EXACT_DEDUP_MAX_ROWS:
         raise ValueError(
-            f"exact all-pairs dedup refused: corpus has {n} rows > "
+            f"exact all-pairs dedup refused: corpus exceeds "
             f"EXACT_DEDUP_MAX_ROWS={EXACT_DEDUP_MAX_ROWS}; use "
             "q_dedup_embedding_lsh (hyperplane-LSH blocking) at this scale"
         )

@@ -66,3 +66,52 @@ def test_resize_payload_lengths_and_determinism(media):
     for r in a:
         assert r.target_w == 8 and r.target_h == 4
         assert len(r.payload) == 8 * 4  # resampled to exactly w*h bytes
+
+
+def test_non_ascii_text_stays_oracle_exact(spark, tmp_path):
+    """The multimodal oracles index the payload by CHARACTER position in
+    DuckDB, which is only byte-exact because synthesize_media projects
+    text to pure ASCII ('?' per non-ASCII codepoint) and every oracle
+    mirrors the projection. Feed a corpus with multi-byte codepoints
+    through all five keys against their real oracles to pin that."""
+    import duckdb
+    import pandas as pd
+
+    from hive_similarity_join_spark.registry import ORACLES, QUERIES, load_registry
+    from tools.selfcheck import compare
+
+    load_registry()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "plain ascii text",
+                "héllo wörld",          # 2-byte codepoints
+                "✓ checkmark — dash",    # 3-byte codepoints
+                "emoji \U0001f600 4-byte",         # 4-byte codepoint
+                "mixed ß中文 tail",
+                "",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": [16, 11, 22, 14, 16, 0],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    keys = [
+        "q_multimodal_bytes",
+        "q_multimodal_decode",
+        "q_multimodal_features",
+        "q_multimodal_frames",
+        "q_multimodal_resize",
+    ]
+    for key in keys:
+        sdf = QUERIES[key](spark, sf_dir).toPandas()
+        ddf = con.execute(ORACLES[key]).fetchdf()
+        assert not compare(sdf, ddf), f"{key} diverged on non-ASCII corpus"
