@@ -146,3 +146,39 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         ):
             offenders[key] = "Arrow/Pandas node"
     assert not offenders, f"Python leaked into hot paths: {offenders}"
+
+
+def _jobs_for(spark, key):
+    sc = spark.sparkContext
+    group = f"tripwire-{key}"
+    sc.setJobGroup(group, group)
+    try:
+        QUERIES[key](spark, SF_SMOKE).count()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    spark.catalog.clearCache()
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_heavy_key_job_count_tripwire(spark):
+    """Structural regression guard for the iterative/heavy keys: the VM's
+    wall-clock noise (2-10x between boots) makes timing-based detection
+    useless, but the NUMBER of Spark jobs a key launches is a stable
+    function of the plan + convergence rounds (AQE stage jobs included).
+    Bounds are measured-at-smoke + ~25% headroom — enough slack for a
+    regenerated corpus to cost one extra convergence batch, tight enough
+    that an unbatched probe loop, a lost checkpoint, or a de-broadcast
+    dictionary (each tens of extra jobs) trips the assert."""
+    bounds = {
+        "q_dedup_connected": 85,        # measured 69 @ probe_every=2
+        "q_dedup_connected_star": 90,   # measured 72
+        "q_dedup_minhash_lsh": 30,      # measured 21
+        "q_pipeline_corpus_clean": 45,  # measured 33
+        "q_dedup_representatives": 70,  # measured 53
+    }
+    over = {}
+    for key, bound in bounds.items():
+        n = _jobs_for(spark, key)
+        if n > bound:
+            over[key] = (n, bound)
+    assert not over, f"job-count regressions (got, bound): {over}"
