@@ -1,0 +1,244 @@
+"""Search / corpus-hygiene query keys (EXT: LLM-pipeline breadth).
+
+Three operators a training-data platform runs beside dedup:
+decontamination (eval-set n-gram overlap), ranked retrieval (BM25-style
+scoring), and inverted-index construction. All UDF-free Column
+expressions; every key carries a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+# Decontamination: the "benchmark" is the deterministic doc_id % 97 == 0
+# slice of the corpus (a stand-in for an eval set supplied as its own
+# table in production); overlap unit is the word 5-gram, the shingle
+# size in the n-gram-overlap decontamination literature.
+_DECON_MOD = 97
+_DECON_N = 5
+
+# DuckDB 5-gram list over `bag` (same construction as _NGRAM_TOKS for
+# trigrams in text_q.py): starts i = 1 .. len-4, inclusive-indexed.
+_DECON_GRAMS = (
+    "list_transform(range(1, len(bag) - 3), i -> "
+    "bag[i] || ' ' || bag[i+1] || ' ' || bag[i+2] || ' ' || bag[i+3]"
+    " || ' ' || bag[i+4])"
+)
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_DECON_GRAMS}) AS t(g)
+  WHERE len(bag) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM sh s JOIN ev USING (g)
+WHERE s.doc_id % {_DECON_MOD} <> 0
+GROUP BY s.doc_id
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training documents sharing any
+    word 5-gram with the benchmark slice, with the count of distinct
+    shared shingles — the n-gram-overlap contamination check LLM data
+    pipelines run before training (e.g. GPT-3 App. C / PaLM-style
+    13-gram checks, shrunk to 5 for this corpus's short doc lengths).
+
+    Scale shape: the EVAL side is tiny relative to the corpus (here the
+    1/97 slice; in production the benchmark table), so its distinct
+    shingle set BROADCASTS and the corpus side never shuffles shingle
+    strings — one map-side hash join, then a doc-id-keyed count. At
+    100 TB, hash the shingles (xxhash64) to shrink the broadcast; kept
+    as strings here for oracle parity."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _DECON_N))
+    sh = d.select("doc_id", F.explode(grams).alias("g"))
+    ev = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+# BM25-style ranked retrieval. The idf is the RATIONAL Robertson form
+# (N - df + 0.5) / (df + 0.5) WITHOUT the log: ln() is transcendental
+# and libm implementations differ in the last ulp across engines, while
+# +,*,/ on doubles are IEEE-exact — so the rational form keeps the key
+# bit-exact AND the ranking identical (log is monotone). k1/b are the
+# standard 1.2 / 0.75.
+_BM25_TERMS = ("join", "stream", "customer")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    per_term = []
+    for i, t in enumerate(_BM25_TERMS, start=1):
+        per_term.append(
+            f"len(list_filter(bag, x -> x = '{t}')) AS tf{i}"
+        )
+    tf_cols = ",\n         ".join(per_term)
+    score_terms = " + ".join(
+        f"""((CAST(s.n - d.df{i} AS DOUBLE) + 0.5) / (CAST(d.df{i} AS DOUBLE) + 0.5))
+        * ((CAST(b.tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0)) /
+           (CAST(b.tf{i} AS DOUBLE) + {_BM25_K1} *
+            (1.0 - {_BM25_B} + {_BM25_B} * (CAST(b.dl AS DOUBLE) / s.avgdl))))"""
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, len(bag) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents)
+  WHERE len(bag) > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM b
+),
+d AS (SELECT {df_cols} FROM b),
+scored AS (
+  SELECT b.doc_id,
+         {score_terms} AS score
+  FROM b, s, d
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+  FROM scored
+) WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@query("q_search_bm25", oracle=_bm25_oracle())
+def q_search_bm25(spark, sf_dir):
+    """BM25-style ranked retrieval for a fixed query over the corpus:
+    per-document term frequencies, corpus df/avgdl statistics, the
+    rational (log-free, identically-ranked, bit-exact) Robertson idf,
+    and the top-20 (score DESC, doc_id) results.
+
+    Scale shape: tf columns are per-row array expressions (no explode,
+    no shuffle); the corpus statistics reduce to ONE tiny row that
+    broadcasts back onto the scored relation; the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps + single merge), and the
+    rank window runs over the already-limited k rows, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+
+    def _eq(term):
+        # NOT `lambda x, t=term`: PySpark reads a 2-arg lambda as the
+        # (element, index) form and would bind `t` to the array index.
+        return lambda x: x == F.lit(term)
+
+    b = d.select(
+        "doc_id",
+        F.size(bag).alias("dl"),
+        *[
+            F.size(F.filter(bag, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, start=1)
+        ],
+    ).filter(F.col("dl") > 0)
+    stats = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(1, len(_BM25_TERMS) + 1)
+        ],
+    )
+    k1 = float(_BM25_K1)
+    bb = float(_BM25_B)
+    scored = b.join(F.broadcast(stats))
+    score = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        idf = ((F.col("n") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
+            F.col(f"df{i}").cast("double") + F.lit(0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        part = idf * (
+            (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - bb)
+                    + F.lit(bb) * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        )
+        score = part if score is None else score + part
+    top = (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "q_text_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents),
+       unnest(bag) AS t(tok)
+)
+SELECT tok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS total_tf,
+       array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ',')
+           AS sample_postings
+FROM tok
+GROUP BY tok
+""",
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per-token document frequency, total
+    term frequency, and a deterministic posting-list sample (the 5
+    smallest doc ids, comma-joined — sorted so collect_set's arbitrary
+    order never reaches the output).
+
+    Scale shape: one explode + one token-keyed aggregate with map-side
+    partials; postings stay bounded (top-5 sample) so no token's full
+    posting list ever materializes on one node — at 100 TB the full
+    postings would go straight to a token-bucketed parquet sink
+    instead (sources/sinks.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.bag_tokens("text")).alias("tok"))
+    return tok.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5)
+        ).alias("sample_postings"),
+    )

@@ -72,6 +72,8 @@ PRIORITY: list[str] = [
     "q_text_tokencount", "q_text_fingerprint", "q_text_repetition",
     "q_unpivot", "q_split_train_val", "q_sample_mixture",
     "q_sample_stratified", "q_pack_sequences", "q_shuffle_export",
+    # new in round 4 (search/corpus-hygiene breadth)
+    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
 ]
 
 
