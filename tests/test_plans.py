@@ -182,3 +182,21 @@ def test_heavy_key_job_count_tripwire(spark):
         if n > bound:
             over[key] = (n, bound)
     assert not over, f"job-count regressions (got, bound): {over}"
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast (map-side contamination probe)
+    — a SortMergeJoin would mean the corpus shuffles its shingles."""
+    plan = explain_str(_q("q_decontaminate", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bm25_is_topk_with_scalar_stats_broadcast(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), and the only nested-loop join allowed is the 1-row corpus
+    statistics broadcast."""
+    plan = explain_str(_q("q_search_bm25", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
