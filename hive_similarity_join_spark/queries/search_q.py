@@ -242,3 +242,59 @@ def q_text_inverted_index(spark, sf_dir):
             ",", F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5)
         ).alias("sample_postings"),
     )
+
+
+# RAG-style chunking: fixed token window with overlap. 32/8 fits this
+# corpus's short docs; production values (512/64) are the same plan.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = _CHUNK_SIZE - 8
+
+
+@query(
+    "q_docs_to_chunks",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+starts AS (
+  SELECT doc_id, bag, t.s
+  FROM bags, unnest(generate_series(0, len(bag) - 1, {_CHUNK_STRIDE})) AS t(s)
+  WHERE len(bag) > 0
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(bag, s + 1, s + {_CHUNK_SIZE})) AS BIGINT)
+           AS n_tokens,
+       array_to_string(list_slice(bag, s + 1, s + {_CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM starts
+""",
+)
+def q_docs_to_chunks(spark, sf_dir):
+    """Document chunking for RAG / context-window packing: split each
+    document's token stream into fixed-size windows with overlap
+    (size 32, stride 24 here; the plan is identical at 512/64). Emits
+    (doc_id, chunk_id, n_tokens, chunk_text); the trailing chunk keeps
+    whatever remains. Differs from q_pack_sequences (which concatenates
+    ACROSS documents): chunking preserves document boundaries, the
+    retrieval-indexing shape.
+
+    Scale shape: pure map-side — tokenize, sequence+explode the start
+    offsets, slice per chunk; no shuffle anywhere, parallelism is the
+    scan's. The generator runs inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    t = d.select("doc_id", bag.alias("bag")).filter(F.size("bag") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("bag") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("bag"), F.col("s") + 1, _CHUNK_SIZE)
+    return (
+        t.select("doc_id", "bag", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -41,3 +41,28 @@ def test_inverted_index_postings_bounded_and_sorted(spark):
         assert ids == sorted(ids)
         assert r.n_docs >= len(ids)
         assert r.total_tf >= r.n_docs
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    from hive_similarity_join_spark.queries.search_q import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    rows = QUERIES["q_docs_to_chunks"](spark, SF_SMOKE).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # chunk at start s holds min(SIZE, doclen - s) tokens, where
+        # doclen falls out of the LAST chunk (its start + its length)
+        doclen = (len(chunks) - 1) * _CHUNK_STRIDE + chunks[-1].n_tokens
+        for c in chunks:
+            start = c.chunk_id * _CHUNK_STRIDE
+            assert c.n_tokens == min(_CHUNK_SIZE, doclen - start)
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
+        # starts cover the whole doc: one chunk per stride window
+        assert len(chunks) == (doclen - 1) // _CHUNK_STRIDE + 1
