@@ -15,19 +15,20 @@ from hive_similarity_join_spark.functions import text as TX
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 
-# Decontamination: the "benchmark" is the deterministic doc_id % 97 == 0
+# Decontamination: the "benchmark" is the deterministic doc_id % 53 == 0
 # slice of the corpus (a stand-in for an eval set supplied as its own
-# table in production); overlap unit is the word 5-gram, the shingle
-# size in the n-gram-overlap decontamination literature.
-_DECON_MOD = 97
-_DECON_N = 5
+# table in production); overlap unit is the word 4-gram — production
+# checks use ~8-13-gram shingles, but this corpus's docs are short and
+# its vocab closed, so 4 keeps the flagged set non-trivial (18 docs at
+# sf0.01) without flagging everything.
+_DECON_MOD = 53
+_DECON_N = 4
 
-# DuckDB 5-gram list over `bag` (same construction as _NGRAM_TOKS for
-# trigrams in text_q.py): starts i = 1 .. len-4, inclusive-indexed.
+# DuckDB 4-gram list over `bag` (same construction as _NGRAM_TOKS for
+# trigrams in text_q.py): starts i = 1 .. len-3, inclusive-indexed.
 _DECON_GRAMS = (
-    "list_transform(range(1, len(bag) - 3), i -> "
-    "bag[i] || ' ' || bag[i+1] || ' ' || bag[i+2] || ' ' || bag[i+3]"
-    " || ' ' || bag[i+4])"
+    "list_transform(range(1, len(bag) - 2), i -> "
+    "bag[i] || ' ' || bag[i+1] || ' ' || bag[i+2] || ' ' || bag[i+3])"
 )
 
 
@@ -51,10 +52,11 @@ GROUP BY s.doc_id
 )
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: flag training documents sharing any
-    word 5-gram with the benchmark slice, with the count of distinct
+    word 4-gram with the benchmark slice, with the count of distinct
     shared shingles — the n-gram-overlap contamination check LLM data
     pipelines run before training (e.g. GPT-3 App. C / PaLM-style
-    13-gram checks, shrunk to 5 for this corpus's short doc lengths).
+    8-13-gram checks, shrunk to 4 for this corpus's short doc lengths
+    and closed vocabulary).
 
     Scale shape: the EVAL side is tiny relative to the corpus (here the
     1/97 slice; in production the benchmark table), so its distinct
