@@ -1,9 +1,10 @@
 """Search / corpus-hygiene query keys (EXT: LLM-pipeline breadth).
 
-Three operators a training-data platform runs beside dedup:
-decontamination (eval-set n-gram overlap), ranked retrieval (BM25-style
-scoring), and inverted-index construction. All UDF-free Column
-expressions; every key carries a bit-exact DuckDB oracle.
+Operators a training-data platform runs beside dedup: decontamination
+(eval-set n-gram overlap), ranked retrieval (BM25-style scoring),
+inverted-index construction, RAG-style chunking, and per-source corpus
+profiling. All UDF-free Column expressions; every key carries a
+bit-exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def q_decontaminate(spark, sf_dir):
     and closed vocabulary).
 
     Scale shape: the EVAL side is tiny relative to the corpus (here the
-    1/97 slice; in production the benchmark table), so its distinct
+    1/53 slice; in production the benchmark table), so its distinct
     shingle set BROADCASTS and the corpus side never shuffles shingle
     strings — one map-side hash join, then a doc-id-keyed count. At
     100 TB, hash the shingles (xxhash64) to shrink the broadcast; kept
@@ -299,4 +300,95 @@ def q_docs_to_chunks(spark, sf_dir):
             F.size(chunk).cast("bigint").alias("n_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
         )
+    )
+
+
+@query(
+    "q_corpus_profile",
+    oracle="""
+WITH bags AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS bag
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, len(bag) AS n_tokens, bag,
+         CAST(round((0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))
+          + 0.3 * least(len(bag) / 50.0, 1.0)
+          + 0.2 * (1.0 - CAST(len(list_filter(bag, x ->
+                list_contains(['a', 'the'], x))) AS DOUBLE) / len(bag)))
+          * 1000000) AS BIGINT) AS q_e6
+  FROM bags WHERE len(bag) > 0
+),
+tok AS (
+  SELECT source, t.tok, count(*) AS tf
+  FROM scored, unnest(bag) AS t(tok)
+  GROUP BY 1, 2
+),
+toptok AS (
+  SELECT source, tok AS top_token FROM (
+    SELECT source, tok,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY tf DESC, tok) AS rn
+    FROM tok
+  ) WHERE rn = 1
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sum(s.q_e6) AS DOUBLE) / count(*)) AS BIGINT)
+           AS avg_quality_e6,
+       median(s.n_tokens) AS median_tokens,
+       any_value(t.top_token) AS top_token
+FROM scored s JOIN toptok t USING (source)
+GROUP BY s.source
+""",
+)
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus profile — the domain report a mixture-weighting
+    step consumes: document count, mean quality (micro-units: each
+    double score rounds to an int BEFORE summing, so the mean is exact
+    integer arithmetic on both engines — summing raw doubles would be
+    association-order-dependent), median token count (integral; the
+    even-count midpoint stays representable), and the deterministic
+    top token (tf DESC, token ASC tie-break).
+
+    Scale shape: one explode + (source, token)-keyed count with map-side
+    partials, a source-partitioned top-1 window over the (tiny)
+    aggregated relation, and a doc-sized profile aggregate — no
+    all-pairs anything; every shuffle key is bounded by vocab x sources
+    or by sources."""
+    from hive_similarity_join_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        bag.alias("bag"),
+        F.size(bag).alias("n_tokens"),
+        F.round(quality_score("text") * 1_000_000, 0).cast("bigint").alias("q_e6"),
+    ).filter(F.col("n_tokens") > 0)
+    tok = (
+        scored.select("source", F.explode("bag").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("tok"))
+    toptok = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("tok").alias("top_token"))
+    )
+    prof = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # floor, not a bare bigint cast: Spark truncates double->long
+        # while DuckDB rounds; floor of the identical IEEE quotient is
+        # engine-portable.
+        F.floor(F.sum("q_e6").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_quality_e6"),
+        F.median("n_tokens").alias("median_tokens"),
+    )
+    return prof.join(F.broadcast(toptok), "source").select(
+        "source", "n_docs", "avg_quality_e6", "median_tokens", "top_token"
     )
