@@ -302,3 +302,164 @@ def q_dedup_representatives(spark, sf_dir):
             F.col("quality").alias("rep_quality"),
         )
     )
+
+
+def _duck_minhash_estimate_oracle() -> str:
+    """DuckDB mirror of q_minhash_estimate: same permutation CTEs as
+    duck_minhash_oracle, but candidates are NOT threshold-filtered and
+    the output carries both the signature ESTIMATE (matching mins / 16,
+    exact binary arithmetic) and the exact Jaccard, plus |est - exact|."""
+    from hive_similarity_join_spark.operators.dedup import (
+        NUM_PERM,
+        P_MOD,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+    )
+
+    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
+tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
+perms AS (
+  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
+  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
+),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
+  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
+         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id1, c.id2,
+         CAST(sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS DOUBLE)
+             / {NUM_PERM} AS est_sim
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id1
+  JOIN sig y ON y.doc_id = c.id2 AND y.i = x.i
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS i
+  FROM cand c JOIN tok x ON x.doc_id = c.id1 JOIN tok y
+    ON y.doc_id = c.id2 AND y.tok = x.tok
+  GROUP BY 1, 2
+)
+SELECT e.id1, e.id2, e.est_sim,
+       CAST(coalesce(i.i, 0) AS DOUBLE)
+           / (s1.n + s2.n - coalesce(i.i, 0)) AS exact_sim,
+       abs(e.est_sim - CAST(coalesce(i.i, 0) AS DOUBLE)
+           / (s1.n + s2.n - coalesce(i.i, 0))) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+JOIN sz s1 ON s1.doc_id = e.id1
+JOIN sz s2 ON s2.doc_id = e.id2
+"""
+
+
+@query("q_minhash_estimate", oracle=_duck_minhash_estimate_oracle())
+def q_minhash_estimate(spark, sf_dir):
+    """Sketch-accuracy audit: for every LSH candidate pair (no threshold
+    filter), the MinHash signature ESTIMATE of Jaccard (matching mins /
+    NUM_PERM — exact binary arithmetic, so still bit-exact across
+    engines) beside the exact Jaccard and their absolute error. This is
+    the report a pipeline runs to validate a sketch configuration
+    against ground truth on a sample before trusting it at full scale.
+
+    Scale shape: identical to q_dedup_minhash_lsh (banded candidates
+    bound the pair space; signatures are NUM_PERM longs per doc); the
+    estimate adds only a wide-row comparison of already-carried
+    signature columns — no extra shuffle."""
+    from hive_similarity_join_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", with_rank_arrays=True)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("_band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"_h{b * ROWS_PER_BAND + j + 1}").cast("string")
+                    for j in range(ROWS_PER_BAND)
+                ],
+            ).alias("_bsig"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select(
+        "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bsig").alias("_bsig")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = bands.select(
+        F.col("_id").alias("id1"), "_band", "_bsig"
+    ).repartition(n_part, "_band", "_bsig")
+    b = bands.select(
+        F.col("_id").alias("id2"),
+        F.col("_band").alias("_band2"),
+        F.col("_bsig").alias("_bsig2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_band") == F.col("_band2"))
+            & (F.col("_bsig") == F.col("_bsig2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2")
+        .repartition(n_part, "id1", "id2")
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col("_id").alias("id1"),
+        F.col("_rks").alias("_rks1"),
+        *[F.col(f"_h{i}").alias(f"_h{i}_1") for i in range(1, NUM_PERM + 1)],
+    )
+    s2 = sigs.select(
+        F.col("_id").alias("id2"),
+        F.col("_rks").alias("_rks2"),
+        *[F.col(f"_h{i}").alias(f"_h{i}_2") for i in range(1, NUM_PERM + 1)],
+    )
+    matches = None
+    for i in range(1, NUM_PERM + 1):
+        m = F.when(F.col(f"_h{i}_1") == F.col(f"_h{i}_2"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = matches.cast("double") / F.lit(NUM_PERM)
+    inter = F.size(F.array_intersect("_rks1", "_rks2")).cast("double")
+    union = (F.size("_rks1") + F.size("_rks2")).cast("double") - inter
+    exact = inter / union
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            est.alias("est_sim"),
+            exact.alias("exact_sim"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

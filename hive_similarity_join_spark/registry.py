@@ -74,7 +74,7 @@ PRIORITY: list[str] = [
     "q_sample_stratified", "q_pack_sequences", "q_shuffle_export",
     # new in round 4 (search/corpus-hygiene breadth)
     "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-    "q_docs_to_chunks", "q_corpus_profile",
+    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
 ]
 
 
