@@ -1,0 +1,86 @@
+"""Incremental decontamination over a document stream — the streaming
+mirror of the batch ``q_decontaminate`` key: every micro-batch of
+training documents is screened against a FIXED eval/benchmark shingle
+set, contaminated docs are quarantined, and clean docs flow to the
+training corpus sink.
+
+Built on ``foreachBatch`` (like streaming/incremental_dedup.py): the
+eval shingle set is computed once up front, is tiny relative to the
+corpus (a benchmark, not a crawl), and BROADCASTS into every batch's
+map-side hash join — so each micro-batch costs one scan of itself plus
+a doc-id-keyed count, never a corpus-sized shuffle. At 100 TB of
+stream, hash the shingles (xxhash64) to shrink the broadcast further.
+
+At-least-once semantics on restart (a re-processed epoch re-appends);
+dedup the sink on doc_id downstream (q_dedup_latest is the batch
+reconciliation tool).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+
+
+def eval_shingles(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Distinct word n-gram set of the benchmark corpus: one column
+    ``g``. Compute once; small enough to broadcast."""
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
+    return eval_docs.select(F.explode(grams).alias("g")).distinct()
+
+
+def screen_batch(
+    batch: DataFrame,
+    ev_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, contaminated): pure batch function, unit-testable without
+    a stream. ``contaminated`` carries the shared-shingle count."""
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
+    sh = batch.select(F.col(id_col), F.explode(grams).alias("g"))
+    hits = (
+        sh.join(F.broadcast(ev_shingles), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+    contaminated = batch.join(hits, id_col)
+    clean = batch.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated
+
+
+def incremental_decontaminate(
+    stream: DataFrame,
+    ev_shingles: DataFrame,
+    clean_dir: str,
+    quarantine_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    checkpoint_dir: str | None = None,
+):
+    """Start the streaming query; returns the StreamingQuery handle.
+
+    Clean docs append to ``clean_dir``; contaminated docs (with their
+    shared-shingle counts) append to ``quarantine_dir`` for review —
+    dropping data silently is never the pipeline's call to make.
+    """
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        clean, contaminated = screen_batch(
+            batch, ev_shingles, id_col, text_col, n
+        )
+        clean.write.mode("append").parquet(clean_dir)
+        contaminated.write.mode("append").parquet(quarantine_dir)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
