@@ -75,6 +75,8 @@ def main() -> None:
         "q_tpch_q18",
         "q_pipeline_corpus_clean",
         "q_stream_session",
+        "q_decontaminate",
+        "q_search_bm25",
     ]
     print(
         json.dumps(
