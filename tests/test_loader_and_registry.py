@@ -40,3 +40,37 @@ def test_view_registration(spark):
     got = spark.sql("SELECT count(*) AS c FROM lineitem").collect()[0].c
     assert got == 6000
     assert set(TABLES) <= {t.name for t in spark.catalog.listTables()}
+
+
+def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(MICROS) (rounds 3-4); the loader keeps a
+    leg for each. The MICROS leg is exercised by every events key on
+    current testdata — this pins the NANOS leg so a flip back never
+    lands on dead code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_similarity_join_spark.sources.loader import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, tmp_path / "events.parquet")
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [
+        r.micros
+        for r in df.selectExpr("unix_micros(ts) AS micros")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == micros
