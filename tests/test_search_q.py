@@ -66,3 +66,60 @@ def test_chunks_cover_all_tokens_with_overlap(spark):
             assert len(c.chunk_text.split(" ")) == c.n_tokens
         # starts cover the whole doc: one chunk per stride window
         assert len(chunks) == (doclen - 1) // _CHUNK_STRIDE + 1
+
+
+def test_decontamination_matches_brute_force_on_random_corpora(spark):
+    """Property test: the broadcast-join screening equals a pure-Python
+    n-gram-overlap model — flagged docs share >= 1 eval shingle with the
+    exact shared-count, unflagged docs share none. Randomized corpora
+    cover short docs (< n tokens), duplicate docs, and eval/train
+    boundary cases the fixed fixture can't enumerate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hive_similarity_join_spark.streaming.incremental_decontaminate import (
+        eval_shingles,
+        screen_batch,
+    )
+
+    N = 3
+    alphabet = ["a", "b", "c", "d"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(alphabet), min_size=0, max_size=8),
+        min_size=2,
+        max_size=10,
+    )
+
+    def model(docs):
+        grams = [
+            {" ".join(d[i : i + N]) for i in range(len(d) - N + 1)}
+            for d in docs
+        ]
+        ev = set().union(*(g for i, g in enumerate(grams) if i % 3 == 0), set())
+        return {
+            i: len(g & ev)
+            for i, g in enumerate(grams)
+            if i % 3 != 0 and g & ev
+        }
+
+    @given(corpus_strategy)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(docs):
+        rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = df.filter(F.col("doc_id") % 3 == 0)
+        train = df.filter(F.col("doc_id") % 3 != 0)
+        _, contaminated = screen_batch(
+            train, eval_shingles(ev, n=N), n=N
+        )
+        got = {
+            r.doc_id: r.n_shared_ngrams
+            for r in contaminated.select("doc_id", "n_shared_ngrams").collect()
+        }
+        assert got == model(docs)
+
+    check()
