@@ -41,40 +41,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-4 window (positions 1-50) ----
-    # Events-table keys first: the round-3 testdata flipped events.ts
-    # NANOS->MICROS and none of these have a driver verdict on the new
-    # physical schema (loader branches on read dtype, loader.py).
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_win_lag", "q_json_get", "q_join_asof", "q_join_range",
-    "q_dedup_latest", "q_funnel_stages", "q_pivot",
-    # Oldest verdicts next: r1-only keys (no driver check since round 1).
-    # Six similarity keys that share the r3-green flagship kernel path
-    # (dice/cosine/grouped/bag/edit_scalable/overlap twins) are deferred
-    # past the 50-cut to make room; they follow immediately below.
-    "q_simjoin_edit", "q_simjoin_topk", "q_simjoin_overlap",
-    "q_simjoin_bag_jaccard",
-    "q_scan_project", "q_filter_pred", "q_case_when", "q_cast",
-    "q_join_inner", "q_join_left", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_broadcast", "q_join_theta", "q_join_multikey",
-    "q_agg_global", "q_agg_groupby", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_groupingsets",
-    "q_agg_cube", "q_agg_median", "q_agg_percentiles", "q_agg_histogram",
-    "q_win_rownum", "q_win_agg", "q_win_frame", "q_win_rankfuncs",
-    "q_orderby_limit", "q_union", "q_setops", "q_except", "q_distinct",
-    "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
-    "q_vec_cosine",
-    # ---- positions 51+ (round-5 head candidates) ----
-    # Deferred kernel-twin similarity keys + r2-era keys on stable tables.
+    # ---- round-5 window (positions 1-50) ----
+    # The 6 round-4 keys with NO driver verdict yet, first.
+    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
+    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+    # r1-era verdicts (no driver check since round 1): 4 keys.
     "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
     "q_simjoin_edit_scalable",
+    # r2-era verdicts: 13 keys.
     "q_vec_l2", "q_vec_centroid", "q_text_langid", "q_text_quality",
     "q_text_tokencount", "q_text_fingerprint", "q_text_repetition",
     "q_unpivot", "q_split_train_val", "q_sample_mixture",
     "q_sample_stratified", "q_pack_sequences", "q_shuffle_export",
-    # new in round 4 (search/corpus-hygiene breadth)
-    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+    # Backfill (27 r3-era keys): the similarity/dedup/CC/kNN paths this
+    # round's perf work touches, so their verdicts refresh on the new
+    # code; then the remaining r3 text/relational stragglers. The 22
+    # TPC-H keys + q_multimodal_resize keep their r3 verdicts and are
+    # the natural round-6 window.
+    "q_simjoin_jaccard_self", "q_simjoin_jaccard_rs",
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram",
+    "q_dedup_minhash_lsh", "q_text_simhash",
+    "q_dedup_connected", "q_dedup_connected_star",
+    "q_dedup_representatives",
+    "q_dedup_embedding", "q_dedup_embedding_lsh",
+    "q_vec_knn", "q_vec_knn_ann", "q_vec_knn_ivf", "q_knn_topk",
+    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
+    "q_agg_collect", "q_array_funcs", "q_agg_argmax", "q_lateral_explode",
+    "q_multimodal_bytes", "q_multimodal_decode", "q_multimodal_features",
+    "q_multimodal_frames",
 ]
 
 
@@ -94,5 +88,12 @@ def load_registry() -> None:
     if _loaded:
         return
     import hive_similarity_join_spark.queries  # noqa: F401
+
+    # A typo'd / renamed PRIORITY entry would otherwise silently shift
+    # the driver's 50-key CORRECTNESS window (ordered() skips unknowns).
+    stale = [k for k in PRIORITY if k not in QUERIES]
+    assert not stale, f"PRIORITY names not in QUERIES: {stale}"
+    dupes = [k for k in PRIORITY if PRIORITY.count(k) > 1]
+    assert not dupes, f"duplicate PRIORITY entries: {sorted(set(dupes))}"
 
     _loaded = True

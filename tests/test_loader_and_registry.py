@@ -33,6 +33,20 @@ def test_registry_contract(spark):
     assert {"l_returnflag", "l_linestatus", "sum_qty", "cnt"} <= cols
 
 
+def test_priority_window_resolves():
+    """Every PRIORITY name must be a registered key (a typo would
+    silently shift the driver's 50-key CORRECTNESS window), the head
+    must be duplicate-free, and it must fill the full 50-key window."""
+    from hive_similarity_join_spark.registry import PRIORITY, ordered
+
+    load_registry()
+    assert set(PRIORITY) <= set(QUERIES), sorted(set(PRIORITY) - set(QUERIES))
+    assert len(PRIORITY) == len(set(PRIORITY))
+    assert len(PRIORITY) >= 50
+    head = list(ordered(QUERIES))[: len(PRIORITY)]
+    assert head == PRIORITY
+
+
 def test_view_registration(spark):
     from hive_similarity_join_spark.sources.loader import register_views
 
