@@ -49,18 +49,25 @@ def main() -> None:
     # Full per-key timings go to BENCH_LOCAL.json; the stdout line stays
     # compact (round 1's 3.5 KB line overflowed the driver's tail capture
     # -> BENCH_r01 "parsed": null). Headline keys only.
-    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
-        json.dumps(
-            {
-                "metric": "wall_clock_all_query_keys",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            indent=1,
-        )
+    payload = json.dumps(
+        {
+            "metric": "wall_clock_all_query_keys",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        indent=1,
     )
+    here = Path(__file__).resolve().parent
+    (here / "BENCH_LOCAL.json").write_text(payload)
+    # `--record` = the builder's same-boot recording (the one BASELINE.md
+    # cites). The driver's harness invokes plain `python bench.py` and so
+    # only ever rewrites BENCH_LOCAL.json — BENCH_BOOT.json survives the
+    # round boundary (rounds 3 and 4 both lost the builder's recording to
+    # the driver's clobber of BENCH_LOCAL.json).
+    if "--record" in sys.argv[1:]:
+        (here / "BENCH_BOOT.json").write_text(payload)
     headline = [
         "q_simjoin_jaccard_self",
         "q_simjoin_topk",

@@ -54,6 +54,14 @@ def stopword_ratio(tokens_bag: Column) -> Column:
     return n_stop.cast("double") / F.size(tokens_bag).cast("double")
 
 
+# Quality heuristic constants — shared by quality_score (Spark) and
+# duck_quality (oracle) so both engines read ONE definition.
+QUALITY_W_DISTINCT = 0.5
+QUALITY_W_LENGTH = 0.3
+QUALITY_W_STOP = 0.2
+QUALITY_LEN_NORM = 50.0
+
+
 def quality_score(text_col: Column | str) -> Column:
     """Deterministic quality heuristic in [0, ~1]: rewards vocabulary
     diversity and moderate length, penalizes stopword share. Pure
@@ -62,11 +70,13 @@ def quality_score(text_col: Column | str) -> Column:
     distinct_ratio = F.size(F.array_distinct(bag)).cast("double") / F.size(bag).cast(
         "double"
     )
-    length_factor = F.least(F.size(bag).cast("double") / F.lit(50.0), F.lit(1.0))
+    length_factor = F.least(
+        F.size(bag).cast("double") / F.lit(QUALITY_LEN_NORM), F.lit(1.0)
+    )
     return (
-        F.lit(0.5) * distinct_ratio
-        + F.lit(0.3) * length_factor
-        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio(bag))
+        F.lit(QUALITY_W_DISTINCT) * distinct_ratio
+        + F.lit(QUALITY_W_LENGTH) * length_factor
+        + F.lit(QUALITY_W_STOP) * (F.lit(1.0) - stopword_ratio(bag))
     )
 
 
@@ -112,3 +122,18 @@ def duck_bag(text_ref: str = "text") -> str:
 
 def duck_set(text_ref: str = "text") -> str:
     return f"list_distinct({duck_bag(text_ref)})"
+
+
+def duck_quality(bag_ref: str = "bag") -> str:
+    """DuckDB mirror of ``quality_score`` over an already-computed bag
+    column — the ONE oracle-side definition (weights, length norm, and
+    STOPWORDS come from the same constants as the Spark side, so an
+    edit there cannot silently desync an oracle)."""
+    stop = duck_list(STOPWORDS)
+    return (
+        f"{QUALITY_W_DISTINCT} * (CAST(len(list_distinct({bag_ref})) AS DOUBLE)"
+        f" / len({bag_ref}))"
+        f" + {QUALITY_W_LENGTH} * least(len({bag_ref}) / {QUALITY_LEN_NORM}, 1.0)"
+        f" + {QUALITY_W_STOP} * (1.0 - CAST(len(list_filter({bag_ref},"
+        f" x -> list_contains({stop}, x))) AS DOUBLE) / len({bag_ref}))"
+    )

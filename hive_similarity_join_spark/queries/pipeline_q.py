@@ -251,13 +251,7 @@ CLEAN_NEAR_T = 0.9
 def _quality_sql() -> str:
     from hive_similarity_join_spark.functions import text as TX
 
-    stop = TX.duck_list(TX.STOPWORDS)
-    return (
-        "0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))"
-        " + 0.3 * least(len(bag) / 50.0, 1.0)"
-        f" + 0.2 * (1.0 - CAST(len(list_filter(bag, x -> list_contains({stop}, x)))"
-        " AS DOUBLE) / len(bag))"
-    )
+    return TX.duck_quality("bag")
 
 
 def _clean_oracle() -> str:

@@ -305,18 +305,14 @@ def q_docs_to_chunks(spark, sf_dir):
 
 @query(
     "q_corpus_profile",
-    oracle="""
+    oracle=f"""
 WITH bags AS (
-  SELECT doc_id, source,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS bag
+  SELECT doc_id, source, {TX.duck_bag()} AS bag
   FROM documents
 ),
 scored AS (
   SELECT doc_id, source, len(bag) AS n_tokens, bag,
-         CAST(round((0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))
-          + 0.3 * least(len(bag) / 50.0, 1.0)
-          + 0.2 * (1.0 - CAST(len(list_filter(bag, x ->
-                list_contains(['a', 'the'], x))) AS DOUBLE) / len(bag)))
+         CAST(round(({TX.duck_quality("bag")})
           * 1000000) AS BIGINT) AS q_e6
   FROM bags WHERE len(bag) > 0
 ),

@@ -63,10 +63,7 @@ SELECT doc_id,
        CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag) AS distinct_ratio,
        CAST(len(list_filter(bag, x -> list_contains({TX.duck_list(TX.STOPWORDS)}, x)))
             AS DOUBLE) / len(bag) AS stop_ratio,
-       0.5 * (CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag))
-     + 0.3 * least(len(bag) / 50.0, 1.0)
-     + 0.2 * (1.0 - CAST(len(list_filter(bag, x ->
-              list_contains({TX.duck_list(TX.STOPWORDS)}, x))) AS DOUBLE) / len(bag))
+       {TX.duck_quality("bag")}
          AS quality
 FROM t WHERE len(bag) > 0
 """,
@@ -84,10 +81,13 @@ def q_text_quality(spark, sf_dir):
         ),
         TX.stopword_ratio(bagc).alias("stop_ratio"),
         (
-            F.lit(0.5) * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
-            + F.lit(0.3)
-            * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
-            + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
+            F.lit(TX.QUALITY_W_DISTINCT)
+            * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
+            + F.lit(TX.QUALITY_W_LENGTH)
+            * F.least(
+                F.size(bagc).cast("double") / F.lit(TX.QUALITY_LEN_NORM), F.lit(1.0)
+            )
+            + F.lit(TX.QUALITY_W_STOP) * (F.lit(1.0) - TX.stopword_ratio(bagc))
         ).alias("quality"),
     )
 

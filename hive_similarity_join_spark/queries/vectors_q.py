@@ -25,6 +25,28 @@ DEDUP_COS_T = 0.3  # synthetic embeddings are near-orthogonal; 0.3 -> ~1k pairs
 EXACT_DEDUP_MAX_ROWS = 100_000  # exact all-pairs dedup cap: ~100k x 64 doubles
 
 
+def _corpus_rows(sf_dir: str) -> int | None:
+    """Embeddings row count from parquet FOOTER metadata — no Spark job
+    and no data scan (footers carry exact counts; at cluster scale this
+    is the catalog-statistics lookup). None if the layout is unreadable,
+    in which case the caller falls back to a LIMIT-bounded count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _pairs(spark, sf_dir, probe_pred=None):
     """(probe side a, corpus side b). The streamed (non-broadcast) side
     is explicitly repartitioned: a nested-loop pair join's OUTPUT is
@@ -164,15 +186,18 @@ def q_dedup_embedding(spark, sf_dir):
     baseline, guarded so it cannot become a quadratic trap: the
     operator refuses corpora past EXACT_DEDUP_MAX_ROWS with a pointer
     to its scale twin q_dedup_embedding_lsh (hyperplane-LSH blocking,
-    operators/knn.py). The guard count is LIMIT-bounded (cap+1 rows),
-    so probing the size costs O(cap) scan work however large the
-    corpus is — never a full count. Past the cap the key RAISES (the
-    driver records an error, not a skip) — deliberate: a silent
-    fallback would misreport which algorithm produced the rows.
-    Within the cap the result is exact and identical to the LSH
-    twin's verify measure."""
+    operators/knn.py). The guard reads the row count from parquet
+    FOOTER metadata (zero Spark jobs, zero data scan — the catalog-
+    statistics lookup at cluster scale); only an unreadable layout
+    falls back to a LIMIT-bounded cap+1 count. Past the cap the key
+    RAISES, so the driver records an ERROR for this key, not a skip —
+    deliberate: a silent fallback would misreport which algorithm
+    produced the rows. Within the cap the result is exact and
+    identical to the LSH twin's verify measure."""
     a, b = _pairs(spark, sf_dir)
-    n = a.limit(EXACT_DEDUP_MAX_ROWS + 1).count()
+    n = _corpus_rows(sf_dir)
+    if n is None:
+        n = a.limit(EXACT_DEDUP_MAX_ROWS + 1).count()
     if n > EXACT_DEDUP_MAX_ROWS:
         raise ValueError(
             f"exact all-pairs dedup refused: corpus exceeds "

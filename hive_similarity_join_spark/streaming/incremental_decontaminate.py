@@ -35,22 +35,40 @@ def eval_shingles(
     return eval_docs.select(F.explode(grams).alias("g")).distinct()
 
 
+def screen_hits(
+    batch: DataFrame,
+    ev_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """(id, n_shared_ngrams) for every contaminated doc — the expensive
+    part of the screen (tokenize, n-gram explode, broadcast join),
+    factored out so a caller fanning out to several sinks can persist
+    this doc-id-sized relation instead of re-running it per action."""
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
+    sh = batch.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (
+        sh.join(F.broadcast(ev_shingles), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
 def screen_batch(
     batch: DataFrame,
     ev_shingles: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 4,
+    hits: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, contaminated): pure batch function, unit-testable without
-    a stream. ``contaminated`` carries the shared-shingle count."""
-    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
-    sh = batch.select(F.col(id_col), F.explode(grams).alias("g"))
-    hits = (
-        sh.join(F.broadcast(ev_shingles), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
-    )
+    a stream. ``contaminated`` carries the shared-shingle count. Pass a
+    (possibly persisted) ``hits`` relation to reuse one screen pass
+    across both outputs."""
+    if hits is None:
+        hits = screen_hits(batch, ev_shingles, id_col, text_col, n)
     contaminated = batch.join(hits, id_col)
     clean = batch.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated
@@ -74,11 +92,22 @@ def incremental_decontaminate(
     """
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        clean, contaminated = screen_batch(
-            batch, ev_shingles, id_col, text_col, n
-        )
-        clean.write.mode("append").parquet(clean_dir)
-        contaminated.write.mode("append").parquet(quarantine_dir)
+        # The two sink writes are separate actions: without reuse, the
+        # tokenize, 4-gram explode, and broadcast join would all run
+        # twice per epoch (cost, not correctness — classification is
+        # deterministic). Persist the doc-id-sized hits relation, not
+        # the batch itself: at stream scale the raw batch may not fit
+        # storage memory, while hits is bounded by the contaminated
+        # doc count.
+        hits = screen_hits(batch, ev_shingles, id_col, text_col, n).persist()
+        try:
+            clean, contaminated = screen_batch(
+                batch, ev_shingles, id_col, text_col, n, hits=hits
+            )
+            clean.write.mode("append").parquet(clean_dir)
+            contaminated.write.mode("append").parquet(quarantine_dir)
+        finally:
+            hits.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -165,16 +165,23 @@ def test_heavy_key_job_count_tripwire(spark):
     wall-clock noise (2-10x between boots) makes timing-based detection
     useless, but the NUMBER of Spark jobs a key launches is a stable
     function of the plan + convergence rounds (AQE stage jobs included).
-    Bounds are measured-at-smoke + ~25% headroom — enough slack for a
-    regenerated corpus to cost one extra convergence batch, tight enough
-    that an unbatched probe loop, a lost checkpoint, or a de-broadcast
-    dictionary (each tens of extra jobs) trips the assert."""
+    Bound derivation: non-iterative keys get measured-at-smoke + ~25%
+    headroom. The ITERATIVE keys additionally get an explicit allowance
+    of EXTRA_BATCHES convergence batches at JOBS_PER_CC_BATCH jobs each
+    (checkpoint + convergence count + occasional anti-join probe), so a
+    round-boundary corpus whose pair graph legitimately needs a few more
+    batches is NOT a false failure, while an unbatched probe loop, a
+    lost checkpoint, or a de-broadcast dictionary (each tens of extra
+    jobs) still trips the assert."""
+    JOBS_PER_CC_BATCH = 3
+    EXTRA_BATCHES = 3
+    slack = JOBS_PER_CC_BATCH * EXTRA_BATCHES
     bounds = {
-        "q_dedup_connected": 85,        # measured 69 @ probe_every=2
-        "q_dedup_connected_star": 90,   # measured 72
-        "q_dedup_minhash_lsh": 30,      # measured 21
-        "q_pipeline_corpus_clean": 45,  # measured 33
-        "q_dedup_representatives": 70,  # measured 53
+        "q_dedup_connected": 80 + slack,       # measured 69 @ probe_every=2
+        "q_dedup_connected_star": 83 + slack,  # measured 72
+        "q_dedup_minhash_lsh": 30,             # measured 21 (non-iterative)
+        "q_pipeline_corpus_clean": 45,         # measured 33 (non-iterative)
+        "q_dedup_representatives": 61 + slack,  # measured 53
     }
     over = {}
     for key, bound in bounds.items():
