@@ -1,0 +1,322 @@
+"""Privacy & contamination hygiene query keys (EXT: LLM-pipeline
+breadth, round 5).
+
+The operators a training-data platform runs between crawling and
+training, beyond dedup/decontamination (search_q.py): PII redaction,
+cross-document boilerplate detection, the per-document contamination
+REPORT (fraction, not just a flag), temperature-flattened mixture
+resampling, and the hashed-shingle decontamination variant (the
+smaller-broadcast 100 TB form of q_decontaminate). All UDF-free Column
+expressions; every key carries a bit-exact DuckDB oracle.
+
+Bit-exactness devices used here (see queries/tpch_q.py header for the
+general rules): md5-derived integers (identical hex on both engines,
+60-bit prefixes fit BIGINT exactly), sqrt (IEEE-correctly-rounded on
+both engines, unlike log/pow), and exact double division of integral
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+
+
+def _duck_grams(n: int) -> str:
+    """DuckDB word n-gram list over a ``bag`` column — same construction
+    as search_q._DECON_GRAMS (n=4) generalized: starts i = 1 ..
+    len(bag)-n+1, inclusive-indexed; empty for docs shorter than n."""
+    parts = " || ' ' || ".join(f"bag[i+{k}]" if k else "bag[i]" for k in range(n))
+    return f"list_transform(range(1, len(bag) - {n - 2}), i -> {parts})"
+
+
+# ---------------------------------------------------------------- PII
+
+@query(
+    "q_pii_redact",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(
+           regexp_replace(c_name, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+           '[0-9]+', 'X', 'g') AS name_redacted,
+       CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digits
+FROM customer
+""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction pass: scrub identifier-like substrings from a text
+    column before it can enter a training corpus — here email-shaped
+    spans then digit runs on customer names (the redaction chain a
+    production pipeline extends with phone/SSN/address patterns; each
+    added pattern is one more regexp_replace in the same projection).
+    Emits the redacted text plus the redacted-digit count for audit.
+
+    Scale shape: pure map-side — a chain of regexp_replace inside
+    whole-stage codegen, zero shuffles, parallelism is the scan's. The
+    regexes use the portable character-class subset (identical
+    semantics in Java regex and DuckDB's RE2)."""
+    c = load_table(spark, sf_dir, "customer")
+    no_email = F.regexp_replace(
+        F.col("c_name"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(no_email, "[0-9]+", "X").alias("name_redacted"),
+        F.length(F.regexp_replace(F.col("c_name"), "[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digits"),
+    )
+
+
+# ------------------------------------------------------- boilerplate
+
+_BOILER_N = 8
+_BOILER_MIN_DOCS = 2
+
+
+@query(
+    "q_boilerplate_passages",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_duck_grams(_BOILER_N)}) AS t(g)
+  WHERE len(bag) >= {_BOILER_N}
+)
+SELECT g AS passage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS example_doc
+FROM sh GROUP BY g HAVING count(*) >= {_BOILER_MIN_DOCS}
+""",
+)
+def q_boilerplate_passages(spark, sf_dir):
+    """Cross-document boilerplate detection (C4/CCNet-style): word
+    8-gram passages appearing verbatim in >=2 DISTINCT
+    documents, with the document count and an example doc id. The
+    output is the blocklist a cleaning pass subtracts (navigation
+    chrome, license banners, templated headers duplicate verbatim
+    across pages; prose does not).
+
+    Scale shape: per-doc array_distinct BEFORE the explode makes the
+    groupBy a plain count (no count-distinct shuffle), with map-side
+    partial aggregation on the passage key; output is bounded by the
+    corpus's repeated-passage structure, never pairwise. At 100 TB,
+    hash the passages (md5 prefix, as q_decontaminate_hashed does) and
+    sink the full list bucketed by hash."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _BOILER_N))
+    sh = d.select("doc_id", F.explode(grams).alias("g"))
+    return (
+        sh.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select(F.col("g").alias("passage"), "n_docs", "example_doc")
+    )
+
+
+# --------------------------------------------- contamination report
+
+_CONTAM_FLAG_T = 0.1
+
+
+@query(
+    "q_contamination_report",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_duck_grams(_DECON_N)}) AS t(g)
+  WHERE len(bag) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM sh
+  WHERE doc_id % {_DECON_MOD} <> 0 GROUP BY doc_id
+),
+hit AS (
+  SELECT s.doc_id, count(*) AS n_shared
+  FROM sh s JOIN ev USING (g)
+  WHERE s.doc_id % {_DECON_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(h.n_shared, 0) AS DOUBLE) / t.n_grams
+           AS contamination_frac,
+       CAST(CASE WHEN CAST(coalesce(h.n_shared, 0) AS DOUBLE) / t.n_grams
+                 >= {_CONTAM_FLAG_T} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM tot t LEFT JOIN hit h USING (doc_id)
+""",
+)
+def q_contamination_report(spark, sf_dir):
+    """Per-document contamination REPORT — the operational extension of
+    the binary q_decontaminate screen: for EVERY training document, its
+    distinct-shingle count, how many shingles the eval set shares, the
+    overlap fraction, and a review flag at 0.1. A pipeline
+    triages by fraction (drop / review / keep) rather than dropping on
+    any single shared shingle.
+
+    Scale shape: identical to q_decontaminate — the eval shingle set
+    broadcasts, the corpus never shuffles shingle strings; the report
+    adds only a doc-id-keyed total-count aggregate and a node-sized
+    left join. Fraction is exact double division of integral counts;
+    the flag is emitted as 0/1 BIGINT so the hash compare never sees
+    engine boolean encodings."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _DECON_N))
+    sh = d.select("doc_id", F.explode(grams).alias("g"))
+    ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    train = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    tot = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hit = (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_grams")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0).cast("bigint")))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            frac.alias("contamination_frac"),
+            F.when(frac >= _CONTAM_FLAG_T, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flagged"),
+        )
+    )
+
+
+# ------------------------------------------- hashed decontamination
+
+_H60 = "CAST(concat('0x', substr(md5({g}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q_decontaminate_hashed",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_H60.format(g='t.g')} AS h
+  FROM bags, unnest({_duck_grams(_DECON_N)}) AS t(g)
+  WHERE len(bag) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM sh s JOIN ev USING (h)
+WHERE s.doc_id % {_DECON_MOD} <> 0
+GROUP BY s.doc_id
+""",
+)
+def q_decontaminate_hashed(spark, sf_dir):
+    """q_decontaminate's 100 TB form: the join key is a 60-bit md5
+    prefix of each shingle instead of the shingle STRING, shrinking the
+    broadcast eval set to 8 bytes/shingle (the form its docstring
+    promised). Still deterministic and hash-checked — the oracle
+    mirrors the same md5-prefix hashing, so even the (cosmically rare)
+    hash collision would be identical on both engines. On this corpus
+    the output equals q_decontaminate's exactly.
+
+    Scale shape: unchanged from q_decontaminate — broadcast hash join,
+    map-side probe, doc-id-keyed count; the per-doc distinct is over
+    hashed longs instead of strings, which also cheapens the explode
+    shuffle at stream scale (incremental_decontaminate.py notes the
+    same trade)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _DECON_N))
+    h = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    sh = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", h.alias("h"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("h").distinct()
+    return (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+# -------------------------------------- temperature-flattened sampling
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+m AS (SELECT min(n_lang) AS n_min FROM c),
+r AS (
+  SELECT lang,
+         sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_lang AS DOUBLE))
+             AS sample_rate
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, r.sample_rate
+FROM documents d JOIN r USING (lang)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < r.sample_rate
+""",
+)
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-flattened mixture resampling (T=2): keep each doc of
+    language L with probability sqrt(n_min / n_L), so the smallest
+    language survives whole while over-represented ones are downsampled
+    toward a flatter mixture — the standard multiplicative rebalancing
+    LLM data recipes apply to dominant domains/languages. Keyed on
+    ``lang`` because this corpus's language mixture is genuinely skewed
+    (en is ~3x the smallest; sources are uniform by construction, which
+    would make every rate 1.0). T=2 is deliberate: n^(1/T) is sqrt,
+    which IEEE mandates correctly rounded on both engines, where a
+    general pow/log would drift in the last ulp.
+
+    Deterministic per-doc coin: the first 8 md5 hex chars of the doc id
+    as a uniform in [0,1) — reproducible across runs/engines, no RNG
+    state (same device as q_split_train_val). Scale shape: the
+    per-language rate table is languages-sized and BROADCASTS; the keep
+    decision is map-side; one small aggregate shuffle on lang."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = cnt.agg(F.min("n_lang").alias("n_min"))
+    rates = cnt.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_lang").cast("double")).alias(
+            "sample_rate"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("sample_rate"))
+        .select("doc_id", "lang", "sample_rate")
+    )

@@ -69,6 +69,11 @@ PRIORITY: list[str] = [
     "q_agg_collect", "q_array_funcs", "q_agg_argmax", "q_lateral_explode",
     "q_multimodal_bytes", "q_multimodal_decode", "q_multimodal_features",
     "q_multimodal_frames",
+    # ---- positions 51+ (round-6 head candidates) ----
+    # New in round 5 (hygiene_q.py) — no driver verdict until the r6
+    # rotation; backfill r6 with the 22 TPC-H keys + q_multimodal_resize.
+    "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
+    "q_decontaminate_hashed", "q_sample_temperature",
 ]
 
 
