@@ -124,6 +124,21 @@ def duck_set(text_ref: str = "text") -> str:
     return f"list_distinct({duck_bag(text_ref)})"
 
 
+def md5_prefix60(col: Column) -> Column:
+    """60-bit integer hash of a string column: first 15 md5 hex chars,
+    base-16 -> bigint. Engine-portable (md5 hex is identical everywhere,
+    60 bits fit a signed long exactly); the join-key compression used by
+    hashed decontamination and SimHash."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def duck_md5_prefix60(ref: str) -> str:
+    """DuckDB mirror of ``md5_prefix60`` over a string expression."""
+    return f"CAST(concat('0x', substr(md5({ref}), 1, 15)) AS BIGINT)"
+
+
 def duck_quality(bag_ref: str = "bag") -> str:
     """DuckDB mirror of ``quality_score`` over an already-computed bag
     column — the ONE oracle-side definition (weights, length norm, and

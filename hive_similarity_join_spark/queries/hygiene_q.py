@@ -208,9 +208,6 @@ def q_contamination_report(spark, sf_dir):
 
 # ------------------------------------------- hashed decontamination
 
-_H60 = "CAST(concat('0x', substr(md5({g}), 1, 15)) AS BIGINT)"
-
-
 @query(
     "q_decontaminate_hashed",
     oracle=f"""
@@ -218,7 +215,7 @@ WITH bags AS (
   SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, {_H60.format(g='t.g')} AS h
+  SELECT DISTINCT doc_id, {TX.duck_md5_prefix60('t.g')} AS h
   FROM bags, unnest({_duck_grams(_DECON_N)}) AS t(g)
   WHERE len(bag) >= {_DECON_N}
 ),
@@ -245,12 +242,9 @@ def q_decontaminate_hashed(spark, sf_dir):
     same trade)."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _DECON_N))
-    h = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
     sh = (
         d.select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", h.alias("h"))
+        .select("doc_id", TX.md5_prefix60(F.col("g")).alias("h"))
         .distinct()
     )
     ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("h").distinct()

@@ -28,11 +28,21 @@ def eval_shingles(
     eval_docs: DataFrame,
     text_col: str = "text",
     n: int = 4,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram set of the benchmark corpus: one column
-    ``g``. Compute once; small enough to broadcast."""
+    ``g``. Compute once; small enough to broadcast. ``hashed=True``
+    emits 60-bit md5-prefix hashes instead of the strings — 8 bytes per
+    broadcast entry, the 100 TB form (batch twin:
+    q_decontaminate_hashed). Both sides of a screen must agree."""
     grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
-    return eval_docs.select(F.explode(grams).alias("g")).distinct()
+    g = F.col("_g")
+    key = TX.md5_prefix60(g) if hashed else g
+    return (
+        eval_docs.select(F.explode(grams).alias("_g"))
+        .select(key.alias("g"))
+        .distinct()
+    )
 
 
 def screen_hits(
@@ -41,13 +51,17 @@ def screen_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 4,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, n_shared_ngrams) for every contaminated doc — the expensive
     part of the screen (tokenize, n-gram explode, broadcast join),
     factored out so a caller fanning out to several sinks can persist
-    this doc-id-sized relation instead of re-running it per action."""
+    this doc-id-sized relation instead of re-running it per action.
+    ``hashed`` must match how ``ev_shingles`` was built."""
     grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens(text_col), n))
-    sh = batch.select(F.col(id_col), F.explode(grams).alias("g"))
+    sh = batch.select(F.col(id_col), F.explode(grams).alias("_g"))
+    key = TX.md5_prefix60(F.col("_g")) if hashed else F.col("_g")
+    sh = sh.select(F.col(id_col), key.alias("g"))
     return (
         sh.join(F.broadcast(ev_shingles), "g")
         .groupBy(id_col)
@@ -62,13 +76,14 @@ def screen_batch(
     text_col: str = "text",
     n: int = 4,
     hits: DataFrame | None = None,
+    hashed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, contaminated): pure batch function, unit-testable without
     a stream. ``contaminated`` carries the shared-shingle count. Pass a
     (possibly persisted) ``hits`` relation to reuse one screen pass
     across both outputs."""
     if hits is None:
-        hits = screen_hits(batch, ev_shingles, id_col, text_col, n)
+        hits = screen_hits(batch, ev_shingles, id_col, text_col, n, hashed)
     contaminated = batch.join(hits, id_col)
     clean = batch.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated
@@ -83,6 +98,7 @@ def incremental_decontaminate(
     text_col: str = "text",
     n: int = 4,
     checkpoint_dir: str | None = None,
+    hashed: bool = False,
 ):
     """Start the streaming query; returns the StreamingQuery handle.
 
@@ -99,7 +115,9 @@ def incremental_decontaminate(
         # the batch itself: at stream scale the raw batch may not fit
         # storage memory, while hits is bounded by the contaminated
         # doc count.
-        hits = screen_hits(batch, ev_shingles, id_col, text_col, n).persist()
+        hits = screen_hits(
+            batch, ev_shingles, id_col, text_col, n, hashed
+        ).persist()
         try:
             clean, contaminated = screen_batch(
                 batch, ev_shingles, id_col, text_col, n, hits=hits

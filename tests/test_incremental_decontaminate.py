@@ -58,6 +58,28 @@ def test_screen_batch_matches_batch_key(spark):
     assert len(clean_ids) + len(got) == train.count()
 
 
+def test_hashed_screen_matches_string_screen(spark):
+    """hashed=True joins on 60-bit md5-prefix hashes (the 100 TB
+    broadcast form, batch twin q_decontaminate_hashed) and must produce
+    identical verdicts on this corpus."""
+    ev, train = _split(spark)
+    sh_str = eval_shingles(ev, n=_DECON_N)
+    sh_h = eval_shingles(ev, n=_DECON_N, hashed=True)
+    _, cont_str = screen_batch(train, sh_str, n=_DECON_N)
+    _, cont_h = screen_batch(train, sh_h, n=_DECON_N, hashed=True)
+    a = {
+        (r.doc_id, r.n_shared_ngrams)
+        for r in cont_str.select("doc_id", "n_shared_ngrams").collect()
+    }
+    b = {
+        (r.doc_id, r.n_shared_ngrams)
+        for r in cont_h.select("doc_id", "n_shared_ngrams").collect()
+    }
+    assert a == b
+    # the hashed eval set broadcasts longs, not strings
+    assert dict(sh_h.dtypes)["g"] == "bigint"
+
+
 def test_streamed_split_equals_batch_split(spark, dirs):
     ev, train = _split(spark)
     shingles = eval_shingles(ev, n=_DECON_N)

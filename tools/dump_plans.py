@@ -85,6 +85,20 @@ HEADLINERS: dict[str, str] = {
         "is the benchmark, the stream is the data), then one "
         "doc-id-keyed partial+final aggregate."
     ),
+    "q_boilerplate_passages": (
+        "Cross-document boilerplate detection. Look for: array_distinct "
+        "applied per doc BEFORE the explode (so the passage groupBy is a "
+        "plain count with map-side partial aggregation, never a "
+        "count-distinct shuffle), one Exchange on the passage key, and "
+        "the >=2-docs filter after the final aggregate."
+    ),
+    "q_sample_temperature": (
+        "Temperature-flattened mixture sampling. Look for: the "
+        "languages-sized rate table built by one small aggregate and "
+        "BroadcastHashJoin'd back (the corpus never shuffles), with the "
+        "md5-coin keep-filter evaluated map-side in the join stage — "
+        "sampling at 100 TB is a scan, not a shuffle."
+    ),
     "q_search_bm25": (
         "BM25 ranked retrieval. Look for: per-row tf/dl expressions in "
         "the scan stage (no explode), the 1-row corpus-statistics "
