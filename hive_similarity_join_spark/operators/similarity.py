@@ -487,6 +487,128 @@ def bag_jaccard_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    tokens_col: str | None = None,
+    n_salts: int = 32,
+    persist: bool = True,
+    min_size_ratio: float | None = None,
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT self-join: ordered pairs (id1, id2),
+    id1 != id2, with |T1 ∩ T2| / |T1| >= threshold — "id1 is (mostly)
+    contained in id2". The partial-duplicate primitive the symmetric
+    measures miss: a paragraph quoted inside a larger page has low
+    Jaccard (the union is page-sized) but containment ~1.0, so this is
+    the operator that catches quotation, template-embedding, and
+    sub-document copying in a training corpus.
+
+    ``min_size_ratio=r`` additionally requires ``n2 >= r * n1`` — the
+    "contained in a much LARGER document" form. This is a semantic
+    predicate, not a pruning bound (applied exactly at the candidate
+    join on the carried true sizes): with r=2 every returned pair has
+    Jaccard <= n1/n2 <= 0.5, i.e. provably invisible to the symmetric
+    kernel at its t=0.8/0.9 thresholds — and it cuts the output on a
+    near-dup-dense corpus ~8x (FIXTURES.md: 8.28M -> 1.00M ordered
+    pairs at sf0.1), since mutual near-dups (similar sizes) no longer
+    qualify in either orientation.
+
+    Asymmetry changes the filter algebra (the symmetric kernel's
+    size/prefix bounds assume both sides normalize by the union):
+    containment >= t requires overlap alpha = ceil(t*n1), which bounds
+    NOTHING about n2 from above — a 10-token note can be contained in a
+    10k-token page. The lossless scheme is therefore probe-prefix x
+    full index (the standard asymmetric variant of prefix filtering):
+
+      - probe side (the contained candidate, id1) emits the standard
+        prefix ``p1 = n1 - ceil(t*n1) + 1``: any partner sharing >=
+        alpha tokens shares one inside that prefix (pigeonhole over the
+        global rank order — if all shared tokens sat in the last
+        alpha-1 positions, overlap <= alpha-1);
+      - index side (the container, id2) emits ALL its tokens with
+        positions — it cannot emit a shorter prefix losslessly, because
+        its required-overlap fraction t*n1/n2 can be arbitrarily small;
+      - join predicates: size filter ``n2 >= ceil(t*n1)`` (overlap
+        can't exceed the smaller set) and the PPJoin positional bound
+        ``1 + min(n1-pp1-1, n2-pp2-1) >= t*n1`` (first-shared-token
+        argument unchanged);
+      - exact verify on the rank arrays: ``|intersect| / n1 >= t``.
+
+    Scale shape: the index side is the corpus inverted index — linear
+    in corpus tokens, the same relation the dictionary pass already
+    shuffles — and the probe side is prefix rows only (~(1-t) of corpus
+    tokens), salted x``n_salts`` against hot tokens exactly like
+    ``similarity_join`` (same explicit repartition, AQE-exempt). The
+    candidate blowup is bounded by sum over probe-prefix tokens of that
+    token's document frequency — rarest-first ranks make prefix tokens
+    the rare ones, which is what keeps this sub-quadratic at 100 TB.
+    Output is all (contained, container) ordered pairs; at t near 1 on
+    a near-dup-dense corpus the key is output-bound like the t=0.9
+    symmetric keys (FIXTURES.md anchors).
+    """
+    r = _tokenized(df, id_col, text_col, tokens_col)
+    if persist:
+        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+    dict_df = _rank_tokens(r)
+    r_sorted = _sorted_by_rank(r, dict_df)
+    if persist:
+        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    probe = _prefix_exploded(r_sorted, threshold).select(
+        F.col("_id").alias("id1"),
+        F.col("_n").alias("_n1"),
+        F.col("_ppos").alias("_pp1"),
+        F.col("_ptok").alias("_ptok1"),
+    )
+    index = r_sorted.select(
+        F.col("_id").alias("id2"),
+        F.col("_n").alias("_n2"),
+        F.posexplode("_rks").alias("_pp2", "_ptok2"),
+    )
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probe = probe.withColumn(
+        "_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(n_part, "_ptok1", "_salt1")
+    index = index.withColumn(
+        "_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts))
+    ).repartition(n_part, "_ptok2", "_salt2")
+
+    alpha = F.ceil(F.col("_n1").cast("double") * threshold - 1e-9)
+    ubound = 1 + F.least(
+        F.col("_n1") - F.col("_pp1") - 1, F.col("_n2") - F.col("_pp2") - 1
+    )
+    join_cond = (
+        (F.col("_ptok1") == F.col("_ptok2"))
+        & (F.col("_salt1") == F.col("_salt2"))
+        & (F.col("id1") != F.col("id2"))
+        & (F.col("_n2") >= alpha)
+        & (ubound >= alpha)
+    )
+    if min_size_ratio is not None:
+        join_cond = join_cond & (
+            F.col("_n2").cast("double") >= F.col("_n1") * F.lit(min_size_ratio)
+        )
+    cands = (
+        probe.join(index, join_cond)
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = r_sorted.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
+    v2 = r_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    inter = F.size(F.array_intersect(F.col("_rks1"), F.col("_rks2"))).cast("double")
+    sim = inter / F.size(F.col("_rks1")).cast("double")
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
+
+
 def build_token_dict(
     df: DataFrame,
     id_col: str,

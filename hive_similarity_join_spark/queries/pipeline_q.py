@@ -243,6 +243,68 @@ def q_dedup_latest(spark, sf_dir):
     )
 
 
+@query(
+    "q_scd2_history",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             AS prev_type
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_id, ts, event_type FROM e
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '{_FMT}') AS valid_from,
+       strftime(lead(ts) OVER w, '{_FMT}') AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension TYPE-2 build from an append-only log:
+    collapse each user's event stream into validity intervals of their
+    ``event_type`` — one row per *change* with [valid_from, valid_to)
+    bounds, a per-user version number, and an is_current flag (the
+    dimension-table shape MERGE-based warehouses maintain incrementally;
+    q_dedup_latest is the type-1 'current snapshot only' sibling).
+
+    Two stacked windows on the SAME (user_id) partitioning and
+    (ts, event_id) order: lag() marks change rows, then lead() closes
+    each interval — Catalyst plans one sort + one exchange reused by
+    both WindowExecs, so the whole history build is a single shuffle of
+    the log keyed by user. Ties on ts break by event_id, making the
+    change sequence deterministic on both engines; open intervals emit
+    NULL valid_to (strftime/date_format of NULL agree). At 100 TB the
+    log is already bucketed by user key and even that one exchange
+    drops out."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .drop("_prev")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.when(F.lead("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
 Q_MIN_TOKENS = 5
 Q_MIN_QUALITY = 0.5
 CLEAN_NEAR_T = 0.9

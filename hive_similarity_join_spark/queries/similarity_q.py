@@ -310,6 +310,55 @@ def q_simjoin_topk(spark, sf_dir):
     )
 
 
+T_CONTAIN = 0.9
+CONTAIN_SIZE_RATIO = 2.0
+
+
+@query(
+    "q_simjoin_containment",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(i AS DOUBLE) / s1.n AS sim
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(i AS DOUBLE) / s1.n >= {T_CONTAIN}
+  AND s2.n >= s1.n * {int(CONTAIN_SIZE_RATIO)}
+""",
+)
+def q_simjoin_containment(spark, sf_dir):
+    """Asymmetric containment self-join: ordered pairs where >=90% of
+    id1's distinct tokens appear in id2 AND id2 is at least 2x id1's
+    distinct size — sub-document duplication (quotation, template
+    embedding, page-in-page copying) that the symmetric measures
+    PROVABLY miss: with n2 >= 2*n1, Jaccard <= n1/n2 <= 0.5, below
+    every symmetric key's threshold. Probe-prefix x full-index
+    candidate scheme with the PPJoin positional bound, exact rank-array
+    verify (operators/similarity.py ``containment_join`` docstring has
+    the filter-algebra derivation). The oracle is the brute-force
+    inverted-index formulation; the asymmetric filters are lossless so
+    results hash-match. Output anchors: 7,566 rows at sf0.01 / 1.00M at
+    sf0.1 (FIXTURES.md) — same output scale as the t=0.9 symmetric
+    keys."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(
+        docs, "doc_id", "text", threshold=T_CONTAIN,
+        min_size_ratio=CONTAIN_SIZE_RATIO,
+    )
+
+
 T_GROUPED = 0.8
 
 

@@ -408,3 +408,114 @@ def q_text_vocab_stats(spark, sf_dir):
         .orderBy("rarity_rank")
         .limit(100)
     )
+
+
+# Gopher-style rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A —
+# adapted to this corpus's closed vocabulary). ONE set of constants
+# feeds both engines; the oracle f-string derives from these and
+# TX.STOPWORDS so an edit cannot desync the two sides (the
+# q_corpus_profile lesson, ADVICE r4).
+RULE_MIN_WORDS = 5
+RULE_MAX_WORDS = 5000
+RULE_MIN_MEAN_WL = 3.0
+RULE_MAX_MEAN_WL = 10.0
+RULE_MIN_STOP_HITS = 1
+RULE_MIN_DISTINCT_RATIO = 0.2
+
+
+@query(
+    "q_text_rules_filter",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(bag) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(bag, w -> length(w)),
+                          (x, y) -> x + y) AS DOUBLE)
+             / len(bag) AS mean_word_len,
+         CAST(len(list_filter(bag,
+                  t -> list_contains({TX.duck_list(TX.STOPWORDS)}, t)))
+             AS BIGINT) AS stop_hits,
+         CAST(len(list_distinct(bag)) AS DOUBLE) / len(bag)
+             AS distinct_ratio
+  FROM bags WHERE len(bag) > 0
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, distinct_ratio,
+       CAST(CASE WHEN n_words BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS pass_wordcount,
+       CAST(CASE WHEN mean_word_len >= {RULE_MIN_MEAN_WL}
+                  AND mean_word_len <= {RULE_MAX_MEAN_WL}
+                 THEN 1 ELSE 0 END AS BIGINT) AS pass_wordlen,
+       CAST(CASE WHEN stop_hits >= {RULE_MIN_STOP_HITS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+       CAST(CASE WHEN distinct_ratio >= {RULE_MIN_DISTINCT_RATIO}
+                 THEN 1 ELSE 0 END AS BIGINT) AS pass_repetition,
+       CAST(CASE WHEN n_words BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS}
+                  AND mean_word_len >= {RULE_MIN_MEAN_WL}
+                  AND mean_word_len <= {RULE_MAX_MEAN_WL}
+                  AND stop_hits >= {RULE_MIN_STOP_HITS}
+                  AND distinct_ratio >= {RULE_MIN_DISTINCT_RATIO}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM st
+""",
+)
+def q_text_rules_filter(spark, sf_dir):
+    """Gopher-style BOOLEAN rule battery — the hard-gate sibling of
+    q_text_quality's weighted score: word-count bounds, mean-word-length
+    bounds, minimum stopword evidence, and a repetition gate
+    (distinct-token ratio), each emitted as its own 0/1 flag plus the
+    AND'd keep decision, so a pipeline can report per-rule rejection
+    rates (the way C4/Gopher/RefinedWeb publish their filter funnels)
+    rather than a single opaque score.
+
+    Bit-exactness: all four metrics are integer counts or int/int
+    double divisions (sum of word lengths is an exact integer fold);
+    flags are CASE 0/1 BIGINT so the compare never sees engine boolean
+    encodings. Scale shape: pure map-side codegen over the scan —
+    zero shuffles, same posture as q_pii_redact."""
+    d = load_table(spark, sf_dir, "documents")
+    bag = TX.bag_tokens("text")
+    t = d.select("doc_id", bag.alias("bag")).filter(F.size("bag") > 0)
+    n_words = F.size("bag").cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(F.col("bag"), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_len.cast("double") / F.size("bag")
+    stops = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    stop_hits = F.size(
+        F.filter(F.col("bag"), lambda w: F.array_contains(stops, w))
+    ).cast("bigint")
+    distinct_ratio = (
+        F.size(F.array_distinct(F.col("bag"))).cast("double") / F.size("bag")
+    )
+    st = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("bigint")  # noqa: E731
+    p_wc = F.col("n_words").between(RULE_MIN_WORDS, RULE_MAX_WORDS)
+    p_wl = (F.col("mean_word_len") >= RULE_MIN_MEAN_WL) & (
+        F.col("mean_word_len") <= RULE_MAX_MEAN_WL
+    )
+    p_st = F.col("stop_hits") >= RULE_MIN_STOP_HITS
+    p_rep = F.col("distinct_ratio") >= RULE_MIN_DISTINCT_RATIO
+    return st.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "distinct_ratio",
+        flag(p_wc).alias("pass_wordcount"),
+        flag(p_wl).alias("pass_wordlen"),
+        flag(p_st).alias("pass_stopwords"),
+        flag(p_rep).alias("pass_repetition"),
+        flag(p_wc & p_wl & p_st & p_rep).alias("keep"),
+    )

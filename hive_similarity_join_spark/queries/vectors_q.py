@@ -66,6 +66,86 @@ def _pairs(spark, sf_dir, probe_pred=None):
 
 
 @query(
+    "q_vec_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+),
+s AS (
+  SELECT vec_id, v, amax, 127.0 / amax AS scale FROM m WHERE amax > 0
+),
+q AS (
+  SELECT vec_id, v, amax, scale,
+         list_transform(
+             v, x -> greatest(-127.0, least(127.0, floor(x * scale + 0.5)))
+         ) AS qv
+  FROM s
+)
+SELECT vec_id, amax, scale,
+       CAST(list_reduce(qv, (x, y) -> x + y) AS BIGINT) AS q_sum,
+       list_max(list_transform(generate_series(1, 64),
+                               i -> abs(v[i] - qv[i] / scale))) AS max_err
+FROM q
+""",
+)
+def q_vec_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x compression step an ANN serving path applies before indexing
+    (q_vec_knn_ivf's cells would store these codes): per-vector scale
+    ``127/max|x|``, code ``clamp(floor(x*scale + 0.5), ±127)``, plus the
+    audit columns a pipeline gates on (code checksum, max absolute
+    reconstruction error). Emitted per vector, so the compare covers
+    every code via q_sum and the worst-case error via max_err.
+
+    Bit-exactness devices: ``floor(x + 0.5)`` instead of round() —
+    floor is IEEE-exact on both engines while round()'s half-breaking
+    mode differs; clamp via greatest/least on DOUBLES throughout (the
+    codes are integral-valued doubles, exact up to 2^53, summed
+    exactly in any order); abs/division/subtraction per element with
+    identical association, max via array_max/list_max (a comparison,
+    not an accumulation). Zero-vector rows are excluded (scale
+    undefined) — documented, deterministic on both sides.
+
+    Scale shape: pure map-side O(dim) codegen arithmetic, zero
+    shuffles — parallelism is the scan's; at 100 TB this pipelines
+    with the parquet read exactly like q_pii_redact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = (
+        e.select("vec_id", v.alias("_v"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("amax"))
+    )
+    qv = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(x * F.col("scale") + F.lit(0.5)).cast("double"),
+            ),
+        ),
+    )
+    quant = base.withColumn("_qv", qv)
+    q_sum = F.aggregate(
+        F.col("_qv"), F.lit(0.0), lambda acc, x: acc + x
+    ).cast("bigint")
+    max_err = F.array_max(
+        F.zip_with(
+            F.col("_v"), F.col("_qv"), lambda x, q: F.abs(x - q / F.col("scale"))
+        )
+    )
+    return quant.select(
+        "vec_id", "amax", "scale", q_sum.alias("q_sum"), max_err.alias("max_err")
+    )
+
+
+@query(
     "q_vec_cosine",
     oracle=f"""
 SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -74,6 +74,8 @@ PRIORITY: list[str] = [
     # rotation; backfill r6 with the 22 TPC-H keys + q_multimodal_resize.
     "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
     "q_decontaminate_hashed", "q_sample_temperature",
+    "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
+    "q_text_rules_filter",
 ]
 
 

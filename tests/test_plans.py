@@ -207,3 +207,35 @@ def test_bm25_is_topk_with_scalar_stats_broadcast(spark):
     plan = explain_str(_q("q_search_bm25", spark))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_scd2_single_shuffle(spark):
+    """Both stacked windows (lag change-detect, lead interval-close)
+    share one (user_id) partitioning and (ts, event_id) order — the
+    plan must contain exactly ONE exchange and ONE sort, reused by both
+    WindowExecs (a second exchange would mean the window specs
+    diverged)."""
+    plan = explain_str(_q("q_scd2_history", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_mapside_only_keys_have_no_exchange(spark):
+    """Pure per-row keys (quantization, rule filter, redaction) must
+    plan as scan -> project/filter with ZERO shuffles — an Exchange
+    here means an accidental aggregation or repartition snuck in."""
+    for key in ("q_vec_quantize", "q_text_rules_filter", "q_pii_redact"):
+        plan = explain_str(_q(key, spark), mode="simple")
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
+        assert "EvalPython" not in plan
+
+
+def test_containment_salted_candidate_join(spark):
+    """The asymmetric containment kernel inherits the flagship's
+    explicit salted repartition (AQE-exempt partition counts) and stays
+    Python-free."""
+    plan = explain_str(_q("q_simjoin_containment", spark))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "_salt" in plan
+    assert "EvalPython" not in plan

@@ -177,3 +177,52 @@ def test_prebuilt_token_dict_matches_inline(spark, tmp_path):
         assert got_live == want and got_disk == want and want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------------- containment join
+
+def _brute_containment(rows, t, ratio=None):
+    """Pure-Python reference (independent of Spark) for containment_join."""
+    sets = {r.id: set(r.text.lower().split()) for r in rows}
+    out = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            i = len(sa & sb)
+            if i / len(sa) >= t and (ratio is None or len(sb) >= ratio * len(sa)):
+                out.add((a, b, round(i / len(sa), 12)))
+    return out
+
+
+@pytest.mark.parametrize("seed,ratio", [(11, None), (12, None), (13, 2.0)])
+def test_containment_lossless_vs_brute_force(spark, seed, ratio):
+    """The probe-prefix x full-index scheme (and the size-ratio
+    predicate) must be exactly lossless vs a pure-Python brute force."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    rows = _random_docs(seed, n=60)
+    df = spark.createDataFrame(rows)
+    t = 0.7
+    fast = containment_join(df, "id", "text", threshold=t, min_size_ratio=ratio)
+    got = {(r.id1, r.id2, round(r.sim, 12)) for r in fast.collect()}
+    assert got == _brute_containment(rows, t, ratio)
+
+
+def test_containment_size_ratio_pairs_invisible_to_jaccard(spark):
+    """With min_size_ratio=2 every returned pair has Jaccard <= 0.5 —
+    the operator's reason to exist (the symmetric kernel at t=0.8
+    cannot return any of these pairs)."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    rows = _random_docs(21, n=80)
+    df = spark.createDataFrame(rows)
+    sets = {r.id: set(r.text.lower().split()) for r in rows}
+    out = containment_join(df, "id", "text", threshold=0.7, min_size_ratio=2.0)
+    for r in out.collect():
+        sa, sb = sets[r.id1], sets[r.id2]
+        jac = len(sa & sb) / len(sa | sb)
+        assert jac <= 0.5 + 1e-12
+        assert len(sb) >= 2 * len(sa)
