@@ -84,6 +84,8 @@ def main() -> None:
         "q_stream_session",
         "q_decontaminate",
         "q_search_bm25",
+        "q_simjoin_containment",
+        "q_vec_knn_quantized",
     ]
     print(
         json.dumps(

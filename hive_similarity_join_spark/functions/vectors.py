@@ -45,6 +45,42 @@ def l2(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
 
 
+# --- int8 (SQ8) scalar quantization, shared by q_vec_quantize and the
+# quantized-ANN path. ONE definition feeds both engines (the
+# q_corpus_profile lesson, ADVICE r4): codes are integral-valued
+# DOUBLES in [-127, 127] — floor(x*scale + 0.5) instead of round()
+# because floor is IEEE-exact on both engines while round()'s
+# half-breaking mode differs; integral doubles sum exactly in any
+# order up to 2^53.
+
+SQ8_CLIP = 127.0
+
+
+def abs_max(v: Column) -> Column:
+    return F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+
+def quantize_codes(v: Column, scale: Column) -> Column:
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-SQ8_CLIP),
+            F.least(F.lit(SQ8_CLIP), F.floor(x * scale + F.lit(0.5)).cast("double")),
+        ),
+    )
+
+
+def duck_abs_max(v_ref: str) -> str:
+    return f"list_max(list_transform({v_ref}, x -> abs(x)))"
+
+
+def duck_quantize(v_ref: str, scale_ref: str) -> str:
+    return (
+        f"list_transform({v_ref}, x -> greatest(-{SQ8_CLIP}, "
+        f"least({SQ8_CLIP}, floor(x * {scale_ref} + 0.5))))"
+    )
+
+
 # DuckDB oracle fragments mirroring the expressions above bit-exactly.
 # {a}/{b} are embedding column references (FLOAT[] lists).
 

@@ -314,9 +314,11 @@ T_CONTAIN = 0.9
 CONTAIN_SIZE_RATIO = 2.0
 
 
-@query(
-    "q_simjoin_containment",
-    oracle=f"""
+def _containment_oracle(threshold: float = T_CONTAIN,
+                        ratio: float = CONTAIN_SIZE_RATIO) -> str:
+    """Brute-force relational containment pairs (shared with
+    q_dedup_containment's oracle)."""
+    return f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t.tok
   FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
@@ -332,9 +334,14 @@ SELECT id1, id2, CAST(i AS DOUBLE) / s1.n AS sim
 FROM inter
 JOIN sz s1 ON s1.doc_id = id1
 JOIN sz s2 ON s2.doc_id = id2
-WHERE CAST(i AS DOUBLE) / s1.n >= {T_CONTAIN}
-  AND s2.n >= s1.n * {int(CONTAIN_SIZE_RATIO)}
-""",
+WHERE CAST(i AS DOUBLE) / s1.n >= {threshold}
+  AND s2.n >= s1.n * {int(ratio)}
+"""
+
+
+@query(
+    "q_simjoin_containment",
+    oracle=_containment_oracle(),
 )
 def q_simjoin_containment(spark, sf_dir):
     """Asymmetric containment self-join: ordered pairs where >=90% of

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
 from hive_similarity_join_spark.operators.similarity import similarity_join
-from hive_similarity_join_spark.queries.similarity_q import _jaccard_oracle
+from hive_similarity_join_spark.queries.similarity_q import (
+    _containment_oracle,
+    _jaccard_oracle,
+)
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 
@@ -519,3 +522,35 @@ def q_text_rules_filter(spark, sf_dir):
         flag(p_rep).alias("pass_repetition"),
         flag(p_wc & p_wl & p_st & p_rep).alias("keep"),
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH pairs AS ({_containment_oracle()})
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id1 FROM pairs)
+""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """Sub-document dedup — the asymmetric sibling of q_dedup_near:
+    drop every doc that is >=90% token-contained in a >=2x larger doc
+    (its content survives inside the container, so keeping both double
+    -counts the passage at training time — exactly the pairs symmetric
+    near-dedup provably retains, since their Jaccard <= 0.5 sits below
+    any near-dup threshold). Containment pairs from the probe-prefix x
+    full-index kernel, then one left-anti join; same greedy
+    deterministic semantics and output shape as q_dedup_near."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+    from hive_similarity_join_spark.queries.similarity_q import (
+        CONTAIN_SIZE_RATIO,
+        T_CONTAIN,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = containment_join(
+        d, "doc_id", "text", threshold=T_CONTAIN, min_size_ratio=CONTAIN_SIZE_RATIO
+    )
+    contained = pairs.select(F.col("id1").alias("doc_id")).distinct()
+    return d.join(contained, "doc_id", "left_anti").select("doc_id", "source")

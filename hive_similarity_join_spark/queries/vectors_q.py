@@ -65,26 +65,42 @@ def _pairs(spark, sf_dir, probe_pred=None):
     return a, b
 
 
-@query(
-    "q_vec_quantize",
-    oracle="""
-WITH v AS (
+def _sq8(spark, sf_dir):
+    """(vec_id, _v double[], amax, scale, _qv int8-codes-as-doubles) —
+    the Spark twin of the _DUCK_SQ8 skeleton below."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    return (
+        e.select("vec_id", v.alias("_v"), V.abs_max(v).alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale", F.lit(V.SQ8_CLIP) / F.col("amax"))
+        .withColumn("_qv", V.quantize_codes(F.col("_v"), F.col("scale")))
+    )
+
+
+# Shared SQL skeleton: per-vector scale + int8 codes (one definition
+# with the Spark side via V.duck_abs_max/V.duck_quantize).
+_DUCK_SQ8 = f"""
+v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 m AS (
-  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+  SELECT vec_id, v, {V.duck_abs_max('v')} AS amax FROM v
 ),
 s AS (
-  SELECT vec_id, v, amax, 127.0 / amax AS scale FROM m WHERE amax > 0
+  SELECT vec_id, v, amax, {V.SQ8_CLIP} / amax AS scale FROM m WHERE amax > 0
 ),
 q AS (
-  SELECT vec_id, v, amax, scale,
-         list_transform(
-             v, x -> greatest(-127.0, least(127.0, floor(x * scale + 0.5)))
-         ) AS qv
+  SELECT vec_id, v, amax, scale, {V.duck_quantize('v', 'scale')} AS qv
   FROM s
-)
+)"""
+
+
+@query(
+    "q_vec_quantize",
+    oracle=f"""
+WITH {_DUCK_SQ8}
 SELECT vec_id, amax, scale,
        CAST(list_reduce(qv, (x, y) -> x + y) AS BIGINT) AS q_sum,
        list_max(list_transform(generate_series(1, 64),
@@ -113,25 +129,7 @@ def q_vec_quantize(spark, sf_dir):
     Scale shape: pure map-side O(dim) codegen arithmetic, zero
     shuffles — parallelism is the scan's; at 100 TB this pipelines
     with the parquet read exactly like q_pii_redact."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = V.as_double("embedding")
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    base = (
-        e.select("vec_id", v.alias("_v"), amax.alias("amax"))
-        .filter(F.col("amax") > 0)
-        .withColumn("scale", F.lit(127.0) / F.col("amax"))
-    )
-    qv = F.transform(
-        F.col("_v"),
-        lambda x: F.greatest(
-            F.lit(-127.0),
-            F.least(
-                F.lit(127.0),
-                F.floor(x * F.col("scale") + F.lit(0.5)).cast("double"),
-            ),
-        ),
-    )
-    quant = base.withColumn("_qv", qv)
+    quant = _sq8(spark, sf_dir)
     q_sum = F.aggregate(
         F.col("_qv"), F.lit(0.0), lambda acc, x: acc + x
     ).cast("bigint")
@@ -218,6 +216,86 @@ def q_vec_knn(spark, sf_dir):
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= KNN_K)
+
+
+SQ8_CAND_C = 50
+
+
+@query(
+    "q_vec_knn_quantized",
+    oracle=f"""
+WITH {_DUCK_SQ8},
+cand AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, a.v AS av, b.v AS bv,
+         list_reduce(list_transform(generate_series(1, 64),
+                                    i -> a.qv[i] * b.qv[i]),
+                     (x, y) -> x + y) AS qdot
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_PROBES}
+),
+top AS (
+  SELECT probe_id, vec_id, av, bv,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY qdot DESC, vec_id) AS crank
+  FROM cand
+)
+SELECT probe_id, vec_id, sim, rank FROM (
+  SELECT probe_id, vec_id,
+         {V.duck_cosine('av', 'bv')} AS sim,
+         CAST(row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY {V.duck_cosine('av', 'bv')} DESC,
+                                          vec_id) AS BIGINT) AS rank
+  FROM top WHERE crank <= {SQ8_CAND_C}
+)
+WHERE rank <= {KNN_K}
+""",
+)
+def q_vec_knn_quantized(spark, sf_dir):
+    """SQ8 two-stage ANN — the serving-path composition of
+    q_vec_quantize: candidates by int8-code dot product (a 4x-smaller
+    scan than full-precision scoring; on real hardware also the
+    SIMD-int path every vector DB takes), then EXACT cosine rerank of
+    the top-{SQ8_CAND_C} per probe. Approximate by design — the
+    quantized stage can rank a true neighbor out of the candidate set
+    — but fully DETERMINISTIC: codes are integral-valued doubles whose
+    dot products are exact in any summation order, ties break by
+    vec_id, and the oracle mirrors both stages, so unlike the k-means
+    IVF key this ANN variant is hash-checked bit-exact (recall vs the
+    exact q_vec_knn is pinned separately in pytest).
+
+    Scale shape: same broadcast-probes posture as q_vec_knn — the
+    corpus streams, nothing shuffles but (probe, candidate) pairs; the
+    rerank touches only {SQ8_CAND_C} rows per probe. At 100 TB the
+    codes column is what you'd sink back to parquet (4x scan savings
+    on every subsequent query); the IVF key's partition pruning
+    composes with this rerank orthogonally."""
+    base = _sq8(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = base.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("_v").alias("_av"),
+        F.col("_qv").alias("_qa"),
+    ).filter(F.col("probe_id") < N_PROBES)
+    b = base.select(
+        "vec_id", F.col("_v").alias("_bv"), F.col("_qv").alias("_qb")
+    ).repartition(n_part)
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("probe_id") != F.col("vec_id"))
+        .withColumn("_qdot", V.dot(F.col("_qa"), F.col("_qb")))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("_qdot"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= SQ8_CAND_C)
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("sim", V.cosine(F.col("_av"), F.col("_bv")))
+        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
 
 
 @query(

