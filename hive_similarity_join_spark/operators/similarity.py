@@ -609,6 +609,202 @@ def containment_join(
     )
 
 
+def weighted_containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    tokens_col: str | None = None,
+    n_salts: int = 32,
+    persist: bool = True,
+    min_weight_ratio: float | None = None,
+) -> DataFrame:
+    """Rarity-WEIGHTED containment self-join: ordered pairs (id1, id2),
+    id1 != id2, with ``sum of w(t) over shared tokens / total w(id1)
+    >= threshold``, where ``w(t) = N_docs - df(t) + 1`` (integer rarity
+    weight: a token in every document weighs 1, a hapax weighs N).
+
+    Why weighted: unweighted containment treats "the" and a rare
+    identifier as equal evidence, so boilerplate-heavy short docs
+    false-positive into large pages. Rarity weighting is the
+    tf-idf-flavored fix every IR duplicate detector applies — shared
+    RARE mass is what indicates copying. Integer weights keep every
+    sum exact (no float-association drift), so the key is
+    hash-checkable like the unweighted kernel.
+
+    Filter algebra (weighted generalization of ``containment_join``,
+    same probe x full-index shape):
+      - alpha = threshold * total_w(id1) is the required shared weight;
+      - probe prefix: emit position p only while the SUFFIX weight
+        ``sum of w from p to end (rank order)`` >= alpha — if every
+        shared token sat past p, shared weight <= suffix(p) < alpha
+        (the weighted pigeonhole; with all weights 1 this reduces
+        exactly to the classic n - ceil(t*n) + 1 prefix);
+      - index side emits all tokens, carrying ITS suffix weights;
+      - join predicates: total_w(id2) >= alpha, and the weighted
+        positional bound ``w(tok) + min(sfx1(p1+1), sfx2(p2+1)) >=
+        alpha`` (first-shared-token argument: every other shared token
+        sits after both positions, so shared weight <= w(tok) +
+        min of the remaining suffixes);
+      - exact verify: map id1's ranks to weights, sum over the rank
+        intersection, divide by total_w(id1).
+
+    ``min_weight_ratio=r`` requires total_w(id2) >= r * total_w(id1)
+    (the "contained in a much heavier document" form, exact at the
+    candidate join like containment_join's size ratio).
+
+    Scale shape: identical to containment_join — the dictionary (now
+    carrying df-derived weights, built with a 1-row broadcast of the
+    corpus doc count, never a collect) broadcasts; probe prefixes are
+    salted x``n_salts`` with explicit AQE-exempt partition counts; the
+    index side is the linear inverted index. Rarity weighting makes
+    prefixes concentrate on rare tokens — the same frequency skew
+    defense as the unweighted rarest-first order, but now the filter
+    bound itself adapts to how much evidence each token carries.
+    """
+    r = _tokenized(df, id_col, text_col, tokens_col)
+    if persist:
+        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # (tok, rank, w): df over the per-doc-distinct token relation; the
+    # corpus doc count joins in as a 1-row broadcast (no driver action).
+    freq = (
+        r.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ndocs = r.agg(F.count(F.lit(1)).alias("_nd"))
+    dict_df = (
+        ranked_by(freq, ["_df", "_tok"], "_rank")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_tok",
+            "_rank",
+            (F.col("_nd") - F.col("_df") + F.lit(1)).cast("long").alias("_w"),
+        )
+    )
+
+    # Rank-sorted arrays with aligned weights + total weight. Sorting
+    # structs orders by rank (first field); weights ride along.
+    exploded = r.select("_id", F.explode("_toks").alias("_tok"))
+    joined = exploded.join(F.broadcast(dict_df), "_tok")
+    r_sorted = (
+        joined.groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rank"), F.col("_w")))
+            ).alias("_rw")
+        )
+        .select(
+            "_id",
+            F.col("_rw._rank").alias("_rks"),
+            F.col("_rw._w").alias("_ws"),
+        )
+        .withColumn("_n", F.size("_rks"))
+        .withColumn(
+            "_tw",
+            F.aggregate("_ws", F.lit(0).cast("long"), lambda acc, x: acc + x),
+        )
+        .withColumn(
+            # suffix weights: _sfx[i] = sum of _ws[i..end] (1-indexed
+            # positions in the reverse-cumulated array flipped back)
+            "_sfx",
+            F.reverse(
+                F.transform(
+                    F.reverse("_ws"),
+                    lambda x, i: F.aggregate(
+                        F.slice(F.reverse("_ws"), 1, i + 1),
+                        F.lit(0).cast("long"),
+                        lambda acc, y: acc + y,
+                    ),
+                )
+            ),
+        )
+    )
+    if persist:
+        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    alpha1 = F.col("_tw1").cast("double") * threshold - 1e-9
+    probe = (
+        r_sorted.select(
+            F.col("_id").alias("id1"),
+            F.col("_tw").alias("_tw1"),
+            F.posexplode(F.arrays_zip("_rks", "_ws", "_sfx")).alias("_p", "_z"),
+        )
+        .filter(F.col("_z._sfx").cast("double") >= alpha1)
+        .select(
+            "id1",
+            "_tw1",
+            F.col("_z._rks").alias("_ptok1"),
+            F.col("_z._ws").alias("_wtok1"),
+            (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt1"),
+        )
+    )
+    index = r_sorted.select(
+        F.col("_id").alias("id2"),
+        F.col("_tw").alias("_tw2"),
+        F.posexplode(F.arrays_zip("_rks", "_ws", "_sfx")).alias("_p", "_z"),
+    ).select(
+        "id2",
+        "_tw2",
+        F.col("_z._rks").alias("_ptok2"),
+        (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt2"),
+    )
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probe = probe.withColumn(
+        "_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(n_part, "_ptok1", "_salt1")
+    index = index.withColumn(
+        "_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts))
+    ).repartition(n_part, "_ptok2", "_salt2")
+
+    alpha = F.col("_tw1").cast("double") * threshold - 1e-9
+    pos_bound = (
+        F.col("_wtok1") + F.least(F.col("_nxt1"), F.col("_nxt2"))
+    ).cast("double")
+    join_cond = (
+        (F.col("_ptok1") == F.col("_ptok2"))
+        & (F.col("_salt1") == F.col("_salt2"))
+        & (F.col("id1") != F.col("id2"))
+        & (F.col("_tw2").cast("double") >= alpha)
+        & (pos_bound >= alpha)
+    )
+    if min_weight_ratio is not None:
+        join_cond = join_cond & (
+            F.col("_tw2").cast("double")
+            >= F.col("_tw1") * F.lit(min_weight_ratio)
+        )
+    cands = (
+        probe.join(index, join_cond)
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = r_sorted.select(
+        F.col("_id").alias("id1"),
+        F.col("_rks").alias("_rks1"),
+        F.map_from_arrays("_rks", "_ws").alias("_wmap1"),
+        F.col("_tw").alias("_vtw1"),
+    )
+    v2 = r_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    shared_w = F.aggregate(
+        F.transform(
+            F.array_intersect(F.col("_rks1"), F.col("_rks2")),
+            lambda k: F.element_at(F.col("_wmap1"), k),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = shared_w.cast("double") / F.col("_vtw1").cast("double")
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
+
+
 def build_token_dict(
     df: DataFrame,
     id_col: str,

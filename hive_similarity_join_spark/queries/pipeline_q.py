@@ -440,6 +440,56 @@ def q_split_train_val(spark, sf_dir):
 
 
 @query(
+    "q_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_d
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+)
+SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_n,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention-cohort matrix over the event log: users grouped by
+    first-seen day, counted on each later day they return — the
+    (cohort_day, day_n) -> active-user matrix every product-analytics
+    stack derives from its append-only log (and the growth twin of
+    q_funnel_stages' conversion view).
+
+    Shape: per-user first-day aggregate and a DISTINCT (user, day)
+    activity relation, both keyed on user_id — two shuffles of
+    user-sized relations join into the day-offset pairs, then the
+    cohort-matrix aggregate is days x days sized (trivial at any
+    corpus scale; the matrix, not the log, is the output). Counting
+    rows of the pre-distincted activity relation replaces a
+    count-distinct expansion in the final aggregate. Dates cross
+    engines as formatted strings; day_n is exact integer date
+    arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_d")
+    )
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_d").cast("bigint").alias("day_n"),
+        )
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@query(
     "q_funnel_stages",
     oracle="""
 WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st

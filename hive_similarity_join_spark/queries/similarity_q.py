@@ -366,6 +366,65 @@ def q_simjoin_containment(spark, sf_dir):
     )
 
 
+T_WCONTAIN = 0.9
+WCONTAIN_RATIO = 2.0
+
+
+@query(
+    "q_simjoin_weighted_containment",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+w AS (
+  SELECT tok, (SELECT n FROM nd) - count(*) + 1 AS w
+  FROM tok GROUP BY tok
+),
+tw AS (
+  SELECT doc_id, SUM(w) AS tw FROM tok JOIN w USING (tok) GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(w.w) AS sw
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  JOIN w ON w.tok = a.tok
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(sw AS DOUBLE) / CAST(t1.tw AS DOUBLE) AS sim
+FROM shared
+JOIN tw t1 ON t1.doc_id = id1
+JOIN tw t2 ON t2.doc_id = id2
+WHERE CAST(sw AS DOUBLE) / CAST(t1.tw AS DOUBLE) >= {T_WCONTAIN}
+  AND t2.tw >= t1.tw * {int(WCONTAIN_RATIO)}
+""",
+)
+def q_simjoin_weighted_containment(spark, sf_dir):
+    """Rarity-weighted containment join: >=90% of id1's rarity-weighted
+    token mass (w(t) = N_docs - df(t) + 1) appears in a >=2x heavier
+    id2. The tf-idf-flavored refinement of q_simjoin_containment —
+    shared RARE tokens are evidence of copying, shared stopwords are
+    not, so a boilerplate-heavy snippet no longer false-positives into
+    every large page that shares its chrome. Weighted prefix filter
+    (emit probe positions while the rank-ordered SUFFIX weight still
+    reaches alpha = t * total_w — the weighted pigeonhole, reducing to
+    the classic prefix when all weights are 1), weighted positional
+    bound, exact integer-sum verify (operators/similarity.py
+    ``weighted_containment_join`` has the derivation). Integer weights
+    keep all sums exact, so the brute-force relational oracle
+    hash-matches. Output anchors: 6,778 rows sf0.01 / 902k sf0.1."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_containment_join(
+        docs, "doc_id", "text", threshold=T_WCONTAIN,
+        min_weight_ratio=WCONTAIN_RATIO,
+    )
+
+
 T_GROUPED = 0.8
 
 

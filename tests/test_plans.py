@@ -239,3 +239,13 @@ def test_containment_salted_candidate_join(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "_salt" in plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_containment_salted_and_python_free(spark):
+    """The weighted kernel inherits the explicit salted repartition and
+    the single vocabulary broadcast; no Python evaluation nodes."""
+    plan = explain_str(_q("q_simjoin_weighted_containment", spark))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -226,3 +226,70 @@ def test_containment_size_ratio_pairs_invisible_to_jaccard(spark):
         jac = len(sa & sb) / len(sa | sb)
         assert jac <= 0.5 + 1e-12
         assert len(sb) >= 2 * len(sa)
+
+
+def _brute_weighted_containment(rows, t, ratio=None):
+    """Pure-Python reference for weighted_containment_join: rarity
+    weights w = N - df + 1 over docs with non-empty token sets."""
+    from collections import Counter
+
+    sets = {}
+    for r in rows:
+        s = set(r.text.lower().split())
+        if s:
+            sets[r.id] = s
+    dfc = Counter(t for s in sets.values() for t in s)
+    n = len(sets)
+    w = {tok: n - c + 1 for tok, c in dfc.items()}
+    tw = {a: sum(w[t] for t in sa) for a, sa in sets.items()}
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            sw = sum(w[t] for t in sa & sb)
+            if sw / tw[a] >= t and (ratio is None or tw[b] >= ratio * tw[a]):
+                out.add((a, b, round(sw / tw[a], 12)))
+    return out
+
+
+@pytest.mark.parametrize("seed,ratio", [(31, None), (32, 2.0)])
+def test_weighted_containment_lossless_vs_brute_force(spark, seed, ratio):
+    """Weighted prefix (suffix-weight pigeonhole) + weighted positional
+    bound must be exactly lossless vs a pure-Python brute force."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    rows = _random_docs(seed, n=60)
+    df = spark.createDataFrame(rows)
+    t = 0.7
+    fast = weighted_containment_join(
+        df, "id", "text", threshold=t, min_weight_ratio=ratio
+    )
+    got = {(r.id1, r.id2, round(r.sim, 12)) for r in fast.collect()}
+    assert got == _brute_weighted_containment(rows, t, ratio)
+
+
+def test_weighted_reduces_to_unweighted_when_weights_equal(spark):
+    """With every token at the same document frequency, rarity weights
+    are uniform and weighted containment must equal set containment."""
+    from hive_similarity_join_spark.operators.similarity import (
+        containment_join,
+        weighted_containment_join,
+    )
+
+    # 4 docs over disjoint-frequency-free vocab: every token in exactly 2 docs
+    rows = [
+        Row(id=1, text="a b c d"),
+        Row(id=2, text="a b c d e f g h"),
+        Row(id=3, text="e f g h"),
+        Row(id=4, text="x y"),
+        Row(id=5, text="x y"),
+    ]
+    df = spark.createDataFrame(rows)
+    wq = {(r.id1, r.id2, round(r.sim, 12))
+          for r in weighted_containment_join(df, "id", "text", threshold=0.5).collect()}
+    uq = {(r.id1, r.id2, round(r.sim, 12))
+          for r in containment_join(df, "id", "text", threshold=0.5).collect()}
+    assert wq == uq

@@ -106,6 +106,39 @@ HEADLINERS: dict[str, str] = {
         "TakeOrderedAndProject for the global top-k — per-partition "
         "heaps, single merge, never a full sort."
     ),
+    "q_simjoin_containment": (
+        "Asymmetric containment join. Look for: the probe side's short "
+        "prefix explode salted and repartitioned with an explicit count "
+        "(REPARTITION_BY_NUM + _salt, AQE-exempt) joining the FULL "
+        "posexploded index side; the size (alpha <= n2) and positional "
+        "bounds inside the join condition; bare-id pair dedupe before "
+        "the rank arrays are joined back for the exact i/n1 verify. "
+        "No Python anywhere."
+    ),
+    "q_scd2_history": (
+        "SCD2 type-2 build. Look for: exactly ONE Exchange "
+        "hashpartitioning(user_id) and ONE Sort feeding BOTH WindowExecs "
+        "(lag change-detect + lead interval-close share the spec) — the "
+        "whole history build is a single shuffle of the log."
+    ),
+    "q_simjoin_weighted_containment": (
+        "Rarity-weighted containment. Look for: the weight-carrying "
+        "vocabulary broadcast (w = N - df + 1 built with a 1-row corpus-"
+        "count broadcast, no collect), suffix-weight arrays computed in "
+        "codegen (reverse/transform/aggregate), the probe side filtered "
+        "to positions whose suffix weight still reaches alpha, salted "
+        "REPARTITION_BY_NUM around the candidate join, and the exact "
+        "integer-sum verify via map_from_arrays + array_intersect. "
+        "No Python anywhere."
+    ),
+    "q_vec_knn_quantized": (
+        "SQ8 two-stage ANN. Look for: the quantization arithmetic "
+        "(floor/greatest/least transform) inlined in the scan-side "
+        "projection, broadcast probes against the streamed corpus, a "
+        "window top-50 on the integral-double code dot product, then "
+        "the exact-cosine rerank window over only those candidates — "
+        "all codegen, no Python."
+    ),
 }
 
 
