@@ -628,9 +628,11 @@ def weighted_containment_join(
     identifier as equal evidence, so boilerplate-heavy short docs
     false-positive into large pages. Rarity weighting is the
     tf-idf-flavored fix every IR duplicate detector applies — shared
-    RARE mass is what indicates copying. Integer weights keep every
-    sum exact (no float-association drift), so the key is
-    hash-checkable like the unweighted kernel.
+    RARE mass is what indicates copying (weighted prefix filtering
+    goes back to SSJoin: Chaudhuri, Ganti, Kaushik, ICDE 2006, where
+    prefixes are defined by cumulative weight rather than count).
+    Integer weights keep every sum exact (no float-association
+    drift), so the key is hash-checkable like the unweighted kernel.
 
     Filter algebra (weighted generalization of ``containment_join``,
     same probe x full-index shape):

@@ -88,3 +88,26 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
         .collect()
     ]
     assert got == micros
+
+
+def test_round5_correctness_window_composition():
+    """The driver grades the FIRST 50 keys in queries() insertion
+    order. Round-5 contract: the six round-4 keys with no driver
+    verdict lead the window, and every round-5 addition stays at 51+
+    (they get their verdicts in the round-6 rotation). A PRIORITY edit
+    that accidentally reorders the window fails here, loudly."""
+    from hive_similarity_join_spark.registry import QUERIES, ordered
+
+    head = list(ordered(QUERIES))[:50]
+    assert head[:6] == [
+        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
+        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+    ]
+    round5_new = {
+        "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
+        "q_decontaminate_hashed", "q_sample_temperature",
+        "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
+        "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
+        "q_retention_cohorts", "q_simjoin_weighted_containment",
+    }
+    assert not round5_new & set(head), round5_new & set(head)
