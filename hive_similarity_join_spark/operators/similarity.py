@@ -496,6 +496,9 @@ def containment_join(
     n_salts: int = 32,
     persist: bool = True,
     min_size_ratio: float | None = None,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric set-CONTAINMENT self-join: ordered pairs (id1, id2),
     id1 != id2, with |T1 ∩ T2| / |T1| >= threshold — "id1 is (mostly)
@@ -547,14 +550,32 @@ def containment_join(
     Output is all (contained, container) ordered pairs; at t near 1 on
     a near-dup-dense corpus the key is output-bound like the t=0.9
     symmetric keys (FIXTURES.md anchors).
+
+    R-S form (``other`` given): probes come from ``df`` (the new
+    batch), containers from ``other`` (the corpus) — "which incoming
+    docs are already (mostly) inside the corpus", the incremental-
+    ingest screen. The id1 != id2 clause is dropped; the token
+    dictionary is built over BOTH relations so no token silently
+    vanishes from either side's rank arrays.
     """
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
         r = r.persist(StorageLevel.MEMORY_AND_DISK)
-    dict_df = _rank_tokens(r)
+    rels = [r]
+    if other is not None:
+        s = _tokenized(
+            other, other_id_col or id_col, other_text_col or text_col, tokens_col
+        )
+        if persist:
+            s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        rels.append(s)
+    dict_df = _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
     if persist:
         r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+    s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
+    if persist and other is not None:
+        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
 
     probe = _prefix_exploded(r_sorted, threshold).select(
         F.col("_id").alias("id1"),
@@ -562,7 +583,7 @@ def containment_join(
         F.col("_ppos").alias("_pp1"),
         F.col("_ptok").alias("_ptok1"),
     )
-    index = r_sorted.select(
+    index = s_sorted.select(
         F.col("_id").alias("id2"),
         F.col("_n").alias("_n2"),
         F.posexplode("_rks").alias("_pp2", "_ptok2"),
@@ -583,10 +604,11 @@ def containment_join(
     join_cond = (
         (F.col("_ptok1") == F.col("_ptok2"))
         & (F.col("_salt1") == F.col("_salt2"))
-        & (F.col("id1") != F.col("id2"))
         & (F.col("_n2") >= alpha)
         & (ubound >= alpha)
     )
+    if other is None:
+        join_cond = join_cond & (F.col("id1") != F.col("id2"))
     if min_size_ratio is not None:
         join_cond = join_cond & (
             F.col("_n2").cast("double") >= F.col("_n1") * F.lit(min_size_ratio)
@@ -597,7 +619,7 @@ def containment_join(
         .dropDuplicates(["id1", "id2"])
     )
     v1 = r_sorted.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
-    v2 = r_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    v2 = s_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
     inter = F.size(F.array_intersect(F.col("_rks1"), F.col("_rks2"))).cast("double")
     sim = inter / F.size(F.col("_rks1")).cast("double")
     return (

@@ -366,6 +366,54 @@ def q_simjoin_containment(spark, sf_dir):
     )
 
 
+T_CONTAIN_RS = 0.95
+
+
+@query(
+    "q_simjoin_containment_rs",
+    oracle=f"""
+WITH tok_l AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM (SELECT * FROM documents WHERE source < 'src5'),
+       unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tok_r AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM (SELECT * FROM documents WHERE source >= 'src5'),
+       unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz_l AS (SELECT doc_id, count(*) AS n FROM tok_l GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok_l a JOIN tok_r b ON a.tok = b.tok
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(i AS DOUBLE) / s.n AS sim
+FROM inter JOIN sz_l s ON s.doc_id = id1
+WHERE CAST(i AS DOUBLE) / s.n >= {T_CONTAIN_RS}
+""",
+)
+def q_simjoin_containment_rs(spark, sf_dir):
+    """R-S containment — the incremental-ingest screen: which docs of
+    an incoming batch (source < src5) are already >=95% token-contained
+    in some corpus doc (source >= src5). Probes prefix-explode, the
+    CORPUS side is the full inverted index, the dictionary spans both
+    relations; no id-ordering clause (the relations are disjoint).
+    This is the batch form of what the streaming dedup mirrors run
+    per micro-batch; at 100 TB the corpus index is the standing
+    relation and only batch prefixes stream through it."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") < "src5")
+    corpus = docs.filter(F.col("source") >= "src5")
+    return containment_join(
+        batch, "doc_id", "text", threshold=T_CONTAIN_RS, other=corpus
+    )
+
+
 T_WCONTAIN = 0.9
 WCONTAIN_RATIO = 2.0
 

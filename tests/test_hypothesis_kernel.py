@@ -135,3 +135,37 @@ def test_bag_jaccard_expansion_matches_multiset_model(spark, docs):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_containment_matches_model(spark, docs):
+    """Asymmetric containment (probe-prefix x full index) vs the
+    all-ordered-pairs Python model on randomized corpora."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    t = 0.6
+    rows = [Row(id=i, text=" ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in containment_join(df, "id", "text", threshold=t).collect()
+    }
+    sets = [frozenset(d) for d in docs]
+    want = set()
+    for i, a in enumerate(sets):
+        if not a:
+            continue
+        for j, b in enumerate(sets):
+            if i == j or not b:
+                continue
+            sim = len(a & b) / len(a)
+            if sim >= t:
+                want.add((i, j, round(sim, 12)))
+    assert got == want

@@ -293,3 +293,32 @@ def test_weighted_reduces_to_unweighted_when_weights_equal(spark):
     uq = {(r.id1, r.id2, round(r.sim, 12))
           for r in containment_join(df, "id", "text", threshold=0.5).collect()}
     assert wq == uq
+
+
+def test_containment_rs_lossless_vs_brute_force(spark):
+    """R-S containment (probe batch x corpus index, dictionary over
+    both relations) must equal the pure-Python brute force."""
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    rows = _random_docs(41, n=80)
+    batch = [r for r in rows if r.id % 3 == 0]
+    corpus = [r for r in rows if r.id % 3 != 0]
+    t = 0.7
+    out = containment_join(
+        spark.createDataFrame(batch), "id", "text", threshold=t,
+        other=spark.createDataFrame(corpus),
+    )
+    got = {(r.id1, r.id2, round(r.sim, 12)) for r in out.collect()}
+    bsets = {r.id: set(r.text.lower().split()) for r in batch}
+    csets = {r.id: set(r.text.lower().split()) for r in corpus}
+    want = set()
+    for a, sa in bsets.items():
+        if not sa:
+            continue
+        for b, sb in csets.items():
+            if not sb:
+                continue
+            i = len(sa & sb)
+            if i / len(sa) >= t:
+                want.add((a, b, round(i / len(sa), 12)))
+    assert got == want
