@@ -677,6 +677,15 @@ def weighted_containment_join(
     (the "contained in a much heavier document" form, exact at the
     candidate join like containment_join's size ratio).
 
+    One honest cost note: the per-row suffix-weight arrays below are
+    built with a transform-of-aggregates (no running-sum higher-order
+    function exists), which is O(n^2) arithmetic per document — free at
+    this corpus's ~25 distinct tokens/doc, and still cheap at a few
+    hundred, but for 10k-token documents the linear form is a
+    posexplode + one window (PARTITION BY id ORDER BY pos DESC ROWS
+    UNBOUNDED PRECEDING sum) + re-collect: one extra shuffle, linear
+    work. The filter algebra is unchanged either way.
+
     Scale shape: identical to containment_join — the dictionary (now
     carrying df-derived weights, built with a 1-row broadcast of the
     corpus doc count, never a collect) broadcasts; probe prefixes are

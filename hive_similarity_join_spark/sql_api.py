@@ -81,6 +81,24 @@ SQL_FUNCTIONS: dict[str, str] = {
             array_distinct(filter(split(lower(s), '\\\\s+'), t -> t != ''))), ' ')
             AS BINARY))
     """,
+    # asymmetric containment |a ∩ b| / |a| (q_simjoin_containment's
+    # verify expression, exposed for verbatim SQL)
+    "containment_sim": """
+        CREATE OR REPLACE TEMPORARY FUNCTION containment_sim(
+            a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS DOUBLE
+        RETURN CAST(size(array_intersect(a, b)) AS DOUBLE) / size(a)
+    """,
+    # SQ8 scalar quantization codes (q_vec_quantize's transform):
+    # integral-valued doubles in [-127, 127], floor(x*scale + 0.5)
+    "sq8_quantize": """
+        CREATE OR REPLACE TEMPORARY FUNCTION sq8_quantize(v ARRAY<DOUBLE>)
+        RETURNS ARRAY<DOUBLE>
+        RETURN transform(v, x -> greatest(CAST(-127.0 AS DOUBLE),
+            least(CAST(127.0 AS DOUBLE),
+                  CAST(floor(x * (127.0 / array_max(transform(v,
+                       y -> abs(y)))) + 0.5) AS DOUBLE))))
+    """,
 }
 
 

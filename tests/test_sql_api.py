@@ -50,3 +50,27 @@ def test_sql_fingerprint_agrees_with_column_fn(spark):
         "doc_id", fingerprint("text").alias("fp")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_sql_containment_and_sq8_agree_with_operators(spark):
+    """The new SQL scalar functions mirror the operator expressions:
+    containment_sim equals the containment kernel's verify, and
+    sq8_quantize reproduces q_vec_quantize's codes."""
+    from hive_similarity_join_spark.sql_api import register_all
+    from tests.conftest import SF_SMOKE
+
+    register_all(spark, SF_SMOKE)
+    row = spark.sql("""
+        SELECT containment_sim(tokenize_text('a b c d'),
+                               tokenize_text('a b c x y z')) AS c
+    """).collect()[0]
+    assert row.c == 0.75
+    got = spark.sql("""
+        SELECT vec_id, sq8_quantize(CAST(embedding AS ARRAY<DOUBLE>)) AS q
+        FROM embeddings ORDER BY vec_id LIMIT 5
+    """).collect()
+    from hive_similarity_join_spark.queries.vectors_q import _sq8
+
+    want = {r.vec_id: list(r._qv) for r in _sq8(spark, SF_SMOKE).collect()}
+    for r in got:
+        assert list(r.q) == want[r.vec_id]
