@@ -40,7 +40,13 @@ that boot's builder recording was 239s). Treat cross-run totals as
 environment noise; only structural plan properties (job counts —
 pytest-asserted in tests/test_plans.py::test_heavy_key_job_count_
 tripwire — duplicate-subplan elimination, exchange shapes; see
-PLANS.md) are trusted as perf evidence.
+PLANS.md) are trusted as perf evidence. Fresh round-5 within-boot
+evidence: three same-code runs minutes apart totaled 264 / 369 /
+297 s, with the middle run spiking q_simjoin_dice 4.5s -> 38.1s and
+q_simjoin_edit_scalable 3.5s -> 27.2s and the next run restoring both
+— single-key driver-bench spikes of this size are noise, not
+regressions; adjudicate per-key ratios against FIXTURES.md output
+anchors before touching any plan.
 
 ROUND-5 ADJUDICATION of the round-4 driver-bench rises (VERDICT r4
 "What's wrong #1"): the FIXTURES.md round-5 anchors show the sf0.1

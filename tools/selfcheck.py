@@ -7,6 +7,7 @@ abs diff so any non-bit-exact computation gets flagged and fixed at the
 query level — the goal is EXACT match, tolerance is only diagnostic).
 
 Usage:  python tools/selfcheck.py [sf_dir] [key ...]
+        python tools/selfcheck.py [sf_dir] --window   # the driver's 50-key window
 """
 
 from __future__ import annotations
@@ -73,6 +74,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     load_registry()
     keys = sys.argv[2:] or list(QUERIES)
+    if keys == ["--window"]:
+        # exactly the driver's CORRECTNESS window: the first 50 keys in
+        # queries() insertion order (registry.ordered / PRIORITY)
+        from hive_similarity_join_spark.registry import ordered
+
+        keys = list(ordered(QUERIES))[:50]
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in (
