@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hive_similarity_join_spark.functions import text as TX
 from hive_similarity_join_spark.functions.vectors import duck_cosine
+from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
 from hive_similarity_join_spark.operators.dedup import (
     connected_components,
     connected_components_alternating,
@@ -461,5 +463,96 @@ def q_minhash_estimate(spark, sf_dir):
             est.alias("est_sim"),
             exact.alias("exact_sim"),
             F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+# ------------------------------------------------- KMV distinct sketch
+
+KMV_K = 64
+_KMV_N = 4  # shingle width (matches the decontamination family)
+
+
+@query(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, source, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, {TX.duck_md5_prefix60('t.g')} AS h
+  FROM bags, unnest({_duck_grams(_KMV_N)}) AS t(g)
+  WHERE len(bag) >= {_KMV_N}
+),
+exact AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source),
+kth AS (
+  SELECT source, h AS hk FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn = {KMV_K}
+)
+SELECT e.source,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CASE WHEN k.hk IS NOT NULL
+            THEN {float(KMV_K - 1) * 2.0 ** 60} / CAST(k.hk AS DOUBLE)
+            ELSE CAST(e.n_exact AS DOUBLE) END AS n_est,
+       abs(CASE WHEN k.hk IS NOT NULL
+                THEN {float(KMV_K - 1) * 2.0 ** 60} / CAST(k.hk AS DOUBLE)
+                ELSE CAST(e.n_exact AS DOUBLE) END
+           - CAST(e.n_exact AS DOUBLE)) / e.n_exact AS rel_err
+FROM exact e LEFT JOIN kth k USING (source)
+""",
+)
+def q_agg_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, per source, over
+    4-gram shingles — the approximate-distinct operator that, unlike
+    HLL (q_agg_approx_distinct, rows-only by necessity), IS
+    hash-checkable: the sketch is just "the k smallest md5-prefix
+    hashes", deterministic and identically computable in DuckDB, so
+    estimate AND exact AND relative error all bit-match (Bar-Yossef et
+    al., RANDOM 2002: E[(k-1)/h_k] = n/|hash space|). Emitted beside
+    the exact count as a sketch-accuracy audit, like q_minhash_estimate
+    for Jaccard.
+
+    Scale shape: the per-group sketch state is k hashes (here via a
+    per-group window over the distinct-hash relation; at true scale the
+    same k-smallest set folds with an approx-quantile-style partial
+    aggregate — the window form keeps the oracle exactly mirrorable).
+    int64->double casts above 2^53 round identically (IEEE
+    round-to-nearest) on both engines, so even the lossy cast is
+    deterministic. Groups with fewer than k distinct values fall back
+    to the exact count (the standard KMV rule)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _KMV_N))
+    sh = (
+        d.select("source", F.explode(grams).alias("g"))
+        .select("source", TX.md5_prefix60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    exact = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("source", F.col("h").alias("hk"))
+    )
+    scale = float(KMV_K - 1) * 2.0 ** 60
+    est = F.when(
+        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("n_exact").cast("double"))
+    return (
+        exact.join(kth, "source", "left")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("n_est"),
+            (F.abs(est - F.col("n_exact").cast("double")) / F.col("n_exact")).alias(
+                "rel_err"
+            ),
         )
     )
