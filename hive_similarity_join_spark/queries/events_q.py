@@ -140,3 +140,96 @@ def q_stream_session(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+Z_FLAG = 3.0
+
+
+@query(
+    "q_events_outliers",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         SUM(cents) AS s1i, SUM(cents * cents) AS s2i
+  FROM c GROUP BY 1
+),
+st AS (
+  SELECT event_type,
+         CAST(s1i AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS mean_value,
+         sqrt(CAST(n * s2i - s1i * s1i AS DOUBLE))
+           / (100.0 * sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             AS sd_value
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN st.sd_value > 0
+            THEN (e.value - st.mean_value) / st.sd_value
+            ELSE 0 END AS zscore,
+       CAST(CASE WHEN st.sd_value > 0
+                  AND abs((e.value - st.mean_value) / st.sd_value) > {Z_FLAG}
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM events e JOIN st USING (event_type)
+""",
+)
+def q_events_outliers(spark, sf_dir):
+    """Statistical outlier flagging (z-score QC) per event_type — the
+    numeric-column twin of q_text_rules_filter's text gates: every
+    event annotated with its within-group z-score and a |z| > 3 flag,
+    the standard screen a pipeline runs before treating `value` as a
+    training signal.
+
+    Bit-exactness: `value` carries two decimal places, so the moments
+    are computed in EXACT integer cents (floor(v*100 + 0.5), the
+    engine-portable rounding): sum and sum-of-squares are plain BIGINT
+    arithmetic, and the n*s2 - s1^2 variance numerator is exact before
+    its single cast to double. The remaining float chain is
+    sqrt/divide only — deliberately: the first cut of this key
+    computed variance as (S2 - S1*S1/n)/(n-1) in doubles and DuckDB's
+    fused multiply-add produced a 1-ulp sd difference on one group
+    (measured: 4049441f15b2c4c1 vs ...c0); an integer numerator leaves
+    no a*b+c shape for either engine to fuse. sqrt is
+    IEEE-correctly-rounded; each division is a single op with
+    identical association on both sides.
+
+    Scale shape: one partial-aggregated shuffle for the event_type
+    moments (group-count-sized result), broadcast back over the
+    streamed log for the per-row annotate — the same two-phase
+    stats-then-scan posture as q_search_bm25's corpus statistics."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    s = e.select("event_type", cents.alias("_c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("_s1i"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2i"),
+    )
+    nd = F.col("n").cast("double")
+    num = (
+        F.col("n") * F.col("_s2i") - F.col("_s1i") * F.col("_s1i")
+    ).cast("double")
+    mean = F.col("_s1i").cast("double") / (F.lit(100.0) * nd)
+    sd = F.sqrt(num) / (F.lit(100.0) * F.sqrt(nd * (nd - F.lit(1.0))))
+    stats = s.select(
+        "event_type", mean.alias("mean_value"), sd.alias("sd_value")
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("sd_value")
+    zscore = F.when(F.col("sd_value") > 0, z).otherwise(F.lit(0.0))
+    flagged = (
+        F.when((F.col("sd_value") > 0) & (F.abs(z) > Z_FLAG), 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            zscore.alias("zscore"),
+            flagged.alias("flagged"),
+        )
+    )

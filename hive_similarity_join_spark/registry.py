@@ -77,7 +77,7 @@ PRIORITY: list[str] = [
     "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
     "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
     "q_retention_cohorts", "q_simjoin_weighted_containment",
-    "q_simjoin_containment_rs", "q_agg_kmv_distinct",
+    "q_simjoin_containment_rs", "q_agg_kmv_distinct", "q_events_outliers",
 ]
 
 

@@ -110,5 +110,6 @@ def test_round5_correctness_window_composition():
         "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
         "q_retention_cohorts", "q_simjoin_weighted_containment",
         "q_simjoin_containment_rs", "q_agg_kmv_distinct",
+        "q_events_outliers",
     }
     assert not round5_new & set(head), round5_new & set(head)
