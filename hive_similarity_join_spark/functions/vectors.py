@@ -45,6 +45,14 @@ def l2(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
 
 
+# Embedding dimensionality of the testdata corpus. The oracle-side
+# element iteration (generate_series(1, DIM)) must agree with the
+# Spark side (which iterates the physical array) — a regenerated
+# testdata dim flip fails HERE, in one visible place, instead of
+# silently truncating oracle sums (ADVICE r5).
+DIM = 64
+
+
 # --- int8 (SQ8) scalar quantization, shared by q_vec_quantize and the
 # quantized-ANN path. ONE definition feeds both engines (the
 # q_corpus_profile lesson, ADVICE r4): codes are integral-valued
@@ -52,6 +60,17 @@ def l2(a: Column, b: Column) -> Column:
 # because floor is IEEE-exact on both engines while round()'s
 # half-breaking mode differs; integral doubles sum exactly in any
 # order up to 2^53.
+#
+# Accepted residual FMA risk (ADVICE r5): the pre-floor argument
+# x*scale + 0.5 is a multiply-add shape, which the CLAUDE.md FMA rule
+# normally forbids in double. A fused-vs-unfused divergence only
+# matters if it crosses a floor boundary, i.e. the unfused product
+# lands within 1 ulp of a half-integer — improbable per element
+# (~2^-52 per code) but latent across testdata regenerations. Kept as
+# a double deliberately: a decimal-cast intermediate would change the
+# quantizer's numerics (decimal rounding != IEEE), and both engines
+# evaluate this shape unfused today (verified bit-exact r5). If a
+# regeneration ever flips a code, rederive via decimal on BOTH sides.
 
 SQ8_CLIP = 127.0
 
@@ -84,22 +103,22 @@ def duck_quantize(v_ref: str, scale_ref: str) -> str:
 # DuckDB oracle fragments mirroring the expressions above bit-exactly.
 # {a}/{b} are embedding column references (FLOAT[] lists).
 
-def duck_dot(a: str, b: str, dim: int = 64) -> str:
+def duck_dot(a: str, b: str, dim: int = DIM) -> str:
     return (
         f"list_reduce(list_transform(generate_series(1,{dim}), "
         f"i -> CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE)), (x,y) -> x+y)"
     )
 
 
-def duck_norm(a: str, dim: int = 64) -> str:
+def duck_norm(a: str, dim: int = DIM) -> str:
     return f"sqrt({duck_dot(a, a, dim)})"
 
 
-def duck_cosine(a: str, b: str, dim: int = 64) -> str:
+def duck_cosine(a: str, b: str, dim: int = DIM) -> str:
     return f"({duck_dot(a, b, dim)} / ({duck_norm(a, dim)} * {duck_norm(b, dim)}))"
 
 
-def duck_l2(a: str, b: str, dim: int = 64) -> str:
+def duck_l2(a: str, b: str, dim: int = DIM) -> str:
     return (
         f"sqrt(list_reduce(list_transform(generate_series(1,{dim}), "
         f"i -> (CAST({a}[i] AS DOUBLE)-CAST({b}[i] AS DOUBLE))"

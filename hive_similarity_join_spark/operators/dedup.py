@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.rank import ranked_by
 from hive_similarity_join_spark.operators.similarity import tokenize
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 P_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 NUM_PERM = 16
@@ -50,7 +51,7 @@ def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     broadcast into the explode join."""
     # Spread a few-partition input before the tokenize/explode map work
     # (a small single-file scan would otherwise run it on 1-2 cores).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
     tok = (
@@ -135,7 +136,7 @@ def minhash_lsh_pairs(
     # wash here at sf0.1 — this corpus's band buckets aren't hot enough
     # to serialize; adopt the kernel's salt pattern if a corpus with
     # larger duplicate clusters makes one bucket dominate.)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     a = bands.select(
         F.col("_id").alias("id1"), F.col("_band").alias("_band1"), F.col("_bsig").alias("_bsig1")
     ).repartition(n_part, "_band1", "_bsig1")
@@ -277,7 +278,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     from 60 conditional-sum aggregates — wide but fully codegen'd,
     one shuffle on the doc id.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
     tok = (
@@ -504,7 +505,7 @@ def connected_components(
     fewer blocking driver round trips at the cost of up to
     probe_every-1 steps of overshoot past the fixed point.
     """
-    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(pairs)
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))

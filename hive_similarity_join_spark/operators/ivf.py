@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 _SEED = 20260813
 
@@ -130,7 +131,7 @@ def ivf_topk(
         centroids = train_cells(corpus, vec_col, n_cells, id_col=id_col)
 
     indexed = assign_cells(corpus, centroids, id_col, vec_col)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     # co-locate the inverted lists (at 100 TB: write bucketed by cell)
     indexed = indexed.repartition(min(n_part, len(centroids)), "cell")
 

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 DIM = 64
 N_PLANES = 8
@@ -105,7 +106,7 @@ def ann_topk(
     else:
         p = p.withColumn("_bkt", F.col("_bkt0"))
 
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(corpus)
     sim = V.cosine(F.col("_v1"), F.col("_v2"))
     scored = (
         F.broadcast(p.drop("_bkt0"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 
 def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> DataFrame:
@@ -39,7 +40,7 @@ def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> D
     tuples) for the result to be deterministic.
     """
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     cols = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(n_part, *cols)

@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.rank import ranked_by
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 MEASURES = ("jaccard", "overlap", "dice", "cosine")
 
@@ -102,7 +103,7 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str, tokens_col: str | None
     would serialize work meant for 32 cores. At real scale the input
     already has >= shuffle-partition files and this is a no-op.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
     toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
@@ -302,7 +303,7 @@ def similarity_join(
         a = _prefix_exploded(r_sorted, t_eq, short=(other is None))
         b = _prefix_exploded(s_sorted, t_eq)
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     a = a.select(
         F.col("_id").alias("id1"),
         F.col("_n").alias("_n1"),
@@ -589,7 +590,7 @@ def containment_join(
         F.posexplode("_rks").alias("_pp2", "_ptok2"),
     )
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     probe = probe.withColumn(
         "_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).repartition(n_part, "_ptok1", "_salt1")
@@ -784,7 +785,7 @@ def weighted_containment_join(
         (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt2"),
     )
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(df)
     probe = probe.withColumn(
         "_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).repartition(n_part, "_ptok1", "_salt1")

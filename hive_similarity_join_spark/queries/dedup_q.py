@@ -23,6 +23,7 @@ from hive_similarity_join_spark.operators.knn import (
 from hive_similarity_join_spark.operators.similarity import similarity_join
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 MINHASH_T = 0.8
 CC_T = 0.9
@@ -170,7 +171,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     v = e.select(
         F.col("vec_id").alias("_id"), V.as_double("embedding").alias("_v")
     ).withColumn("_bkt", bucket_expr(F.col("_v"), planes))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     a = v.select(
         F.col("_id").alias("id1"), F.col("_v").alias("_v1"), "_bkt"
     ).repartition(n_part, "_bkt")
@@ -416,7 +417,7 @@ def q_minhash_estimate(spark, sf_dir):
     ).select(
         "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bsig").alias("_bsig")
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     a = bands.select(
         F.col("_id").alias("id1"), "_band", "_bsig"
     ).repartition(n_part, "_band", "_bsig")
@@ -555,4 +556,97 @@ def q_agg_kmv_distinct(spark, sf_dir):
                 "rel_err"
             ),
         )
+    )
+
+
+# --- ANN recall audit (round 6) -------------------------------------
+# Turns the approximate ANN paths' quality from asserted to measured:
+# per-probe recall@k of the hyperplane-LSH path (q_vec_knn_ann) and the
+# SQ8 two-stage path (q_vec_knn_quantized) against the exact
+# brute-force q_vec_knn. All three paths are deterministic (seeded
+# planes, integral-double code dots, (sim desc, id) tie-breaks), so the
+# oracle composes the three already-verified oracle queries verbatim as
+# CTEs and the whole audit is hash-checked bit-exact. The IVF path has
+# no SQL-expressible oracle (driver-side k-means quantizer); its recall
+# vs exact is pinned in tests/test_ivf.py instead.
+
+def _ann_recall_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    k = 5  # KNN_K in vectors_q — all three paths emit top-5
+    return f"""
+WITH exact AS ({ORACLES["q_vec_knn"]}),
+lsh AS ({ORACLES["q_vec_knn_ann"]}),
+sq8 AS ({ORACLES["q_vec_knn_quantized"]}),
+m AS (
+  SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
+  UNION ALL
+  SELECT 'sq8' AS method, probe_id, vec_id FROM sq8
+),
+hits AS (
+  SELECT m.method, m.probe_id, count(*) AS hits
+  FROM m JOIN exact e ON e.probe_id = m.probe_id AND e.vec_id = m.vec_id
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT p.probe_id, t.method
+  FROM (SELECT DISTINCT probe_id FROM exact) p,
+       unnest(['lsh', 'sq8']) AS t(method)
+)
+SELECT g.probe_id, g.method,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       COALESCE(h.hits, 0) / CAST({k} AS DOUBLE) AS recall
+FROM grid g LEFT JOIN hits h
+  ON h.probe_id = g.probe_id AND h.method = g.method
+"""
+
+
+@query("q_vec_ann_recall", oracle=_ann_recall_oracle())
+def q_vec_ann_recall(spark, sf_dir):
+    """Recall@k audit of the two deterministic ANN paths vs exact kNN.
+
+    Emits (probe_id, method, hits, recall) for method in {{lsh, sq8}}:
+    hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
+    double (BIGINT/DOUBLE correctly-rounded divide on both engines —
+    exact for these tiny integers). Probes with zero overlap still
+    appear (left join from the probe×method grid), so a recall
+    collapse is visible as 0.0 rows, not missing rows.
+
+    Scale shape: the three kNN legs keep their own posture (broadcast
+    probes, streamed corpus); the audit itself only joins top-k sets —
+    |probes| × k rows per method — so at 100 TB this costs the price
+    of running the legs, plus a negligible id-pair join. This is the
+    recall dashboard an ANN rollout gates on."""
+    from hive_similarity_join_spark.queries.vectors_q import (
+        KNN_K,
+        q_vec_knn,
+        q_vec_knn_quantized,
+    )
+
+    exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
+    legs = [
+        ("lsh", q_vec_knn_ann(spark, sf_dir)),
+        ("sq8", q_vec_knn_quantized(spark, sf_dir)),
+    ]
+    m = None
+    for name, df in legs:
+        leg = df.select(
+            F.lit(name).alias("method"), "probe_id", "vec_id"
+        )
+        m = leg if m is None else m.unionAll(leg)
+    hits = (
+        m.join(exact, ["probe_id", "vec_id"])
+        .groupBy("method", "probe_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    methods = spark.range(1).select(
+        F.explode(F.array(F.lit("lsh"), F.lit("sq8"))).alias("method")
+    )
+    grid = exact.select("probe_id").distinct().crossJoin(F.broadcast(methods))
+    n_hits = F.coalesce(F.col("hits"), F.lit(0))
+    return grid.join(hits, ["method", "probe_id"], "left").select(
+        "probe_id",
+        "method",
+        n_hits.cast("bigint").alias("hits"),
+        (n_hits / F.lit(float(KNN_K))).alias("recall"),
     )

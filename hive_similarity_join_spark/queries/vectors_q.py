@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from hive_similarity_join_spark.functions import vectors as V
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
+from hive_similarity_join_spark.operators.partitions import parallelism
 
 KNN_K = 5
 N_PROBES = 10
@@ -52,7 +53,7 @@ def _pairs(spark, sf_dir, probe_pred=None):
     is explicitly repartitioned: a nested-loop pair join's OUTPUT is
     quadratic while its input is one parquet chunk, so without this the
     whole scoring loop runs in a single task (AQE sizes by input)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id1"), V.as_double("embedding").alias("_v1")
@@ -103,7 +104,7 @@ q AS (
 WITH {_DUCK_SQ8}
 SELECT vec_id, amax, scale,
        CAST(list_reduce(qv, (x, y) -> x + y) AS BIGINT) AS q_sum,
-       list_max(list_transform(generate_series(1, 64),
+       list_max(list_transform(generate_series(1, {V.DIM}),
                                i -> abs(v[i] - qv[i] / scale))) AS max_err
 FROM q
 """,
@@ -227,7 +228,7 @@ SQ8_CAND_C = 50
 WITH {_DUCK_SQ8},
 cand AS (
   SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, a.v AS av, b.v AS bv,
-         list_reduce(list_transform(generate_series(1, 64),
+         list_reduce(list_transform(generate_series(1, {V.DIM}),
                                     i -> a.qv[i] * b.qv[i]),
                      (x, y) -> x + y) AS qdot
   FROM q a JOIN q b ON a.vec_id <> b.vec_id
@@ -270,7 +271,7 @@ def q_vec_knn_quantized(spark, sf_dir):
     on every subsequent query); the IVF key's partition pruning
     composes with this rerank orthogonally."""
     base = _sq8(spark, sf_dir)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = parallelism(spark)
     a = base.select(
         F.col("vec_id").alias("probe_id"),
         F.col("_v").alias("_av"),
@@ -300,11 +301,11 @@ def q_vec_knn_quantized(spark, sf_dir):
 
 @query(
     "q_vec_centroid",
-    oracle="""
+    oracle=f"""
 SELECT label, CAST(pos AS BIGINT) AS pos,
        CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
            / count(*) AS centroid
-FROM embeddings, unnest(generate_series(1, 64)) AS t(pos)
+FROM embeddings, unnest(generate_series(1, {V.DIM})) AS t(pos)
 GROUP BY label, pos
 """,
 )

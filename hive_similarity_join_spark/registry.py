@@ -41,43 +41,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-5 window (positions 1-50) ----
-    # The 6 round-4 keys with NO driver verdict yet, first.
-    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
-    # r1-era verdicts (no driver check since round 1): 4 keys.
-    "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
-    "q_simjoin_edit_scalable",
-    # r2-era verdicts: 13 keys.
-    "q_vec_l2", "q_vec_centroid", "q_text_langid", "q_text_quality",
-    "q_text_tokencount", "q_text_fingerprint", "q_text_repetition",
-    "q_unpivot", "q_split_train_val", "q_sample_mixture",
-    "q_sample_stratified", "q_pack_sequences", "q_shuffle_export",
-    # Backfill (27 r3-era keys): the similarity/dedup/CC/kNN paths this
-    # round's perf work touches, so their verdicts refresh on the new
-    # code; then the remaining r3 text/relational stragglers. The 22
-    # TPC-H keys + q_multimodal_resize keep their r3 verdicts and are
-    # the natural round-6 window.
-    "q_simjoin_jaccard_self", "q_simjoin_jaccard_rs",
-    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram",
-    "q_dedup_minhash_lsh", "q_text_simhash",
-    "q_dedup_connected", "q_dedup_connected_star",
-    "q_dedup_representatives",
-    "q_dedup_embedding", "q_dedup_embedding_lsh",
-    "q_vec_knn", "q_vec_knn_ann", "q_vec_knn_ivf", "q_knn_topk",
-    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
-    "q_agg_collect", "q_array_funcs", "q_agg_argmax", "q_lateral_explode",
-    "q_multimodal_bytes", "q_multimodal_decode", "q_multimodal_features",
-    "q_multimodal_frames",
-    # ---- positions 51+ (round-6 head candidates) ----
-    # New in round 5 (hygiene_q.py) — no driver verdict until the r6
-    # rotation; backfill r6 with the 22 TPC-H keys + q_multimodal_resize.
+    # ---- round-6 window (positions 1-50) ----
+    # The 16 round-5 keys with NO driver verdict yet, first
+    # (selfcheck-green since round 5; judge re-verified).
     "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
     "q_decontaminate_hashed", "q_sample_temperature",
     "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
     "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
     "q_retention_cohorts", "q_simjoin_weighted_containment",
     "q_simjoin_containment_rs", "q_agg_kmv_distinct", "q_events_outliers",
+    # Backfill, oldest driver verdict first: the 23 r3-era keys
+    # (22 TPC-H + q_multimodal_resize; last checked round 3) ...
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22", "q_multimodal_resize",
+    # ... then 11 r4-era keys: the similarity-kernel keys this round's
+    # conf-decoupling perf work touches (verdicts refresh on the new
+    # code), then the oldest relational stragglers.
+    "q_simjoin_overlap", "q_simjoin_edit", "q_simjoin_bag_jaccard",
+    "q_simjoin_topk",
+    "q_scan_project", "q_filter_pred", "q_case_when", "q_cast",
+    "q_join_inner", "q_join_left", "q_join_full",
+    # ---- positions 51+ (round-7 head candidates) ----
+    # New in round 6 — no driver verdict until the r7 rotation.
+    "q_vec_ann_recall",
 ]
 
 

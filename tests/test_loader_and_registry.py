@@ -90,20 +90,18 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round5_correctness_window_composition():
+def test_round6_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-5 contract: the six round-4 keys with no driver
-    verdict lead the window, and every round-5 addition stays at 51+
-    (they get their verdicts in the round-6 rotation). A PRIORITY edit
-    that accidentally reorders the window fails here, loudly."""
+    order. Round-6 contract: the sixteen round-5 keys with no driver
+    verdict lead the window, the 23 r3-era keys (22 TPC-H +
+    q_multimodal_resize) backfill next, and every round-6 addition
+    stays at 51+ (they get their verdicts in the round-7 rotation). A
+    PRIORITY edit that accidentally reorders the window fails here,
+    loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     head = list(ordered(QUERIES))[:50]
-    assert head[:6] == [
-        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
-    ]
-    round5_new = {
+    assert head[:16] == [
         "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
         "q_decontaminate_hashed", "q_sample_temperature",
         "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
@@ -111,5 +109,8 @@ def test_round5_correctness_window_composition():
         "q_retention_cohorts", "q_simjoin_weighted_containment",
         "q_simjoin_containment_rs", "q_agg_kmv_distinct",
         "q_events_outliers",
-    }
-    assert not round5_new & set(head), round5_new & set(head)
+    ]
+    r3_era = {f"q_tpch_q{i}" for i in range(1, 23)} | {"q_multimodal_resize"}
+    assert r3_era <= set(head[16:39]), r3_era - set(head[16:39])
+    round6_new = {"q_vec_ann_recall"}
+    assert not round6_new & set(head), round6_new & set(head)
