@@ -66,7 +66,15 @@ def quality_score(text_col: Column | str) -> Column:
     """Deterministic quality heuristic in [0, ~1]: rewards vocabulary
     diversity and moderate length, penalizes stopword share. Pure
     int-ratio arithmetic -> bit-exact across engines."""
-    bag = bag_tokens(text_col)
+    return quality_score_from_bag(bag_tokens(text_col))
+
+
+def quality_score_from_bag(bag: Column) -> Column:
+    """``quality_score`` over an already-tokenized bag column — for
+    pipelines that tokenize once and feed several consumers (e.g.
+    q_dedup_representatives shares one bag relation between the MinHash
+    signature path and this score, saving a second split pass over
+    every document)."""
     distinct_ratio = F.size(F.array_distinct(bag)).cast("double") / F.size(bag).cast(
         "double"
     )

@@ -45,17 +45,23 @@ PERM_B = (
 assert len(PERM_A) == len(PERM_B) == NUM_PERM
 
 
-def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _ranked_tokens(
+    df: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """(_id, _r): distinct (doc, token-rank) pairs, rank = global
     rarest-first ordering (freq asc, token asc) — vocabulary-sized dict,
-    broadcast into the explode join."""
+    broadcast into the explode join. ``tokens_col`` names an existing
+    (bag or set) token-array column to reuse instead of re-splitting
+    ``text_col`` — the post-explode distinct gives identical set
+    semantics either way."""
     # Spread a few-partition input before the tokenize/explode map work
     # (a small single-file scan would otherwise run it on 1-2 cores).
     n_part = parallelism(df)
     if df.rdd.getNumPartitions() < n_part:
         df = df.repartition(n_part)
+    toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
     tok = (
-        df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_tok"))
+        df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
         .distinct()
     )
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
@@ -66,7 +72,11 @@ def _ranked_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, with_rank_arrays: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    with_rank_arrays: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(_id, _h1.._h{NUM_PERM}[, _rks]): one row per doc, wide signature.
 
@@ -80,7 +90,7 @@ def minhash_signatures(
     (bijective with the token set) in the SAME aggregate, so the verify
     step can intersect int arrays without a second tokenize pass.
     """
-    tokr = _ranked_tokens(df, id_col, text_col)
+    tokr = _ranked_tokens(df, id_col, text_col, tokens_col)
     # bigint arithmetic: a*r overflows int32 (ANSI mode raises, not wraps)
     r = F.col("_r").cast("bigint")
     aggs = [
@@ -95,7 +105,11 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard >= threshold.
 
@@ -108,7 +122,9 @@ def minhash_lsh_pairs(
     # underlying shuffle already; measured A/B at sf0.1 showed explicit
     # persistence strictly slower (adds a cache-write pass for work the
     # exchange reuse makes free). Deliberately NOT persisted.
-    sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
+    sigs = minhash_signatures(
+        df, id_col, text_col, with_rank_arrays=True, tokens_col=tokens_col
+    )
     # Band signatures are plain column concats over the wide signature row
     # (no second groupBy); band order matches the oracle's ORDER BY i.
     band_structs = [
@@ -355,8 +371,28 @@ def simhash_pairs(
     )
 
 
+def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):
+    """Per-round lineage truncation for the iterative CC operators.
+
+    ``checkpoint_dir=None`` -> ``localCheckpoint`` (executor-local
+    blocks: cheapest, correct on a healthy cluster, but a lost executor
+    loses blocks with no lineage left to recompute them). A durable
+    directory (HDFS/S3 at cluster scale, any path locally) -> reliable
+    ``checkpoint``, which survives executor loss — the right mode for
+    multi-hour 100 TB CC runs. Both preserve the physical partitioning
+    the callers stake on (ReliableCheckpointRDD keeps the partitioner).
+    """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint(eager=True)
+
+
 def connected_components_alternating(
-    pairs: DataFrame, max_iter: int = 50, probe_every: int = 2
+    pairs: DataFrame,
+    max_iter: int = 50,
+    probe_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
@@ -388,7 +424,12 @@ def connected_components_alternating(
     driver round trips at the cost of up to probe_every-1 rounds of
     overshoot past the fixed point. 1 = probe every round (least work,
     most round trips); 2 = the default latency/work balance.
+
+    ``checkpoint_dir``: None -> localCheckpoint (fast, executor-loss
+    fragile); a durable path -> reliable per-round checkpoints (the
+    cluster-scale mode — see ``_checkpointer``).
     """
+    ckpt = _checkpointer(pairs, checkpoint_dir)
     # ONE eager checkpoint of the canonical pair set: everything below
     # (the edge set, the node universe, every round's lineage root)
     # derives from it. Checkpointing edges and nodes separately would
@@ -400,7 +441,7 @@ def connected_components_alternating(
             F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     e = e0.filter(F.col("u") != F.col("v"))
     nodes = (
@@ -461,7 +502,7 @@ def connected_components_alternating(
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
             )
-        ss = e.localCheckpoint(eager=True)
+        ss = ckpt(e)
         # Convergence: both sets are distinct, so equal counts + empty
         # one-sided anti-join <=> equal sets. Counts come free off the
         # checkpointed relations, so the anti-join (an edge-sized probe)
@@ -486,7 +527,10 @@ def connected_components_alternating(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, probe_every: int = 2
+    pairs: DataFrame,
+    max_iter: int = 20,
+    probe_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate clustering: transitive closure of a pair graph
     (id1, id2) -> (id, component) with component = min reachable id.
@@ -496,15 +540,18 @@ def connected_components(
     moves labels one hop, the compression step follows comp ->
     comp(comp), so label distance halves per round and convergence is
     O(log diameter) edge shuffles — measured: a 120-node path settles
-    in 6 rounds (pure propagation would need 119). ``localCheckpoint``
-    truncates the exponentially-growing lineage each round (at cluster
-    scale, use a checkpoint dir on durable storage instead).
+    in 6 rounds (pure propagation would need 119). Per-round
+    checkpoints truncate the exponentially-growing lineage:
+    ``checkpoint_dir=None`` -> localCheckpoint (fast, executor-loss
+    fragile), a durable path -> reliable checkpoints, the
+    cluster-scale mode (see ``_checkpointer``).
 
     ``probe_every`` batches that many propagate+compress steps into one
     Spark job between convergence probes (checkpoint + `_chg` count):
     fewer blocking driver round trips at the cost of up to
     probe_every-1 steps of overshoot past the fixed point.
     """
+    ckpt = _checkpointer(pairs, checkpoint_dir)
     n_part = parallelism(pairs)
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
@@ -514,7 +561,7 @@ def connected_components(
         # idempotent under duplicate edges regardless — a full
         # shuffle+dedupe of the edge set would be pure overhead.
         # Hash-partition by the per-round join key BEFORE checkpointing:
-        # localCheckpoint preserves the physical partitioning, so every
+        # both checkpoint modes preserve the physical partitioning, so every
         # iteration's edges-to-labels join shuffles only the NODE-sized
         # label relation while the (much larger) edge set stays put —
         # near-dup graphs are dense (edges >> nodes), so this moves the
@@ -523,7 +570,7 @@ def connected_components(
         # materialize once: every iteration re-reads the edge set, and
         # without this the full upstream pair computation (e.g. a
         # similarity join) re-executes per round
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     labels = (
         edges.groupBy("a")
@@ -571,7 +618,7 @@ def connected_components(
                 F.least("comp", F.coalesce("_cc", "comp")).alias("comp"),
                 "_chg",
             )
-        new_labels = cur.localCheckpoint(eager=True)
+        new_labels = ckpt(cur)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:

@@ -678,14 +678,13 @@ def weighted_containment_join(
     (the "contained in a much heavier document" form, exact at the
     candidate join like containment_join's size ratio).
 
-    One honest cost note: the per-row suffix-weight arrays below are
-    built with a transform-of-aggregates (no running-sum higher-order
-    function exists), which is O(n^2) arithmetic per document — free at
-    this corpus's ~25 distinct tokens/doc, and still cheap at a few
-    hundred, but for 10k-token documents the linear form is a
-    posexplode + one window (PARTITION BY id ORDER BY pos DESC ROWS
-    UNBOUNDED PRECEDING sum) + re-collect: one extra shuffle, linear
-    work. The filter algebra is unchanged either way.
+    Suffix weights are LINEAR per document: a running window sum over
+    (id, rank DESC) on the still-exploded token relation, collected
+    into the per-doc arrays in the same groupBy — the window and the
+    aggregate share the hash partitioning on id, so the plan carries
+    ONE exchange (verified via .explain; a 10k-token document costs
+    10k additions, not 50M as the earlier transform-of-aggregates form
+    did). The filter algebra is unchanged.
 
     Scale shape: identical to containment_join — the dictionary (now
     carrying df-derived weights, built with a 1-row broadcast of the
@@ -718,42 +717,39 @@ def weighted_containment_join(
         )
     )
 
-    # Rank-sorted arrays with aligned weights + total weight. Sorting
-    # structs orders by rank (first field); weights ride along.
+    # Rank-sorted arrays with aligned weights, suffix weights and total
+    # weight. Suffix weights (_sfx[i] = sum of _ws[i..end]) come from a
+    # LINEAR running sum over (_id, rank DESC) computed BEFORE the
+    # collect — the window's hash partitioning on _id is exactly the
+    # groupBy's, so Catalyst inserts no second exchange (one shuffle
+    # total, same as the unweighted kernel; .explain shows a single
+    # Exchange feeding Window -> Sort -> HashAggregate). Total weight is
+    # the first suffix — no separate fold. Sorting structs orders by
+    # rank (first field); weight and suffix ride along.
     exploded = r.select("_id", F.explode("_toks").alias("_tok"))
     joined = exploded.join(F.broadcast(dict_df), "_tok")
+    w_sfx = (
+        Window.partitionBy("_id")
+        .orderBy(F.desc("_rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     r_sorted = (
-        joined.groupBy("_id")
+        joined.select("_id", "_rank", "_w")
+        .withColumn("_sfx", F.sum("_w").over(w_sfx))
+        .groupBy("_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("_rank"), F.col("_w")))
+                F.collect_list(F.struct(F.col("_rank"), F.col("_w"), F.col("_sfx")))
             ).alias("_rw")
         )
         .select(
             "_id",
             F.col("_rw._rank").alias("_rks"),
             F.col("_rw._w").alias("_ws"),
+            F.col("_rw._sfx").alias("_sfx"),
         )
         .withColumn("_n", F.size("_rks"))
-        .withColumn(
-            "_tw",
-            F.aggregate("_ws", F.lit(0).cast("long"), lambda acc, x: acc + x),
-        )
-        .withColumn(
-            # suffix weights: _sfx[i] = sum of _ws[i..end] (1-indexed
-            # positions in the reverse-cumulated array flipped back)
-            "_sfx",
-            F.reverse(
-                F.transform(
-                    F.reverse("_ws"),
-                    lambda x, i: F.aggregate(
-                        F.slice(F.reverse("_ws"), 1, i + 1),
-                        F.lit(0).cast("long"),
-                        lambda acc, y: acc + y,
-                    ),
-                )
-            ),
-        )
+        .withColumn("_tw", F.element_at("_sfx", 1))
     )
     if persist:
         r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)

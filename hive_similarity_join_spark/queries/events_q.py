@@ -155,7 +155,7 @@ WITH c AS (
 ),
 s AS (
   SELECT event_type, count(*) AS n,
-         SUM(cents) AS s1i, SUM(cents * cents) AS s2i
+         SUM(cents) AS s1i, SUM(CAST(cents AS HUGEINT) * cents) AS s2i
   FROM c GROUP BY 1
 ),
 st AS (
@@ -185,9 +185,15 @@ def q_events_outliers(spark, sf_dir):
 
     Bit-exactness: `value` carries two decimal places, so the moments
     are computed in EXACT integer cents (floor(v*100 + 0.5), the
-    engine-portable rounding): sum and sum-of-squares are plain BIGINT
-    arithmetic, and the n*s2 - s1^2 variance numerator is exact before
-    its single cast to double. The remaining float chain is
+    engine-portable rounding). The moment sums and the n*s2 - s1^2
+    variance numerator run in DECIMAL(38,0) on the Spark side and
+    HUGEINT (DuckDB's native int128 SUM type) on the oracle side —
+    different carriers, the SAME exact integers, converging at a
+    single correctly-rounded cast to double (ADVICE r5: the earlier
+    BIGINT numerator had s1^2 overflowing int64 once a group's summed
+    cents passed ~1e9, which ANSI Spark turns into a throw at larger
+    scale factors; 38 digits moves that wall to ~1e19 summed cents).
+    The remaining float chain is
     sqrt/divide only — deliberately: the first cut of this key
     computed variance as (S2 - S1*S1/n)/(n-1) in doubles and DuckDB's
     fused multiply-add produced a 1-ulp sd difference on one group
@@ -202,14 +208,16 @@ def q_events_outliers(spark, sf_dir):
     stats-then-scan posture as q_search_bm25's corpus statistics."""
     e = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    s = e.select("event_type", cents.alias("_c")).groupBy("event_type").agg(
+    dc = cents.cast("decimal(18,0)")
+    s = e.select("event_type", dc.alias("_c")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_c").alias("_s1i"),
         F.sum(F.col("_c") * F.col("_c")).alias("_s2i"),
     )
     nd = F.col("n").cast("double")
     num = (
-        F.col("n") * F.col("_s2i") - F.col("_s1i") * F.col("_s1i")
+        F.col("n").cast("decimal(38,0)") * F.col("_s2i")
+        - F.col("_s1i") * F.col("_s1i")
     ).cast("double")
     mean = F.col("_s1i").cast("double") / (F.lit(100.0) * nd)
     sd = F.sqrt(num) / (F.lit(100.0) * F.sqrt(nd * (nd - F.lit(1.0))))

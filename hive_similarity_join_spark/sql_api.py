@@ -90,14 +90,25 @@ SQL_FUNCTIONS: dict[str, str] = {
         RETURN CAST(size(array_intersect(a, b)) AS DOUBLE) / size(a)
     """,
     # SQ8 scalar quantization codes (q_vec_quantize's transform):
-    # integral-valued doubles in [-127, 127], floor(x*scale + 0.5)
+    # integral-valued doubles in [-127, 127], floor(x*scale + 0.5).
+    # Zero/empty vectors return NULL (scale undefined — mirrors the
+    # operator path's amax > 0 exclusion; unguarded this was
+    # 127/0 = Inf then 0*Inf = NaN codes). The scale is hoisted via a
+    # transform over a singleton array so it evaluates ONCE, not per
+    # element — SQL-function bodies get no CSE, so referencing the
+    # array_max expression inside the per-element lambda would be the
+    # O(dim^2) trap word_ngrams' docstring documents (ADVICE r5).
     "sq8_quantize": """
         CREATE OR REPLACE TEMPORARY FUNCTION sq8_quantize(v ARRAY<DOUBLE>)
         RETURNS ARRAY<DOUBLE>
-        RETURN transform(v, x -> greatest(CAST(-127.0 AS DOUBLE),
-            least(CAST(127.0 AS DOUBLE),
-                  CAST(floor(x * (127.0 / array_max(transform(v,
-                       y -> abs(y)))) + 0.5) AS DOUBLE))))
+        RETURN CASE WHEN array_max(transform(v, y -> abs(y))) > 0 THEN
+            element_at(transform(
+                array(CAST(127.0 AS DOUBLE)
+                      / array_max(transform(v, y -> abs(y)))),
+                s -> transform(v, x -> greatest(CAST(-127.0 AS DOUBLE),
+                         least(CAST(127.0 AS DOUBLE),
+                               CAST(floor(x * s + 0.5) AS DOUBLE))))), 1)
+        END
     """,
 }
 

@@ -32,6 +32,33 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
+    """The cluster-scale checkpoint mode (VERDICT r5 item 4): passing a
+    checkpoint_dir must route per-round lineage truncation through
+    reliable checkpoints (files actually land in the dir) and produce
+    exactly the localCheckpoint result on both CC implementations."""
+    from hive_similarity_join_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id1=i, id2=i + 1) for i in range(25)]
+        + [Row(id1=100, id2=101), Row(id1=101, id2=102)]
+    )
+    for fn, sub in [
+        (connected_components, "cc"),
+        (connected_components_alternating, "alt"),
+    ]:
+        d = tmp_path / sub
+        got = {
+            r.id: r.comp
+            for r in fn(pairs, checkpoint_dir=str(d)).collect()
+        }
+        want = {r.id: r.comp for r in fn(pairs).collect()}
+        assert got == want
+        assert any(d.rglob("*")), f"no reliable checkpoint files in {d}"
+
+
 def test_minhash_deterministic(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
     a = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", 0.8).collect()))

@@ -74,3 +74,11 @@ def test_sql_containment_and_sq8_agree_with_operators(spark):
     want = {r.vec_id: list(r._qv) for r in _sq8(spark, SF_SMOKE).collect()}
     for r in got:
         assert list(r.q) == want[r.vec_id]
+    # Zero/empty vectors: scale is undefined -> NULL, mirroring the
+    # operator path's amax > 0 exclusion (ADVICE r5: unguarded this
+    # returned NaN codes from 127/0 = Inf).
+    z = spark.sql("""
+        SELECT sq8_quantize(array(0.0D, 0.0D)) AS z,
+               sq8_quantize(CAST(array() AS ARRAY<DOUBLE>)) AS e
+    """).collect()[0]
+    assert z.z is None and z.e is None
