@@ -668,3 +668,81 @@ def q_vec_ann_recall(spark, sf_dir):
         n_hits.cast("bigint").alias("hits"),
         (n_hits / F.lit(float(KNN_K))).alias("recall"),
     )
+
+
+def _knn_label_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH exact AS ({ORACLES["q_vec_knn"]}),
+nb AS (
+  SELECT e.probe_id, e.vec_id, emb.label
+  FROM exact e JOIN embeddings emb ON emb.vec_id = e.vec_id
+),
+votes AS (
+  SELECT probe_id, label, count(*) AS votes
+  FROM nb GROUP BY 1, 2
+),
+pick AS (
+  SELECT probe_id, label, votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT p.probe_id,
+       CAST(p.label AS BIGINT) AS pred_label,
+       CAST(p.votes AS BIGINT) AS votes,
+       CAST(t.label AS BIGINT) AS true_label,
+       CAST(CASE WHEN p.label = t.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM pick p JOIN embeddings t ON t.vec_id = p.probe_id
+WHERE p.rn = 1
+"""
+
+
+@query("q_vec_knn_label", oracle=_knn_label_oracle())
+def q_vec_knn_label(spark, sf_dir):
+    """kNN majority-vote auto-labeling — the weak-supervision /
+    label-propagation step a curation pipeline runs to tag unlabeled
+    data from its nearest labeled neighbors: exact top-k neighbors per
+    probe (q_vec_knn's plan verbatim), neighbor labels tallied,
+    prediction = (votes DESC, label ASC) winner, emitted with the held
+    true label and a correct flag so the key doubles as a
+    leave-one-out kNN-accuracy audit. Deterministic end to end (exact
+    kNN + integer votes + total tie-break), hence hash-checked.
+
+    Scale shape: the vote tally and pick are windows over |probes| x k
+    rows — negligible next to the kNN leg; the label joins are by
+    vec_id against the (broadcastable) probe set and the corpus scan
+    q_vec_knn already pays. Nothing new shuffles at 100 TB."""
+    from pyspark.sql import Window
+
+    from hive_similarity_join_spark.queries.vectors_q import q_vec_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    nb = (
+        q_vec_knn(spark, sf_dir)
+        .select("probe_id", "vec_id")
+        .join(labels, "vec_id")
+    )
+    votes = nb.groupBy("probe_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("votes"), F.asc("label"))
+    pick = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    truth = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("_true")
+    )
+    return (
+        pick.join(truth, "probe_id")
+        .select(
+            "probe_id",
+            F.col("label").cast("bigint").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            F.col("_true").cast("bigint").alias("true_label"),
+            F.when(F.col("label") == F.col("_true"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )

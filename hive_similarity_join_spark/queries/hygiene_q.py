@@ -314,3 +314,131 @@ def q_sample_temperature(spark, sf_dir):
         .filter(u < F.col("sample_rate"))
         .select("doc_id", "lang", "sample_rate")
     )
+
+
+# ------------------------------------------------- tokenizer training
+
+_BPE_TOP = 50
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+p AS (
+  SELECT t.g AS pair
+  FROM bags, unnest({_duck_grams(2)}) AS t(g)
+),
+c AS (
+  SELECT pair, count(*) AS n_occ FROM p GROUP BY 1
+)
+SELECT pair, n_occ, rank FROM (
+  SELECT pair, CAST(n_occ AS BIGINT) AS n_occ,
+         CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= {_BPE_TOP}
+""",
+)
+def q_bpe_pairs(spark, sf_dir):
+    """Adjacent-pair frequency counting — the inner loop of BPE/WordPiece
+    tokenizer training, run corpus-wide: every adjacent token pair (bag
+    semantics: each OCCURRENCE counts, exactly what a merge step
+    consumes), globally counted, top-{_BPE_TOP} merge candidates by
+    (count DESC, pair ASC). One round of this per merge is how a
+    distributed BPE trainer runs over 100 TB; the key pins the
+    first-round candidate table bit-exactly.
+
+    Scale shape: the pair explode is map work fused into the scan;
+    the count is one partial-aggregated shuffle keyed by pair (the
+    token-pair space is vocabulary-squared-bounded but Zipf-sparse);
+    the global top-k plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort — same posture as q_search_bm25), and the
+    final rank window runs over {_BPE_TOP} rows. Deterministic: counts
+    are exact integers, ties break on the pair string."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(TX.word_ngrams(TX.bag_tokens("text"), 2)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("pair")).limit(_BPE_TOP)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# -------------------------------------------------- corpus novelty
+
+_NOVELTY_N = 3
+
+
+@query(
+    "q_text_novelty",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_duck_grams(_NOVELTY_N)}) AS t(g)
+),
+fst AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS novelty
+FROM sh JOIN fst f ON f.g = sh.g
+GROUP BY 1
+""",
+)
+def q_text_novelty(spark, sf_dir):
+    """Per-document n-gram novelty against everything ingested BEFORE
+    it (doc_id order): the fraction of a document's distinct
+    {_NOVELTY_N}-gram shingles whose FIRST corpus occurrence is this
+    document. The streaming-ingest curation signal — a near-zero
+    novelty score marks a document that adds nothing the corpus hasn't
+    seen (the continuous-crawl complement of pairwise dedup: no pair
+    enumeration, one global first-occurrence table).
+
+    Determinism/exactness: first occurrence is min(doc_id) per shingle
+    (exact integer), counts are exact, novelty is a single int/int
+    double division — correctly rounded identically on both engines.
+    Docs with fewer than {_NOVELTY_N} tokens emit no shingles and are
+    absent by definition (documented contract, same as
+    q_boilerplate_passages' length gate).
+
+    Scale shape: shingle explode fused into the scan; first-occurrence
+    is one partial-aggregated shuffle keyed by shingle; the join back
+    to per-doc shingles reuses that same hash partitioning (no extra
+    exchange on the fst side) and the per-doc rollup is one more
+    doc-keyed shuffle. Nothing collects; the first-occurrence relation
+    is shingle-space-sized and stays fully distributed — at 100 TB
+    this is the same shape as the inverted-index build."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _NOVELTY_N))
+        ).alias("g"),
+    )
+    fst = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(fst, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

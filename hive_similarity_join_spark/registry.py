@@ -66,7 +66,7 @@ PRIORITY: list[str] = [
     "q_join_inner", "q_join_left", "q_join_full",
     # ---- positions 51+ (round-7 head candidates) ----
     # New in round 6 — no driver verdict until the r7 rotation.
-    "q_vec_ann_recall",
+    "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
 ]
 
 

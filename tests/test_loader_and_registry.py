@@ -112,5 +112,7 @@ def test_round6_correctness_window_composition():
     ]
     r3_era = {f"q_tpch_q{i}" for i in range(1, 23)} | {"q_multimodal_resize"}
     assert r3_era <= set(head[16:39]), r3_era - set(head[16:39])
-    round6_new = {"q_vec_ann_recall"}
+    round6_new = {
+        "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
+    }
     assert not round6_new & set(head), round6_new & set(head)
