@@ -249,3 +249,33 @@ def test_weighted_containment_salted_and_python_free(spark):
     assert "_salt" in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_bpe_pairs_is_topk_single_shuffle(spark):
+    """BPE merge-candidate counting: one partial-aggregated shuffle on
+    the pair key, global top-k as TakeOrderedAndProject (per-partition
+    heaps — no global sort), no Python."""
+    plan = explain_str(_q("q_bpe_pairs", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "EvalPython" not in plan
+
+
+def test_text_novelty_two_exchanges(spark):
+    """First-occurrence novelty: the shingle-keyed aggregate's hash
+    partitioning must be REUSED by the join back to per-doc shingles
+    (no third exchange) — shingle agg + doc rollup only."""
+    plan = explain_str(_q("q_text_novelty", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_label_rides_broadcast_knn(spark):
+    """kNN auto-labeling must add only the vote-tally exchange on top
+    of q_vec_knn's broadcast-probes plan — label joins broadcast, the
+    corpus never shuffles."""
+    plan = explain_str(_q("q_vec_knn_label", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
