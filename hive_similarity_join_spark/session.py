@@ -56,4 +56,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return tune(builder.getOrCreate())
+    spark = tune(builder.getOrCreate())
+    # getOrCreate() on a process that ALREADY has a session returns it
+    # and silently ignores every builder .config() — the caller's
+    # requested shuffle sizing would be lost (e.g. bench.py inheriting a
+    # harness's default-200 session: the r4/r5 driver benches ran the
+    # explicitly-repartitioned keys 2.5x slow for exactly this reason
+    # before operators/partitions.py decoupled them). shuffle.partitions
+    # is runtime-settable, so honor the caller's request either way.
+    # Deliberately NOT in tune(): tune() also runs on sessions we did
+    # not build (the grading driver's own), where the owner's shuffle
+    # sizing must win.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+    except Exception:
+        pass
+    return spark

@@ -116,3 +116,20 @@ def test_round6_correctness_window_composition():
         "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
     }
     assert not round6_new & set(head), round6_new & set(head)
+
+
+def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
+    """getOrCreate() on a process with an existing session ignores
+    builder configs; get_spark must still honor the caller's shuffle
+    sizing via a runtime set (the r4/r5 driver-bench 2.5x on
+    explicitly-repartitioned keys traced to exactly this silent
+    conf drop)."""
+    from hive_similarity_join_spark.session import get_spark
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s = get_spark(shuffle_partitions=7)
+        assert s is spark  # same JVM session reused
+        assert s.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
