@@ -632,6 +632,37 @@ def containment_join(
     )
 
 
+def _weighted_sorted(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """(_id, _rks, _ws, _sfx, _n, _tw) for one tokenized relation
+    against a shared weight dictionary — see weighted_containment_join
+    for the linear suffix-sum construction notes."""
+    exploded = rel.select("_id", F.explode("_toks").alias("_tok"))
+    joined = exploded.join(F.broadcast(dict_df), "_tok")
+    w_sfx = (
+        Window.partitionBy("_id")
+        .orderBy(F.desc("_rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select("_id", "_rank", "_w")
+        .withColumn("_sfx", F.sum("_w").over(w_sfx))
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rank"), F.col("_w"), F.col("_sfx")))
+            ).alias("_rw")
+        )
+        .select(
+            "_id",
+            F.col("_rw._rank").alias("_rks"),
+            F.col("_rw._w").alias("_ws"),
+            F.col("_rw._sfx").alias("_sfx"),
+        )
+        .withColumn("_n", F.size("_rks"))
+        .withColumn("_tw", F.element_at("_sfx", 1))
+    )
+
+
 def weighted_containment_join(
     df: DataFrame,
     id_col: str,
@@ -641,6 +672,9 @@ def weighted_containment_join(
     n_salts: int = 32,
     persist: bool = True,
     min_weight_ratio: float | None = None,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
 ) -> DataFrame:
     """Rarity-WEIGHTED containment self-join: ordered pairs (id1, id2),
     id1 != id2, with ``sum of w(t) over shared tokens / total w(id1)
@@ -678,6 +712,13 @@ def weighted_containment_join(
     (the "contained in a much heavier document" form, exact at the
     candidate join like containment_join's size ratio).
 
+    R-S form (``other`` given): probes come from ``df`` (the incoming
+    batch), containers from ``other`` (the corpus) — the weighted
+    incremental-ingest screen. The id1 != id2 clause drops; the weight
+    dictionary is built over the UNION of both relations (one global
+    rarity scale — a corpus-common token must not look rare just
+    because the batch is small).
+
     Suffix weights are LINEAR per document: a running window sum over
     (id, rank DESC) on the still-exploded token relation, collected
     into the per-doc arrays in the same groupBy — the window and the
@@ -698,15 +739,26 @@ def weighted_containment_join(
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
         r = r.persist(StorageLevel.MEMORY_AND_DISK)
+    s = None
+    if other is not None:
+        s = _tokenized(
+            other, other_id_col or id_col, other_text_col or text_col, tokens_col
+        )
+        if persist:
+            s = s.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # (tok, rank, w): df over the per-doc-distinct token relation; the
-    # corpus doc count joins in as a 1-row broadcast (no driver action).
+    # (tok, rank, w): df over the per-doc-distinct token relation — in
+    # the R-S form over the UNION of both relations (one global rarity
+    # scale; a token common in the corpus must not look rare just
+    # because the batch is small). The corpus doc count joins in as a
+    # 1-row broadcast (no driver action).
+    all_rel = r if s is None else r.unionByName(s)
     freq = (
-        r.select(F.explode("_toks").alias("_tok"))
+        all_rel.select(F.explode("_toks").alias("_tok"))
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    ndocs = r.agg(F.count(F.lit(1)).alias("_nd"))
+    ndocs = all_rel.agg(F.count(F.lit(1)).alias("_nd"))
     dict_df = (
         ranked_by(freq, ["_df", "_tok"], "_rank")
         .crossJoin(F.broadcast(ndocs))
@@ -718,41 +770,21 @@ def weighted_containment_join(
     )
 
     # Rank-sorted arrays with aligned weights, suffix weights and total
-    # weight. Suffix weights (_sfx[i] = sum of _ws[i..end]) come from a
-    # LINEAR running sum over (_id, rank DESC) computed BEFORE the
-    # collect — the window's hash partitioning on _id is exactly the
-    # groupBy's, so Catalyst inserts no second exchange (one shuffle
-    # total, same as the unweighted kernel; .explain shows a single
-    # Exchange feeding Window -> Sort -> HashAggregate). Total weight is
-    # the first suffix — no separate fold. Sorting structs orders by
-    # rank (first field); weight and suffix ride along.
-    exploded = r.select("_id", F.explode("_toks").alias("_tok"))
-    joined = exploded.join(F.broadcast(dict_df), "_tok")
-    w_sfx = (
-        Window.partitionBy("_id")
-        .orderBy(F.desc("_rank"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r_sorted = (
-        joined.select("_id", "_rank", "_w")
-        .withColumn("_sfx", F.sum("_w").over(w_sfx))
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_rank"), F.col("_w"), F.col("_sfx")))
-            ).alias("_rw")
-        )
-        .select(
-            "_id",
-            F.col("_rw._rank").alias("_rks"),
-            F.col("_rw._w").alias("_ws"),
-            F.col("_rw._sfx").alias("_sfx"),
-        )
-        .withColumn("_n", F.size("_rks"))
-        .withColumn("_tw", F.element_at("_sfx", 1))
-    )
+    # weight (_weighted_sorted). Suffix weights (_sfx[i] = sum of
+    # _ws[i..end]) come from a LINEAR running sum over (_id, rank DESC)
+    # computed BEFORE the collect — the window's hash partitioning on
+    # _id is exactly the groupBy's, so Catalyst inserts no second
+    # exchange (one shuffle total, same as the unweighted kernel;
+    # .explain shows a single Exchange feeding Window -> Sort ->
+    # HashAggregate). Total weight is the first suffix — no separate
+    # fold. Sorting structs orders by rank (first field); weight and
+    # suffix ride along.
+    r_sorted = _weighted_sorted(r, dict_df)
     if persist:
         r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+    s_sorted = r_sorted if s is None else _weighted_sorted(s, dict_df)
+    if persist and s is not None:
+        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
 
     alpha1 = F.col("_tw1").cast("double") * threshold - 1e-9
     probe = (
@@ -770,7 +802,7 @@ def weighted_containment_join(
             (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt1"),
         )
     )
-    index = r_sorted.select(
+    index = s_sorted.select(
         F.col("_id").alias("id2"),
         F.col("_tw").alias("_tw2"),
         F.posexplode(F.arrays_zip("_rks", "_ws", "_sfx")).alias("_p", "_z"),
@@ -796,10 +828,11 @@ def weighted_containment_join(
     join_cond = (
         (F.col("_ptok1") == F.col("_ptok2"))
         & (F.col("_salt1") == F.col("_salt2"))
-        & (F.col("id1") != F.col("id2"))
         & (F.col("_tw2").cast("double") >= alpha)
         & (pos_bound >= alpha)
     )
+    if other is None:
+        join_cond = join_cond & (F.col("id1") != F.col("id2"))
     if min_weight_ratio is not None:
         join_cond = join_cond & (
             F.col("_tw2").cast("double")
@@ -816,7 +849,7 @@ def weighted_containment_join(
         F.map_from_arrays("_rks", "_ws").alias("_wmap1"),
         F.col("_tw").alias("_vtw1"),
     )
-    v2 = r_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    v2 = s_sorted.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
     shared_w = F.aggregate(
         F.transform(
             F.array_intersect(F.col("_rks1"), F.col("_rks2")),

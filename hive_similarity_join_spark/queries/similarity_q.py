@@ -473,6 +473,71 @@ def q_simjoin_weighted_containment(spark, sf_dir):
     )
 
 
+T_WCONTAIN_RS = 0.95
+
+
+@query(
+    "q_simjoin_weighted_containment_rs",
+    oracle=f"""
+WITH tok_l AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM (SELECT * FROM documents WHERE source < 'src5'),
+       unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tok_r AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM (SELECT * FROM documents WHERE source >= 'src5'),
+       unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tok_all AS (SELECT * FROM tok_l UNION ALL SELECT * FROM tok_r),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok_all),
+w AS (
+  SELECT tok, (SELECT n FROM nd) - count(*) + 1 AS w
+  FROM tok_all GROUP BY tok
+),
+tw_l AS (
+  SELECT doc_id, SUM(w) AS tw FROM tok_l JOIN w USING (tok) GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(w.w) AS sw
+  FROM tok_l a JOIN tok_r b ON a.tok = b.tok
+  JOIN w ON w.tok = a.tok
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(sw AS DOUBLE) / CAST(t1.tw AS DOUBLE) AS sim
+FROM shared JOIN tw_l t1 ON t1.doc_id = id1
+WHERE CAST(sw AS DOUBLE) / CAST(t1.tw AS DOUBLE) >= {T_WCONTAIN_RS}
+""",
+)
+def q_simjoin_weighted_containment_rs(spark, sf_dir):
+    """Weighted R-S containment — the rarity-weighted incremental-
+    ingest screen: which incoming docs (source < src5) have >=95% of
+    their rarity-weighted token mass already inside some corpus doc
+    (source >= src5). The weighted refinement of
+    q_simjoin_containment_rs: shared stopword chrome no longer buys
+    admission-blocking evidence, shared rare tokens do. Weights use
+    ONE global rarity scale built over batch+corpus together
+    (w = N_total - df_total + 1 — a corpus-common token must not look
+    rare because the batch is small); probes prefix-explode by the
+    weighted suffix-sum pigeonhole, the corpus side is the full
+    weighted inverted index, exact integer-sum verify
+    (operators/similarity.py ``weighted_containment_join(other=...)``).
+    At 100 TB the corpus index + weight dictionary are standing
+    relations and only batch prefixes stream through them."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") < "src5")
+    corpus = docs.filter(F.col("source") >= "src5")
+    return weighted_containment_join(
+        batch, "doc_id", "text", threshold=T_WCONTAIN_RS, other=corpus
+    )
+
+
 T_GROUPED = 0.8
 
 

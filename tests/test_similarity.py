@@ -328,6 +328,58 @@ def test_weighted_reduces_to_unweighted_when_weights_equal(spark):
     assert wq == uq
 
 
+def _brute_weighted_containment_rs(l_rows, r_rows, t):
+    """Pure-Python reference for the R-S weighted containment: one
+    global rarity scale over both relations."""
+    from collections import Counter
+
+    def sets_of(rows):
+        out = {}
+        for r in rows:
+            s = set(r.text.lower().split())
+            if s:
+                out[r.id] = s
+        return out
+
+    ls, rs = sets_of(l_rows), sets_of(r_rows)
+    dfc = Counter(t_ for s in list(ls.values()) + list(rs.values()) for t_ in s)
+    n = len(ls) + len(rs)
+    w = {tok: n - c + 1 for tok, c in dfc.items()}
+    out = set()
+    for a, sa in ls.items():
+        twa = sum(w[t_] for t_ in sa)
+        for b, sb in rs.items():
+            sw = sum(w[t_] for t_ in sa & sb)
+            if sw / twa >= t:
+                out.add((a, b, round(sw / twa, 12)))
+    return out
+
+
+def test_weighted_containment_rs_lossless_vs_brute_force(spark):
+    """R-S weighted containment (batch probes x corpus index, one
+    global rarity scale over both relations) must be exactly lossless
+    vs brute force — including batch/corpus docs sharing ids."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    rows = _random_docs(37, n=70)
+    l_rows, r_rows = rows[:30], rows[30:]
+    # plant one exact containment across the relations
+    l_rows = l_rows + [Row(id=900, text=" ".join(r_rows[0].text.split()[:5]))]
+    lf = spark.createDataFrame(l_rows)
+    rf = spark.createDataFrame(r_rows)
+    t = 0.7
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in weighted_containment_join(
+            lf, "id", "text", threshold=t, other=rf
+        ).collect()
+    }
+    assert got == _brute_weighted_containment_rs(l_rows, r_rows, t)
+    assert any(p[0] == 900 for p in got)
+
+
 def test_containment_rs_lossless_vs_brute_force(spark):
     """R-S containment (probe batch x corpus index, dictionary over
     both relations) must equal the pure-Python brute force."""
