@@ -241,3 +241,75 @@ def q_events_outliers(spark, sf_dir):
             flagged.alias("flagged"),
         )
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "q_events_gaps",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / (1000000.0 * count(*)) AS mean_gap_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(1 + SUM(CASE WHEN gap_us > {SESSION_GAP_MIN} * 60 * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM seq WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_events_gaps(spark, sf_dir):
+    """Per-user inter-event gap statistics — the activity-cadence
+    diagnostic behind sessionization tuning (pick the session_window
+    gap by LOOKING at the gap distribution, not guessing): event
+    count, gap count, total/mean/max gap, and the session count a
+    {SESSION_GAP_MIN}-minute gap rule implies. Complements
+    q_stream_session (which APPLIES a gap rule) and q_retention_cohorts
+    (day-grain) with the second-grain cadence view.
+
+    Exactness: gaps are exact integer microseconds (unix_micros /
+    epoch_us lags with an (ts, event_id) total order); sums and maxes
+    stay BIGINT; the single double division per row has identical
+    association on both engines. Users with one event have no gaps and
+    are excluded by definition (documented, deterministic both sides).
+
+    Scale shape: one hash shuffle on user_id shared by the lag window
+    and the rollup (same partitioning, Catalyst plans a single
+    exchange — the q_scd2_history posture); output is user-count-sized.
+    At 100 TB this is the classic sessionization pre-pass."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    seq = (
+        e.select("user_id", "event_id", F.unix_micros("ts").alias("_us"))
+        .withColumn("gap_us", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    n_gaps = F.count(F.lit(1))
+    session_cut = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    return seq.groupBy("user_id").agg(
+        (n_gaps + 1).cast("bigint").alias("n_events"),
+        n_gaps.cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        (F.sum("gap_us").cast("double") / (F.lit(1000000.0) * n_gaps)).alias(
+            "mean_gap_s"
+        ),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("gap_us") > session_cut, 1).otherwise(0))
+        ).cast("bigint").alias("n_sessions"),
+    )

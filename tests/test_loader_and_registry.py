@@ -114,7 +114,7 @@ def test_round6_correctness_window_composition():
     assert r3_era <= set(head[16:39]), r3_era - set(head[16:39])
     round6_new = {
         "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
-        "q_simjoin_weighted_containment_rs",
+        "q_simjoin_weighted_containment_rs", "q_events_gaps",
     }
     assert not round6_new & set(head), round6_new & set(head)
 
