@@ -888,3 +888,155 @@ def build_token_dict(
         d.write.mode("overwrite").parquet(path)
         d = df.sparkSession.read.parquet(path)
     return d
+
+
+def weighted_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    tokens_col: str | None = None,
+    n_salts: int = 32,
+    persist: bool = True,
+) -> DataFrame:
+    """Rarity-WEIGHTED Jaccard self-join: ordered pairs (id1, id2) with
+    ``sum w over shared tokens / sum w over the union >= threshold``,
+    w(t) = N_docs - df(t) + 1 — the symmetric member of the weighted
+    family (weighted containment is the asymmetric one). This is the
+    tf-idf-flavored near-dup join IR dedup actually runs: two docs
+    sharing their rare identifiers score high even when one has extra
+    boilerplate the other lacks, and boilerplate-only overlap scores
+    low.
+
+    Filter algebra (all bounds lossless, derivation): write
+    WJ = sw / (tw1 + tw2 - sw) with sw = shared weight. Orient pairs
+    so (tw1, id1) < (tw2, id2) lexicographically. Then WJ >= t iff
+    ``sw >= t/(1+t) * (tw1 + tw2)`` (rearrangement, sw on one side);
+      - weighted LENGTH filter: sw <= tw1 (the lighter side bounds the
+        intersection), so admissible partners satisfy
+        ``tw2 <= tw1 / t``;
+      - probe PREFIX: over admissible tw2 >= tw1 the required shared
+        weight is minimized at tw2 = tw1, giving
+        ``alpha_min = 2t/(1+t) * tw1`` — emit probe position p only
+        while the rank-order suffix weight >= alpha_min (weighted
+        pigeonhole; with unit weights this is the classic
+        2t/(1+t)-prefix of PPJoin's self-join variant);
+      - join-time POSITIONAL bound with the pair-exact
+        ``alpha = t/(1+t) * (tw1 + tw2)``:
+        ``w(tok) + min(sfx1(p1+1), sfx2(p2+1)) >= alpha``;
+      - exact verify: integer sw over the rank intersection,
+        ``sw / (tw1 + tw2 - sw) >= t`` (one double division — both
+        engines compute the identical ratio of exact integers).
+
+    The index side (the heavier doc) emits ALL tokens with suffix
+    weights — same probe-prefix x full-index shape, salting, explicit
+    AQE-exempt partitioning and broadcast dictionary as
+    ``weighted_containment_join``; rarest-first ranks keep probe
+    prefixes on rare tokens, which is what bounds the candidate space
+    at 100 TB.
+    """
+    r = _tokenized(df, id_col, text_col, tokens_col)
+    if persist:
+        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = (
+        r.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ndocs = r.agg(F.count(F.lit(1)).alias("_nd"))
+    dict_df = (
+        ranked_by(freq, ["_df", "_tok"], "_rank")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_tok",
+            "_rank",
+            (F.col("_nd") - F.col("_df") + F.lit(1)).cast("long").alias("_w"),
+        )
+    )
+    r_sorted = _weighted_sorted(r, dict_df)
+    if persist:
+        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tt = threshold / (1.0 + threshold)
+    alpha_min = F.col("_tw1").cast("double") * (2.0 * tt) - 1e-9
+    probe = (
+        r_sorted.select(
+            F.col("_id").alias("id1"),
+            F.col("_tw").alias("_tw1"),
+            F.posexplode(F.arrays_zip("_rks", "_ws", "_sfx")).alias("_p", "_z"),
+        )
+        .filter(F.col("_z._sfx").cast("double") >= alpha_min)
+        .select(
+            "id1",
+            "_tw1",
+            F.col("_z._rks").alias("_ptok1"),
+            F.col("_z._ws").alias("_wtok1"),
+            (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt1"),
+        )
+    )
+    index = r_sorted.select(
+        F.col("_id").alias("id2"),
+        F.col("_tw").alias("_tw2"),
+        F.posexplode(F.arrays_zip("_rks", "_ws", "_sfx")).alias("_p", "_z"),
+    ).select(
+        "id2",
+        "_tw2",
+        F.col("_z._rks").alias("_ptok2"),
+        (F.col("_z._sfx") - F.col("_z._ws")).alias("_nxt2"),
+    )
+
+    n_part = parallelism(df)
+    probe = probe.withColumn(
+        "_salt1", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(n_part, "_ptok1", "_salt1")
+    index = index.withColumn(
+        "_salt2", F.pmod(F.hash(F.col("id2")), F.lit(n_salts))
+    ).repartition(n_part, "_ptok2", "_salt2")
+
+    alpha = (
+        (F.col("_tw1") + F.col("_tw2")).cast("double") * F.lit(tt) - 1e-9
+    )
+    orient = (F.col("_tw1") < F.col("_tw2")) | (
+        (F.col("_tw1") == F.col("_tw2")) & (F.col("id1") < F.col("id2"))
+    )
+    pos_bound = (
+        F.col("_wtok1") + F.least(F.col("_nxt1"), F.col("_nxt2"))
+    ).cast("double")
+    join_cond = (
+        (F.col("_ptok1") == F.col("_ptok2"))
+        & (F.col("_salt1") == F.col("_salt2"))
+        & orient
+        & (F.col("_tw2").cast("double") <= F.col("_tw1") / F.lit(threshold) + 1e-9)
+        & (pos_bound >= alpha)
+    )
+    cands = (
+        probe.join(index, join_cond)
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = r_sorted.select(
+        F.col("_id").alias("id1"),
+        F.col("_rks").alias("_rks1"),
+        F.map_from_arrays("_rks", "_ws").alias("_wmap1"),
+        F.col("_tw").alias("_vtw1"),
+    )
+    v2 = r_sorted.select(F.col("_id").alias("id2"), F.col("_tw").alias("_vtw2"),
+                         F.col("_rks").alias("_rks2"))
+    shared_w = F.aggregate(
+        F.transform(
+            F.array_intersect(F.col("_rks1"), F.col("_rks2")),
+            lambda k: F.element_at(F.col("_wmap1"), k),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = shared_w.cast("double") / (
+        F.col("_vtw1") + F.col("_vtw2") - shared_w
+    ).cast("double")
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )

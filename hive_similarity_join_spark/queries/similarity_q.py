@@ -473,6 +473,65 @@ def q_simjoin_weighted_containment(spark, sf_dir):
     )
 
 
+T_WJACCARD = 0.9
+
+
+@query(
+    "q_simjoin_weighted_jaccard",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+w AS (
+  SELECT tok, (SELECT n FROM nd) - count(*) + 1 AS w
+  FROM tok GROUP BY tok
+),
+tw AS (
+  SELECT doc_id, SUM(w) AS tw FROM tok JOIN w USING (tok) GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, SUM(w.w) AS sw
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  JOIN w ON w.tok = a.tok
+  GROUP BY 1, 2
+),
+orient AS (
+  SELECT CASE WHEN (ta.tw, s.ida) < (tb.tw, s.idb) THEN s.ida ELSE s.idb END AS id1,
+         CASE WHEN (ta.tw, s.ida) < (tb.tw, s.idb) THEN s.idb ELSE s.ida END AS id2,
+         s.sw, ta.tw + tb.tw AS twsum
+  FROM shared s
+  JOIN tw ta ON ta.doc_id = s.ida
+  JOIN tw tb ON tb.doc_id = s.idb
+)
+SELECT id1, id2, CAST(sw AS DOUBLE) / CAST(twsum - sw AS DOUBLE) AS sim
+FROM orient
+WHERE CAST(sw AS DOUBLE) / CAST(twsum - sw AS DOUBLE) >= {T_WJACCARD}
+""",
+)
+def q_simjoin_weighted_jaccard(spark, sf_dir):
+    """Rarity-weighted Jaccard self-join — the SYMMETRIC member of the
+    weighted family (weighted containment is the asymmetric one), and
+    the tf-idf-flavored near-dup join IR dedup actually runs: shared
+    weight over union weight with w = N - df + 1, so two docs sharing
+    their rare identifiers score high even when one carries extra
+    boilerplate, and boilerplate-only overlap scores low. Pairs orient
+    by (total weight, id) — the lighter doc is id1. Lossless weighted
+    2t/(1+t)-prefix + weighted length filter tw2 <= tw1/t + pair-exact
+    positional bound; exact integer-sum verify (derivation in
+    operators/similarity.py ``weighted_jaccard_join``). Integer
+    weights keep every sum exact, so the brute-force relational oracle
+    hash-matches."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_jaccard_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_jaccard_join(docs, "doc_id", "text", threshold=T_WJACCARD)
+
+
 T_WCONTAIN_RS = 0.95
 
 

@@ -407,3 +407,72 @@ def test_containment_rs_lossless_vs_brute_force(spark):
             if i / len(sa) >= t:
                 want.add((a, b, round(i / len(sa), 12)))
     assert got == want
+
+
+def _brute_weighted_jaccard(rows, t):
+    """Pure-Python reference for weighted_jaccard_join: rarity weights,
+    pairs oriented by (total weight, id) lexicographic order."""
+    from collections import Counter
+
+    sets = {}
+    for r in rows:
+        s = set(r.text.lower().split())
+        if s:
+            sets[r.id] = s
+    dfc = Counter(t_ for s in sets.values() for t_ in s)
+    n = len(sets)
+    w = {tok: n - c + 1 for tok, c in dfc.items()}
+    tw = {a: sum(w[t_] for t_ in sa) for a, sa in sets.items()}
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if (tw[a], a) >= (tw[b], b):
+                continue
+            sw = sum(w[t_] for t_ in sa & sb)
+            sim = sw / (tw[a] + tw[b] - sw)
+            if sim >= t:
+                out.add((a, b, round(sim, 12)))
+    return out
+
+
+@pytest.mark.parametrize("seed,t", [(51, 0.5), (52, 0.7)])
+def test_weighted_jaccard_lossless_vs_brute_force(spark, seed, t):
+    """Weighted 2t/(1+t)-prefix + weighted length filter + pair-exact
+    positional bound must be exactly lossless vs brute force."""
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_jaccard_join,
+    )
+
+    rows = _random_docs(seed, n=60)
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in weighted_jaccard_join(
+            spark.createDataFrame(rows), "id", "text", threshold=t
+        ).collect()
+    }
+    assert got == _brute_weighted_jaccard(rows, t)
+
+
+def test_weighted_jaccard_reduces_to_unweighted_on_uniform_weights(spark):
+    """Every token at the same document frequency -> uniform weights ->
+    weighted Jaccard must equal plain set Jaccard (modulo the (tw, id)
+    vs plain id pair orientation, identical under uniform weights
+    ordered by size)."""
+    from hive_similarity_join_spark.operators.similarity import (
+        similarity_join,
+        weighted_jaccard_join,
+    )
+
+    rows = [
+        Row(id=1, text="a b c d"),
+        Row(id=2, text="a b c d e f g h"),
+        Row(id=3, text="e f g h"),
+        Row(id=4, text="x y"),
+        Row(id=5, text="x y"),
+    ]
+    df = spark.createDataFrame(rows)
+    wq = {(frozenset((r.id1, r.id2)), round(r.sim, 12))
+          for r in weighted_jaccard_join(df, "id", "text", threshold=0.4).collect()}
+    uq = {(frozenset((r.id1, r.id2)), round(r.sim, 12))
+          for r in similarity_join(df, "id", "text", threshold=0.4).collect()}
+    assert wq == uq
