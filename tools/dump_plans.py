@@ -139,6 +139,30 @@ HEADLINERS: dict[str, str] = {
         "the exact-cosine rerank window over only those candidates — "
         "all codegen, no Python."
     ),
+    "q_bpe_pairs": (
+        "BPE merge-candidate counting. Look for: ONE hash exchange on "
+        "the pair key with a map-side partial aggregate, the global "
+        "top-50 planned as TakeOrderedAndProject (per-partition heaps "
+        "— no rangepartitioning/global sort), and the final rank "
+        "window running over 50 rows. No Python."
+    ),
+    "q_text_novelty": (
+        "First-occurrence novelty. Look for: exactly TWO hash "
+        "exchanges — the shingle-keyed min aggregate whose "
+        "partitioning the join back to per-doc shingles REUSES (no "
+        "third exchange on the fst side), then the doc-keyed rollup. "
+        "The first-occurrence table stays fully distributed; nothing "
+        "broadcasts but the plan's small side."
+    ),
+    "q_simjoin_weighted_jaccard": (
+        "Weighted symmetric near-dup join. Look for: the same "
+        "broadcast-dictionary + salted REPARTITION_BY_NUM candidate "
+        "shape as the weighted containment key, a single Window "
+        "(running suffix-weight sum) sharing the collect's hash "
+        "partitioning on _id (one exchange feeds Window -> Sort -> "
+        "HashAggregate), and the pair-exact positional bound in the "
+        "join condition. No Python."
+    ),
 }
 
 
