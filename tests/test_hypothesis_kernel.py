@@ -169,3 +169,95 @@ def test_containment_matches_model(spark, docs):
             if sim >= t:
                 want.add((i, j, round(sim, 12)))
     assert got == want
+
+
+def _rarity_weights(docs: list[list[str]]):
+    """(weights per token, per-doc sets) — w = N_nonempty - df + 1."""
+    from collections import Counter
+
+    sets = [frozenset(d) for d in docs]
+    nonempty = [s for s in sets if s]
+    dfc = Counter(t for s in nonempty for t in s)
+    n = len(nonempty)
+    return {t: n - c + 1 for t, c in dfc.items()}, sets
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_weighted_containment_matches_model(spark, docs):
+    """Weighted containment (suffix-weight prefix + weighted positional
+    bound) vs the all-ordered-pairs rarity-weight model."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    t = 0.6
+    rows = [Row(id=i, text=" ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in weighted_containment_join(
+            df, "id", "text", threshold=t, persist=False
+        ).collect()
+    }
+    w, sets = _rarity_weights(docs)
+    want = set()
+    for i, a in enumerate(sets):
+        if not a:
+            continue
+        twa = sum(w[x] for x in a)
+        for j, b in enumerate(sets):
+            if i == j or not b:
+                continue
+            sim = sum(w[x] for x in a & b) / twa
+            if sim >= t:
+                want.add((i, j, round(sim, 12)))
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_strategy)
+def test_weighted_jaccard_matches_model(spark, docs):
+    """Weighted symmetric Jaccard (weighted 2t/(1+t) prefix + weighted
+    length filter + pair-exact positional bound) vs the (tw, id)-
+    oriented all-pairs model — duplicate bags give tw ties, exercising
+    the id tie-break."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_jaccard_join,
+    )
+
+    t = 0.5
+    rows = [Row(id=i, text=" ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in weighted_jaccard_join(
+            df, "id", "text", threshold=t, persist=False
+        ).collect()
+    }
+    w, sets = _rarity_weights(docs)
+    tw = {i: sum(w[x] for x in s) for i, s in enumerate(sets) if s}
+    want = set()
+    for i, a in enumerate(sets):
+        if not a:
+            continue
+        for j, b in enumerate(sets):
+            if not b or (tw[i], i) >= (tw[j], j):
+                continue
+            sw = sum(w[x] for x in a & b)
+            sim = sw / (tw[i] + tw[j] - sw)
+            if sim >= t:
+                want.add((i, j, round(sim, 12)))
+    assert got == want
