@@ -17,7 +17,24 @@ is unavoidable.
 
 from hive_similarity_join_spark.session import get_spark
 from hive_similarity_join_spark.sources.loader import TABLES, load_table, load_all, register_views
-from hive_similarity_join_spark.operators.similarity import similarity_join, tokenize
+from hive_similarity_join_spark.operators.similarity import (
+    bag_jaccard_join,
+    build_token_dict,
+    containment_join,
+    similarity_join,
+    tokenize,
+    weighted_containment_join,
+    weighted_jaccard_join,
+)
+from hive_similarity_join_spark.operators.dedup import (
+    connected_components,
+    connected_components_alternating,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from hive_similarity_join_spark.operators.knn import ann_topk
+from hive_similarity_join_spark.operators.ivf import ivf_topk
 
 __all__ = [
     "get_spark",
@@ -25,6 +42,21 @@ __all__ = [
     "load_table",
     "load_all",
     "register_views",
+    # similarity family
     "similarity_join",
+    "bag_jaccard_join",
+    "containment_join",
+    "weighted_containment_join",
+    "weighted_jaccard_join",
+    "build_token_dict",
     "tokenize",
+    # dedup family
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "connected_components",
+    "connected_components_alternating",
+    # similarity search
+    "ann_topk",
+    "ivf_topk",
 ]
