@@ -442,3 +442,79 @@ def q_text_novelty(spark, sf_dir):
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------------ keyword extraction
+
+_KEYTERMS_K = 3
+
+
+@query(
+    "q_text_keyterms",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+tf AS (
+  SELECT doc_id, t.tok, count(*) AS tf
+  FROM bags, unnest(bag) AS t(tok)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM bags WHERE len(bag) > 0),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ((SELECT n FROM nd) - d.df + 1) AS score
+  FROM tf JOIN dfreq d ON d.tok = tf.tok
+)
+SELECT doc_id, tok AS term, CAST(score AS BIGINT) AS score,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rnk
+  FROM scored
+) WHERE rnk <= {_KEYTERMS_K}
+""",
+)
+def q_text_keyterms(spark, sf_dir):
+    """Per-document key-term extraction: top-{_KEYTERMS_K} tokens by
+    tf x rarity (score = tf * (N - df + 1), the integer-exact tf-idf
+    surrogate the weighted join family already uses) — the corpus
+    auto-labeling op behind faceted browsing / topic sampling of a
+    training corpus. Deterministic: integer scores, (score DESC, term)
+    tie-break, so the key hash-matches its relational oracle.
+
+    Scale shape: tf is one (doc, token)-keyed partial-aggregated
+    shuffle; document frequency reuses the same relation aggregated by
+    token (vocabulary-sized result joined back BROADCAST); the per-doc
+    top-k is a window over each doc's distinct tokens — partitioned by
+    doc_id, never global. The corpus count joins as a 1-row broadcast
+    (no driver action). At 100 TB this is the inverted-index build's
+    shuffle shape with a per-doc instead of global rollup."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.bag_tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    nd = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("_tf") * (F.col("_nd") - F.col("_df") + F.lit(1)))
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _KEYTERMS_K)
+    )
