@@ -145,7 +145,13 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
                                 "FlatMapGroupsInPandas")
         ):
             offenders[key] = "Arrow/Pandas node"
-    assert not offenders, f"Python leaked into hot paths: {offenders}"
+        # Second suite-wide scale gate in the same pass: a NON-broadcast
+        # cartesian product is the 100 TB killer no operator may plan —
+        # the only sanctioned unkeyed joins are broadcast nested loops
+        # (1-row scalar relations, theta joins against broadcast sides).
+        if "CartesianProduct" in plan:
+            offenders[key] = "CartesianProduct"
+    assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
 
 def _jobs_for(spark, key):
