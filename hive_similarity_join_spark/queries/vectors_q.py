@@ -370,3 +370,85 @@ def q_dedup_embedding(spark, sf_dir):
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= DEDUP_COS_T)
     )
+
+
+LABEL_OUT_K = 3
+
+
+@query(
+    "q_vec_label_outliers",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+             / count(*) AS c
+  FROM embeddings, unnest(generate_series(1, {V.DIM})) AS t(pos)
+  GROUP BY label, pos
+),
+cvec AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {V.duck_cosine('e.embedding', 'c.cv')} AS centroid_sim
+  FROM embeddings e JOIN cvec c ON c.label = e.label
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, centroid_sim,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, label, centroid_sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY centroid_sim, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {LABEL_OUT_K}
+""",
+)
+def q_vec_label_outliers(spark, sf_dir):
+    """Mislabeled-sample detection: the {LABEL_OUT_K} vectors per label
+    LEAST similar to their own label centroid (cosine to centroid,
+    ascending, vec_id tie-break) — the standard embedding-space
+    label-noise screen a curation pipeline runs before training on
+    weak labels. Composes two already-verified devices: the
+    decimal-exact per-label centroid (q_vec_centroid's arithmetic,
+    re-assembled into an ordered array) and the left-fold cosine
+    (bit-exact across engines), so the whole audit hash-matches.
+
+    Determinism: centroid components are decimal-sum/count doubles
+    (identical on both engines); the per-element centroid array is
+    assembled in pos order on both sides; cosine is the usual
+    element-order fold; ranking ties break on vec_id.
+
+    Scale shape: the centroid aggregate is one label-keyed shuffle
+    producing a |labels| x dim relation that BROADCASTS back over the
+    streamed corpus for scoring (no corpus shuffle); the per-label
+    bottom-k is a window partitioned by label. At 100 TB this is the
+    same stats-then-scan posture as q_events_outliers, with vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode(V.as_double("embedding")))
+    cent = expl.groupBy("label", F.col("pos").alias("_p")).agg(
+        (
+            F.sum(F.col("col").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_c")
+    )
+    cvec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("_p", "_c"))).alias("_pc"))
+        .select("label", F.col("_pc._c").alias("_cv"))
+    )
+    scored = (
+        e.select("vec_id", "label", V.as_double("embedding").alias("_v"))
+        .join(F.broadcast(cvec), "label")
+        .select(
+            "vec_id",
+            "label",
+            V.cosine(F.col("_v"), F.col("_cv")).alias("centroid_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("centroid_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= LABEL_OUT_K)
+        .select("vec_id", F.col("label").cast("bigint").alias("label"),
+                "centroid_sim", "rank")
+    )
