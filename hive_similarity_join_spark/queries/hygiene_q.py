@@ -518,3 +518,70 @@ def q_text_keyterms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _KEYTERMS_K)
     )
+
+
+# ------------------------------------------------- vocabulary encode
+
+@query(
+    "q_text_encode",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+occ AS (
+  SELECT doc_id, t.i AS pos, bag[t.i] AS tok
+  FROM bags, unnest(generate_series(1, len(bag))) AS t(i)
+),
+vocab AS (
+  SELECT tok,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+  FROM occ GROUP BY tok
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list(CAST(v.id AS BIGINT) ORDER BY o.pos) AS ids,
+       CAST(SUM(v.id) AS BIGINT) AS ids_sum
+FROM occ o JOIN vocab v ON v.tok = o.tok
+GROUP BY o.doc_id
+""",
+)
+def q_text_encode(spark, sf_dir):
+    """Vocabulary encoding — the tokenize-to-ids step between corpus
+    hygiene and sequence packing: every document's ORDERED token bag
+    mapped to integer ids from a frequency-sorted vocabulary (id 1 =
+    most frequent, ties by token — the BPE-rank convention), emitted
+    with the id sequence and an exact integer checksum. This is the
+    artifact q_pack_sequences' bins would actually carry to a trainer.
+
+    Determinism: the vocabulary is a strict total order (count DESC,
+    token ASC) computed with the distributed two-pass rank (no
+    single-partition sort — operators/rank.py); per-doc sequences
+    re-assemble ordered by original position. Docs with zero tokens
+    emit nothing (documented exclusion, both sides).
+
+    Scale shape: the vocabulary is |vocab|-sized and BROADCASTS into
+    the per-occurrence join; occurrences shuffle once on doc_id for
+    the ordered re-collect. At 100 TB this is the inverted-index
+    shuffle shape with the dictionary flowing the other way."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(TX.bag_tokens("text")).alias("pos", "tok")
+    )
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = ranked_by(freq, [F.desc("_c"), F.asc("tok")], "id").select(
+        "tok", F.col("id").cast("bigint").alias("id")
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "id"))
+            ).alias("_pi"),
+            F.sum("id").cast("bigint").alias("ids_sum"),
+        )
+        .select("doc_id", "n_tokens", F.col("_pi.id").alias("ids"), "ids_sum")
+    )
