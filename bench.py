@@ -18,14 +18,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from hive_similarity_join_spark.registry import QUERIES, load_registry
-from hive_similarity_join_spark.session import get_spark
+from hive_similarity_join_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     load_registry()
-    spark = get_spark("bench")
+    spark = get_spark("bench", shuffle_partitions=DEFAULT_SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM + parquet-footer warmup so q1 doesn't pay session startup.

@@ -381,11 +381,64 @@ def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):
     ``checkpoint``, which survives executor loss — the right mode for
     multi-hour 100 TB CC runs. Both preserve the physical partitioning
     the callers stake on (ReliableCheckpointRDD keeps the partitioner).
+
+    Durable mode PRUNES superseded rounds: Spark never deletes
+    reliable checkpoint data itself (and the ContextCleaner's
+    cleanCheckpoints conf is read at context start, too late to set
+    here), so a 50-round run would otherwise retain 50 edge-sized
+    dumps — storage exhaustion on exactly the long runs durable mode
+    exists for. Each call attributes the rdd-* directories it created
+    (listing before/after); unpinned rounds older than the last TWO
+    are deleted via the Hadoop FileSystem API (two, not one: the
+    alternating stars' convergence anti-join reads the PREVIOUS
+    batch's relation). ``pin=True`` marks a checkpoint read for the
+    whole run — the edge set every label round re-joins — as
+    never-pruned.
     """
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return lambda df: df.checkpoint(eager=True)
-    return lambda df: df.localCheckpoint(eager=True)
+    if checkpoint_dir is None:
+        return lambda df, pin=False: df.localCheckpoint(eager=True)
+
+    sc = pairs.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+
+    def _rdd_dirs() -> dict[str, object]:
+        root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = root.getFileSystem(hconf)
+        out = {}
+        if fs.exists(root):
+            glob = jvm.org.apache.hadoop.fs.Path(
+                checkpoint_dir.rstrip("/") + "/*/rdd-*"
+            )
+            for st in fs.globStatus(glob) or []:
+                p = st.getPath()
+                out[p.toString()] = p
+        return out
+
+    protected: set[str] = set()
+    history: list[dict[str, object]] = []
+
+    def ckpt(df: DataFrame, pin: bool = False) -> DataFrame:
+        before = set(_rdd_dirs())
+        out = df.checkpoint(eager=True)
+        after = _rdd_dirs()
+        created = {k: v for k, v in after.items() if k not in before}
+        if pin:
+            protected.update(created)
+        else:
+            history.append(created)
+            while len(history) > 2:
+                stale = history.pop(0)
+                fs = jvm.org.apache.hadoop.fs.Path(
+                    checkpoint_dir
+                ).getFileSystem(hconf)
+                for name, p in stale.items():
+                    if name not in protected:
+                        fs.delete(p, True)
+        return out
+
+    return ckpt
 
 
 def connected_components_alternating(
@@ -441,7 +494,7 @@ def connected_components_alternating(
             F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
         )
         .distinct()
-        .transform(ckpt)
+        .transform(lambda d: ckpt(d, pin=True))
     )
     e = e0.filter(F.col("u") != F.col("v"))
     nodes = (
@@ -569,8 +622,10 @@ def connected_components(
         .repartition(n_part, "b")
         # materialize once: every iteration re-reads the edge set, and
         # without this the full upstream pair computation (e.g. a
-        # similarity join) re-executes per round
-        .transform(ckpt)
+        # similarity join) re-executes per round. Pinned: every label
+        # round re-joins this relation, so the pruner must never
+        # collect it.
+        .transform(lambda d: ckpt(d, pin=True))
     )
     labels = (
         edges.groupBy("a")

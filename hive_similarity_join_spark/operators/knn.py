@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from hive_similarity_join_spark.functions import vectors as V
 from hive_similarity_join_spark.operators.partitions import parallelism
 
-DIM = 64
+# Single source of truth for the embedding dimension (functions/
+# vectors.py): a regenerated-testdata dim flip must fail in ONE place —
+# a stale local copy here would silently dot hyperplanes against
+# truncated prefixes, degrading ANN bucketing with no error anywhere.
+DIM = V.DIM
 N_PLANES = 8
 _SEED = 20260813
 

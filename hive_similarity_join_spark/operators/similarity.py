@@ -632,6 +632,35 @@ def containment_join(
     )
 
 
+def _rarity_dict(*rels: DataFrame) -> DataFrame:
+    """(_tok, _rank, _w): the rarity-weight dictionary over the UNION
+    of the given tokenized relations — ONE global scale with integer
+    weight w = N_docs - df + 1 (a hapax weighs N, a token in every doc
+    weighs 1; in R-S forms a corpus-common token must not look rare
+    just because the batch is small). Rank is the distributed
+    rarest-first order; the corpus doc count joins in as a 1-row
+    broadcast (no driver action). Shared by every weighted join so the
+    weight formula lives in exactly one place."""
+    all_rel = rels[0]
+    for rel in rels[1:]:
+        all_rel = all_rel.unionByName(rel)
+    freq = (
+        all_rel.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ndocs = all_rel.agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        ranked_by(freq, ["_df", "_tok"], "_rank")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_tok",
+            "_rank",
+            (F.col("_nd") - F.col("_df") + F.lit(1)).cast("long").alias("_w"),
+        )
+    )
+
+
 def _weighted_sorted(rel: DataFrame, dict_df: DataFrame) -> DataFrame:
     """(_id, _rks, _ws, _sfx, _n, _tw) for one tokenized relation
     against a shared weight dictionary — see weighted_containment_join
@@ -747,27 +776,7 @@ def weighted_containment_join(
         if persist:
             s = s.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # (tok, rank, w): df over the per-doc-distinct token relation — in
-    # the R-S form over the UNION of both relations (one global rarity
-    # scale; a token common in the corpus must not look rare just
-    # because the batch is small). The corpus doc count joins in as a
-    # 1-row broadcast (no driver action).
-    all_rel = r if s is None else r.unionByName(s)
-    freq = (
-        all_rel.select(F.explode("_toks").alias("_tok"))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    ndocs = all_rel.agg(F.count(F.lit(1)).alias("_nd"))
-    dict_df = (
-        ranked_by(freq, ["_df", "_tok"], "_rank")
-        .crossJoin(F.broadcast(ndocs))
-        .select(
-            "_tok",
-            "_rank",
-            (F.col("_nd") - F.col("_df") + F.lit(1)).cast("long").alias("_w"),
-        )
-    )
+    dict_df = _rarity_dict(*(rel for rel in (r, s) if rel is not None))
 
     # Rank-sorted arrays with aligned weights, suffix weights and total
     # weight (_weighted_sorted). Suffix weights (_sfx[i] = sum of
@@ -938,21 +947,7 @@ def weighted_jaccard_join(
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
         r = r.persist(StorageLevel.MEMORY_AND_DISK)
-    freq = (
-        r.select(F.explode("_toks").alias("_tok"))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    ndocs = r.agg(F.count(F.lit(1)).alias("_nd"))
-    dict_df = (
-        ranked_by(freq, ["_df", "_tok"], "_rank")
-        .crossJoin(F.broadcast(ndocs))
-        .select(
-            "_tok",
-            "_rank",
-            (F.col("_nd") - F.col("_df") + F.lit(1)).cast("long").alias("_w"),
-        )
-    )
+    dict_df = _rarity_dict(r)
     r_sorted = _weighted_sorted(r, dict_df)
     if persist:
         r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)

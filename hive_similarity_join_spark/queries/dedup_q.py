@@ -589,9 +589,9 @@ def q_agg_kmv_distinct(spark, sf_dir):
 # vs exact is pinned in tests/test_ivf.py instead.
 
 def _ann_recall_oracle() -> str:
+    from hive_similarity_join_spark.queries.vectors_q import KNN_K as k
     from hive_similarity_join_spark.registry import ORACLES
 
-    k = 5  # KNN_K in vectors_q — all three paths emit top-5
     return f"""
 WITH exact AS ({ORACLES["q_vec_knn"]}),
 lsh AS ({ORACLES["q_vec_knn_ann"]}),
@@ -623,7 +623,7 @@ FROM grid g LEFT JOIN hits h
 def q_vec_ann_recall(spark, sf_dir):
     """Recall@k audit of the two deterministic ANN paths vs exact kNN.
 
-    Emits (probe_id, method, hits, recall) for method in {{lsh, sq8}}:
+    Emits (probe_id, method, hits, recall) for method in {lsh, sq8}:
     hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
     double (BIGINT/DOUBLE correctly-rounded divide on both engines —
     exact for these tiny integers). Probes with zero overlap still

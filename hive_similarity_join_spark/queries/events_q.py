@@ -256,7 +256,7 @@ WITH seq AS (
                OVER (PARTITION BY user_id
                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
            AS gap_us
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id,
        CAST(count(*) + 1 AS BIGINT) AS n_events,
@@ -275,7 +275,7 @@ def q_events_gaps(spark, sf_dir):
     diagnostic behind sessionization tuning (pick the session_window
     gap by LOOKING at the gap distribution, not guessing): event
     count, gap count, total/mean/max gap, and the session count a
-    {SESSION_GAP_MIN}-minute gap rule implies. Complements
+    30-minute gap rule implies. Complements
     q_stream_session (which APPLIES a gap rule) and q_retention_cohorts
     (day-grain) with the second-grain cadence view.
 
@@ -293,8 +293,13 @@ def q_events_gaps(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    # NULL ts rows are excluded BEFORE the lag on both sides: Spark's
+    # ASC sorts NULLs first while DuckDB's default sorts them last, so
+    # an unfiltered NULL would shift different neighbors' gaps to NULL
+    # on each engine — a latent hash break on testdata regeneration.
     seq = (
-        e.select("user_id", "event_id", F.unix_micros("ts").alias("_us"))
+        e.filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("_us"))
         .withColumn("gap_us", F.col("_us") - F.lag("_us").over(w))
         .filter(F.col("gap_us").isNotNull())
     )

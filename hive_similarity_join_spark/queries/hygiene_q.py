@@ -345,7 +345,7 @@ def q_bpe_pairs(spark, sf_dir):
     """Adjacent-pair frequency counting — the inner loop of BPE/WordPiece
     tokenizer training, run corpus-wide: every adjacent token pair (bag
     semantics: each OCCURRENCE counts, exactly what a merge step
-    consumes), globally counted, top-{_BPE_TOP} merge candidates by
+    consumes), globally counted, top-50 merge candidates by
     (count DESC, pair ASC). One round of this per merge is how a
     distributed BPE trainer runs over 100 TB; the key pins the
     first-round candidate table bit-exactly.
@@ -355,7 +355,7 @@ def q_bpe_pairs(spark, sf_dir):
     token-pair space is vocabulary-squared-bounded but Zipf-sparse);
     the global top-k plans as TakeOrderedAndProject (per-partition
     heaps, no global sort — same posture as q_search_bm25), and the
-    final rank window runs over {_BPE_TOP} rows. Deterministic: counts
+    final rank window runs over 50 rows. Deterministic: counts
     are exact integers, ties break on the pair string."""
     from pyspark.sql import Window
 
@@ -402,7 +402,7 @@ GROUP BY 1
 def q_text_novelty(spark, sf_dir):
     """Per-document n-gram novelty against everything ingested BEFORE
     it (doc_id order): the fraction of a document's distinct
-    {_NOVELTY_N}-gram shingles whose FIRST corpus occurrence is this
+    3-gram shingles whose FIRST corpus occurrence is this
     document. The streaming-ingest curation signal — a near-zero
     novelty score marks a document that adds nothing the corpus hasn't
     seen (the continuous-crawl complement of pairwise dedup: no pair
@@ -411,7 +411,7 @@ def q_text_novelty(spark, sf_dir):
     Determinism/exactness: first occurrence is min(doc_id) per shingle
     (exact integer), counts are exact, novelty is a single int/int
     double division — correctly rounded identically on both engines.
-    Docs with fewer than {_NOVELTY_N} tokens emit no shingles and are
+    Docs with fewer than 3 tokens emit no shingles and are
     absent by definition (documented contract, same as
     q_boilerplate_passages' length gate).
 
@@ -478,7 +478,7 @@ FROM (
 """,
 )
 def q_text_keyterms(spark, sf_dir):
-    """Per-document key-term extraction: top-{_KEYTERMS_K} tokens by
+    """Per-document key-term extraction: top-3 tokens by
     tf x rarity (score = tf * (N - df + 1), the integer-exact tf-idf
     surrogate the weighted join family already uses) — the corpus
     auto-labeling op behind faceted browsing / topic sampling of a

@@ -404,7 +404,7 @@ FROM (
 """,
 )
 def q_vec_label_outliers(spark, sf_dir):
-    """Mislabeled-sample detection: the {LABEL_OUT_K} vectors per label
+    """Mislabeled-sample detection: the 3 vectors per label
     LEAST similar to their own label centroid (cosine to centroid,
     ascending, vec_id tie-break) — the standard embedding-space
     label-noise screen a curation pipeline runs before training on

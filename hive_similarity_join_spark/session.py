@@ -56,22 +56,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    pre_existing = SparkSession.getActiveSession()
     spark = tune(builder.getOrCreate())
     # getOrCreate() on a process that ALREADY has a session returns it
-    # and silently ignores every builder .config() — the caller's
+    # and silently ignores every builder .config() — an EXPLICITLY
     # requested shuffle sizing would be lost (e.g. bench.py inheriting a
     # harness's default-200 session: the r4/r5 driver benches ran the
     # explicitly-repartitioned keys 2.5x slow for exactly this reason
     # before operators/partitions.py decoupled them). shuffle.partitions
-    # is runtime-settable, so honor the caller's request either way.
-    # Deliberately NOT in tune(): tune() also runs on sessions we did
-    # not build (the grading driver's own), where the owner's shuffle
-    # sizing must win.
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
-        )
-    except Exception:
-        pass
+    # is runtime-settable, so honor an explicit request either way — but
+    # on a REUSED session with no explicit request, the session owner's
+    # sizing wins (same ownership rule as tune(), which never touches
+    # it): a caller that only wants the handle must not clobber an
+    # embedding application's conf with our local-mode default.
+    if shuffle_partitions is not None or pre_existing is None:
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            )
+        except Exception:
+            pass
     return spark

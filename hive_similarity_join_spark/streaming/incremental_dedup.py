@@ -24,20 +24,22 @@ connected-components/exact paths are the reconciliation tools.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.similarity import similarity_join
 
 
-def _corpus_exists(spark: SparkSession, corpus_dir: str) -> bool:
-    # cheap local check; on object storage use a _SUCCESS marker or
-    # catalog table instead
-    return os.path.isdir(corpus_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(corpus_dir)
-    )
+def _read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
+    """The accumulated corpus, or None before the first append. Probed
+    THROUGH Spark (read + catch), not os.path — the corpus may live on
+    any Hadoop-compatible filesystem (a local os.listdir on an
+    hdfs://-style dir would silently report 'cold' every epoch and
+    admit every duplicate)."""
+    try:
+        return spark.read.parquet(corpus_dir)
+    except Exception:
+        return None
 
 
 def dedup_batch_against_corpus(
@@ -85,11 +87,7 @@ def incremental_near_dedup(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        corpus = (
-            spark.read.parquet(corpus_dir)
-            if _corpus_exists(spark, corpus_dir)
-            else None
-        )
+        corpus = _read_corpus(spark, corpus_dir)
         novel = dedup_batch_against_corpus(
             batch, corpus, threshold, id_col, text_col
         )

@@ -25,8 +25,6 @@ dedup-by-(epoch, doc_id) reconciles).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,10 +33,18 @@ from hive_similarity_join_spark.functions import text as TX
 NOVELTY_N = 3
 
 
-def _store_exists(spark: SparkSession, store_dir: str) -> bool:
-    return os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The accumulated seen-shingle relation, or None on a cold store.
+
+    Probed THROUGH Spark (read + catch), not os.path — the store may
+    live on any Hadoop-compatible filesystem (HDFS/S3 at cluster
+    scale, where a local os.listdir would silently report 'cold' every
+    epoch and novelty would score against an empty store with no
+    error)."""
+    try:
+        return spark.read.parquet(store_dir)
+    except Exception:
+        return None
 
 
 def novelty_batch_against_seen(
@@ -102,21 +108,25 @@ def incremental_novelty(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        seen = (
-            spark.read.parquet(store_dir)
-            if _store_exists(spark, store_dir)
-            else None
-        )
+        seen = _read_store(spark, store_dir)
         scores, fresh = novelty_batch_against_seen(
             batch, seen, n, id_col, text_col
         )
-        # Scores first: if the writer dies between the two appends, the
-        # re-run re-emits scores (at-least-once, reconcilable) rather
-        # than silently marking re-sent shingles as stale.
-        scores.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(scores_dir)
-        fresh.write.mode("append").parquet(store_dir)
+        # The two writes share the tokenize -> shingle -> anti-join
+        # lineage; persist the (small, novel-hash-sized) fresh relation
+        # so the second write reuses it instead of re-running the whole
+        # per-batch pipeline.
+        fresh = fresh.persist()
+        try:
+            # Scores first: if the writer dies between the two appends,
+            # the re-run re-emits scores (at-least-once, reconcilable)
+            # rather than silently marking re-sent shingles as stale.
+            scores.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(scores_dir)
+            fresh.write.mode("append").parquet(store_dir)
+        finally:
+            fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

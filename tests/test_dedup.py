@@ -57,6 +57,11 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
         want = {r.id: r.comp for r in fn(pairs).collect()}
         assert got == want
         assert any(d.rglob("*")), f"no reliable checkpoint files in {d}"
+        # Superseded rounds must be PRUNED (a long run would otherwise
+        # retain one edge-sized dump per round): at most the pinned
+        # edge-set checkpoint + the last two unpinned rounds remain.
+        rdd_dirs = [p for p in d.rglob("rdd-*") if p.is_dir()]
+        assert 1 <= len(rdd_dirs) <= 3, rdd_dirs
 
 
 def test_minhash_deterministic(spark):

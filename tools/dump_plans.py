@@ -13,7 +13,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hive_similarity_join_spark.registry import QUERIES, load_registry
-from hive_similarity_join_spark.session import get_spark
+from hive_similarity_join_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
 
 HEADLINERS: dict[str, str] = {
     "q_simjoin_jaccard_self": (
@@ -124,8 +124,10 @@ HEADLINERS: dict[str, str] = {
     "q_simjoin_weighted_containment": (
         "Rarity-weighted containment. Look for: the weight-carrying "
         "vocabulary broadcast (w = N - df + 1 built with a 1-row corpus-"
-        "count broadcast, no collect), suffix-weight arrays computed in "
-        "codegen (reverse/transform/aggregate), the probe side filtered "
+        "count broadcast, no collect), suffix weights computed by a "
+        "LINEAR running window sum sharing the per-doc collect's hash "
+        "partitioning (one Exchange feeds Window -> Sort -> "
+        "HashAggregate), the probe side filtered "
         "to positions whose suffix weight still reaches alpha, salted "
         "REPARTITION_BY_NUM around the candidate join, and the exact "
         "integer-sum verify via map_from_arrays + array_intersect. "
@@ -169,7 +171,7 @@ HEADLINERS: dict[str, str] = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     load_registry()
-    spark = get_spark("plandump")
+    spark = get_spark("plandump", shuffle_partitions=DEFAULT_SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
     out = [

@@ -23,7 +23,7 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hive_similarity_join_spark.registry import ORACLES, QUERIES, load_registry
-from hive_similarity_join_spark.session import get_spark
+from hive_similarity_join_spark.session import DEFAULT_SHUFFLE_PARTITIONS, get_spark
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,7 +80,7 @@ def main() -> int:
         from hive_similarity_join_spark.registry import ordered
 
         keys = list(ordered(QUERIES))[:50]
-    spark = get_spark("selfcheck")
+    spark = get_spark("selfcheck", shuffle_partitions=DEFAULT_SHUFFLE_PARTITIONS)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
