@@ -746,3 +746,77 @@ def q_vec_knn_label(spark, sf_dir):
             .alias("correct"),
         )
     )
+
+
+def _duck_cluster_sizes_oracle(threshold: float) -> str:
+    """Minhash pair graph -> recursive closure -> component sizes ->
+    size histogram (the q_dedup_representatives closure with a size
+    rollup instead of a survivor pick; singletons = docs with no
+    component label)."""
+    return f"""
+WITH RECURSIVE pairs AS ({duck_minhash_oracle(threshold)}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+docs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM (SELECT doc_id FROM documents
+        WHERE len({TX.duck_bag()}) > 0) d
+  LEFT JOIN comp c ON c.id = d.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM docs GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@query("q_dedup_cluster_sizes", oracle=_duck_cluster_sizes_oracle(MINHASH_T))
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup-savings estimator a
+    pipeline reads BEFORE committing to a dedup pass: for each cluster
+    size, how many clusters and how many documents sit in them
+    (n_docs - n_clusters summed over sizes = documents a
+    keep-one-per-cluster dedup would remove). Singleton documents
+    (no near-dup partner, including docs absent from the pair graph)
+    count as size-1 clusters, so the histogram partitions the corpus
+    exactly.
+
+    Same deterministic MinHash-LSH pair graph and min-label closure as
+    q_dedup_representatives (one CC run, node-sized label table); the
+    rollup is two tiny aggregates on top. Hash-checked against the
+    recursive-CTE closure of the same graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
+    pairs = minhash_lsh_pairs(
+        base, "doc_id", "text", threshold=MINHASH_T, tokens_col="_bag"
+    )
+    comp = connected_components(pairs)
+    lab = (
+        base.filter(F.size("_bag") > 0)
+        .select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component")
+        )
+    )
+    sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )

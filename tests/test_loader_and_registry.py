@@ -116,7 +116,7 @@ def test_round6_correctness_window_composition():
         "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
         "q_simjoin_weighted_containment_rs", "q_events_gaps",
         "q_simjoin_weighted_jaccard", "q_text_keyterms",
-        "q_vec_label_outliers", "q_text_encode",
+        "q_vec_label_outliers", "q_text_encode", "q_dedup_cluster_sizes",
     }
     assert not round6_new & set(head), round6_new & set(head)
 
