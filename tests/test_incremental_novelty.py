@@ -93,3 +93,24 @@ def test_streaming_scores_accumulate(spark, dirs):
     got = _rows(spark.read.parquet(f"{dirs}/scores").drop("epoch"))
     whole, _ = novelty_batch_against_seen(docs, None)
     assert got == _rows(whole)
+
+
+def test_out_of_order_arrival_attributes_by_arrival(spark):
+    """Out-of-doc_id-order batches: first occurrence goes to the batch
+    that ARRIVED first (the live-ingest semantics the module
+    documents), deterministically — a later batch with lower doc_ids
+    scores low novelty for shingles the earlier batch already owns."""
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    hi = docs.filter(F.col("doc_id") >= 100)  # arrives FIRST
+    lo = docs.filter(F.col("doc_id") < 100)
+    s_hi, f_hi = novelty_batch_against_seen(hi, None)
+    s_lo, _ = novelty_batch_against_seen(lo, f_hi)
+    got = _rows(s_hi) | _rows(s_lo)
+    # per-doc n_grams is arrival-independent; total novel shingles
+    # equals the distinct shingle count either way
+    whole, f_all = novelty_batch_against_seen(docs, None)
+    want = _rows(whole)
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    assert sum(v[1] for v in got.values()) == f_all.count()
+    # at least one shingle owner flipped: some doc's n_novel differs
+    assert any(got[k][1] != want[k][1] for k in want)
