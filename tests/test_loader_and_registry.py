@@ -136,3 +136,19 @@ def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
         assert s.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_parallelism_ignores_session_shuffle_conf(spark):
+    """Explicit candidate-join repartition counts must track hardware
+    (sc.defaultParallelism), not the generic shuffle sizing knob — the
+    root cause of the r4/r5 driver-bench gap (see
+    operators/partitions.py)."""
+    from hive_similarity_join_spark.operators.partitions import parallelism
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert parallelism(spark) == spark.sparkContext.defaultParallelism
+        assert parallelism(spark) != 200
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
