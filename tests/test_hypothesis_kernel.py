@@ -261,3 +261,88 @@ def test_weighted_jaccard_matches_model(spark, docs):
             if sim >= t:
                 want.add((i, j, round(sim, 12)))
     assert got == want
+
+
+two_corpora = st.tuples(
+    st.lists(st.lists(st.sampled_from(ALPHABET), min_size=0, max_size=6),
+             min_size=1, max_size=6),
+    st.lists(st.lists(st.sampled_from(ALPHABET), min_size=0, max_size=6),
+             min_size=1, max_size=6),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora=two_corpora)
+def test_containment_rs_matches_model(spark, corpora):
+    """R-S containment (batch probes x corpus index, shared dictionary
+    over both relations) vs the cross-relation Python model — including
+    ids shared between the relations (no id1 != id2 clause)."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.similarity import containment_join
+
+    l_docs, r_docs = corpora
+    t = 0.6
+    lf = spark.createDataFrame([Row(id=i, text=" ".join(d)) for i, d in enumerate(l_docs)])
+    rf = spark.createDataFrame([Row(id=i, text=" ".join(d)) for i, d in enumerate(r_docs)])
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in containment_join(
+            lf, "id", "text", threshold=t, other=rf, persist=False
+        ).collect()
+    }
+    ls = {i: frozenset(d) for i, d in enumerate(l_docs) if d}
+    rs = {i: frozenset(d) for i, d in enumerate(r_docs) if d}
+    want = set()
+    for a, sa in ls.items():
+        for b, sb in rs.items():
+            sim = len(sa & sb) / len(sa)
+            if sim >= t:
+                want.add((a, b, round(sim, 12)))
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora=two_corpora)
+def test_weighted_containment_rs_matches_model(spark, corpora):
+    """Weighted R-S containment: ONE global rarity scale over the union
+    of both relations, probes screened against the corpus index."""
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.similarity import (
+        weighted_containment_join,
+    )
+
+    l_docs, r_docs = corpora
+    t = 0.6
+    lf = spark.createDataFrame([Row(id=i, text=" ".join(d)) for i, d in enumerate(l_docs)])
+    rf = spark.createDataFrame([Row(id=i, text=" ".join(d)) for i, d in enumerate(r_docs)])
+    got = {
+        (r.id1, r.id2, round(r.sim, 12))
+        for r in weighted_containment_join(
+            lf, "id", "text", threshold=t, other=rf, persist=False
+        ).collect()
+    }
+    from collections import Counter
+
+    ls = {i: frozenset(d) for i, d in enumerate(l_docs) if d}
+    rs = {i: frozenset(d) for i, d in enumerate(r_docs) if d}
+    dfc = Counter(tk for s in list(ls.values()) + list(rs.values()) for tk in s)
+    n = len(ls) + len(rs)
+    w = {tk: n - c + 1 for tk, c in dfc.items()}
+    want = set()
+    for a, sa in ls.items():
+        twa = sum(w[x] for x in sa)
+        for b, sb in rs.items():
+            sim = sum(w[x] for x in sa & sb) / twa
+            if sim >= t:
+                want.add((a, b, round(sim, 12)))
+    assert got == want
