@@ -285,3 +285,26 @@ def test_knn_label_rides_broadcast_knn(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_tpch_q9_broadcasts_all_dimensions(spark):
+    """Q9 (product-type profit): every dimension side must broadcast
+    (4 BroadcastHashJoins) while lineitem streams — no sort-merge join
+    and exactly ONE exchange (the final grouping), the star-join
+    posture that survives a 100x fact-table scale-up."""
+    plan = explain_str(_q("q_tpch_q9", spark), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_tpch_q18_single_exchange(spark):
+    """Q18 (large-volume customers): the qualifying-orderkey HAVING
+    subquery and the customer join must both broadcast against the
+    streamed lineitem/orders side — one hash exchange total."""
+    plan = explain_str(_q("q_tpch_q18", spark), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
