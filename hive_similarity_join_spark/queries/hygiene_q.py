@@ -585,3 +585,68 @@ def q_text_encode(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", F.col("_pi.id").alias("ids"), "ids_sum")
     )
+
+
+# --------------------------------------------- mixture drift report
+
+@query(
+    "q_mixture_drift",
+    oracle="""
+WITH n_all AS (SELECT count(*) AS total FROM documents),
+per_src AS (SELECT source, count(*) AS src_total FROM documents GROUP BY 1),
+per_lang AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY 1),
+cells AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / s.src_total AS src_share,
+       CAST(l.lang_total AS DOUBLE) / a.total AS corpus_share,
+       (CAST(c.n AS DOUBLE) / s.src_total)
+         / (CAST(l.lang_total AS DOUBLE) / a.total) AS share_ratio
+FROM cells c
+JOIN per_src s ON s.source = c.source
+JOIN per_lang l ON l.lang = c.lang
+CROSS JOIN n_all a
+""",
+)
+def q_mixture_drift(spark, sf_dir):
+    """Per-source language-mix drift — the corpus-composition monitor a
+    multi-source ingest runs continuously: for every (source, lang)
+    cell, the source's internal language share, the corpus-wide share,
+    and their ratio (1.0 = this source mirrors the corpus; far from 1
+    = this source skews the mixture and the sampler weights need
+    rebalancing — the diagnostic feeding q_sample_mixture /
+    q_sample_temperature's rates).
+
+    Exactness: every share is ONE division of exact integer counts
+    (identically rounded on both engines); the ratio is a second
+    single division of those two doubles with identical association —
+    no float accumulation anywhere.
+
+    Scale shape: three partial-aggregated count shuffles (cell,
+    source, lang) over the same scan, the two marginals and the 1-row
+    total all broadcast back onto the cells relation — group-count-
+    sized join sides, the corpus is scanned once and never shuffled
+    whole. Pure map/agg arithmetic at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("src_total"))
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    n_all = d.agg(F.count(F.lit(1)).alias("total"))
+    src_share = F.col("n").cast("double") / F.col("src_total")
+    corpus_share = F.col("lang_total").cast("double") / F.col("total")
+    return (
+        cells.join(F.broadcast(per_src), "source")
+        .join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "lang",
+            "n",
+            src_share.alias("src_share"),
+            corpus_share.alias("corpus_share"),
+            (src_share / corpus_share).alias("share_ratio"),
+        )
+    )

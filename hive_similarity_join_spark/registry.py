@@ -69,7 +69,7 @@ PRIORITY: list[str] = [
     "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
     "q_simjoin_weighted_containment_rs", "q_events_gaps",
     "q_simjoin_weighted_jaccard", "q_text_keyterms", "q_vec_label_outliers",
-    "q_text_encode", "q_dedup_cluster_sizes",
+    "q_text_encode", "q_dedup_cluster_sizes", "q_mixture_drift",
 ]
 
 

@@ -117,6 +117,7 @@ def test_round6_correctness_window_composition():
         "q_simjoin_weighted_containment_rs", "q_events_gaps",
         "q_simjoin_weighted_jaccard", "q_text_keyterms",
         "q_vec_label_outliers", "q_text_encode", "q_dedup_cluster_sizes",
+        "q_mixture_drift",
     }
     assert not round6_new & set(head), round6_new & set(head)
 
