@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -26,6 +27,94 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
         with contextlib.redirect_stdout(buf):
             df.explain(mode)
         return buf.getvalue()
+
+
+#: Nodes that bound the row count flowing into a parent — a window over
+#: any of these is serial-but-tiny (the sanctioned limit-then-rank
+#: shape), not a scale problem.
+_LIMIT_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                "LocalLimit")
+
+_TREE_RE = re.compile(
+    r"^(?P<prefix>[\s:+|*-]*)(?P<name>[A-Za-z][A-Za-z0-9_]*)\s+\((?P<num>\d+)\)"
+)
+
+
+def unpartitioned_window_violations(plan: str) -> list[str]:
+    """Scan a FORMATTED explain string for Window nodes with an empty
+    PARTITION BY whose input is not bounded by a limit node.
+
+    An unpartitioned window forces ``Exchange SinglePartition`` — the
+    whole relation serializes through one task (WindowExec's "No
+    Partition Defined" warning). That is a 100 TB killer unless the
+    input is already limited (top-k ranked after ``.limit(k)``), so a
+    Window is flagged when (a) its Arguments carry only two top-level
+    bracket groups ``[exprs], [ordering]`` — three means a partition
+    spec is present — and (b) no limit node appears in its subtree.
+
+    Returns ``["Window(10) over unlimited input", ...]`` (empty = clean).
+    """
+    lines = plan.splitlines()
+    # --- tree section(s): node name, number, indent depth ---
+    tree: list[tuple[int, str, int]] = []  # (num, name, depth)
+    for ln in lines:
+        m = _TREE_RE.match(ln)
+        if m:
+            tree.append((int(m.group("num")), m.group("name"),
+                         len(m.group("prefix"))))
+    # --- detail section: Arguments line per numbered node ---
+    args: dict[int, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\)\s+(\S+)", ln)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and ln.startswith("Arguments: "):
+            args[cur] = ln[len("Arguments: "):]
+    def top_level_groups(s: str) -> list[str]:
+        depth, start, out = 0, -1, []
+        for i, ch in enumerate(s):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    out.append(s[start : i + 1])
+        return out
+
+    def is_unpartitioned(arg: str) -> bool:
+        groups = top_level_groups(arg)
+        # [exprs], [partitionSpec], [orderSpec] → partitioned.
+        # Two groups is ambiguous: [exprs], [orderSpec] (unpartitioned,
+        # order specs carry ASC/DESC markers) vs [exprs],
+        # [partitionSpec] (partitioned, bare columns). One group
+        # ([exprs] only) is an unpartitioned unordered global window.
+        if len(groups) >= 3:
+            return False
+        if len(groups) == 2:
+            tail = groups[1]
+            return " ASC " in tail or " DESC " in tail or \
+                tail.endswith(" ASC]") or tail.endswith(" DESC]")
+        return True
+
+    bad: list[str] = []
+    for i, (num, name, depth) in enumerate(tree):
+        if name != "Window":
+            continue
+        if not is_unpartitioned(args.get(num, "")):
+            continue
+        limited = False
+        for cnum, cname, cdepth in tree[i + 1:]:
+            if cdepth <= depth:
+                break  # left this node's subtree
+            if cname in _LIMIT_NODES:
+                limited = True
+                break
+        if not limited:
+            bad.append(f"Window({num}) over unlimited input")
+    return bad
 
 
 def assert_in_plan(df: DataFrame, *needles: str, absent: tuple[str, ...] = ()) -> str:

@@ -392,7 +392,14 @@ def q_text_vocab_stats(spark, sf_dir):
     the rarest-first rank — literally stage 1 of the similarity kernel
     exposed as a query (the relation build_token_dict materializes).
     Top-100 rarest keeps the checked result bounded; the full relation
-    is vocabulary-sized regardless of corpus size."""
+    is vocabulary-sized regardless of corpus size.
+
+    Scale shape: limit-then-rank. ``orderBy().limit(100)`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, no global sort — and only the 100 survivors flow through
+    the unpartitioned row_number window (the r6 verdict's
+    single-partition-window fix; (c, tok) is a strict total order so
+    the rank over the survivors equals the global rank)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -401,15 +408,15 @@ def q_text_vocab_stats(spark, sf_dir):
         .distinct()
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.asc("c"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.asc("c"), F.asc("tok"))
     return (
-        freq.select(
+        top.select(
             "tok",
             F.col("c").cast("bigint").alias("doc_freq"),
             F.row_number().over(w).cast("bigint").alias("rarity_rank"),
         )
         .orderBy("rarity_rank")
-        .limit(100)
     )
 
 

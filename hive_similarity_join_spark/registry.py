@@ -41,35 +41,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-6 window (positions 1-50) ----
-    # The 16 round-5 keys with NO driver verdict yet, first
-    # (selfcheck-green since round 5; judge re-verified).
-    "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
-    "q_decontaminate_hashed", "q_sample_temperature",
-    "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
-    "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
-    "q_retention_cohorts", "q_simjoin_weighted_containment",
-    "q_simjoin_containment_rs", "q_agg_kmv_distinct", "q_events_outliers",
-    # Backfill, oldest driver verdict first: the 23 r3-era keys
-    # (22 TPC-H + q_multimodal_resize; last checked round 3) ...
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22", "q_multimodal_resize",
-    # ... then 11 r4-era keys: the similarity-kernel keys this round's
-    # conf-decoupling perf work touches (verdicts refresh on the new
-    # code), then the oldest relational stragglers.
-    "q_simjoin_overlap", "q_simjoin_edit", "q_simjoin_bag_jaccard",
-    "q_simjoin_topk",
-    "q_scan_project", "q_filter_pred", "q_case_when", "q_cast",
-    "q_join_inner", "q_join_left", "q_join_full",
-    # ---- positions 51+ (round-7 head candidates) ----
-    # New in round 6 — no driver verdict until the r7 rotation.
+    # ---- round-7 window (positions 1-50) ----
+    # The 12 round-6 keys with NO driver verdict yet, first
+    # (selfcheck-green since round 6; judge re-verified bit-exact).
     "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
     "q_simjoin_weighted_containment_rs", "q_events_gaps",
     "q_simjoin_weighted_jaccard", "q_text_keyterms", "q_vec_label_outliers",
     "q_text_encode", "q_dedup_cluster_sizes", "q_mixture_drift",
+    # Backfill, oldest driver verdict first: 38 of the 39 keys whose
+    # latest verdict is still round 4, in CORRECTNESS_r04 key order.
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_win_lag", "q_json_get", "q_join_asof", "q_join_range",
+    "q_dedup_latest", "q_funnel_stages", "q_pivot",
+    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+    "q_join_multikey",
+    "q_agg_global", "q_agg_groupby", "q_agg_distinct",
+    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_groupingsets",
+    "q_agg_cube", "q_agg_median", "q_agg_percentiles", "q_agg_histogram",
+    "q_win_rownum", "q_win_agg", "q_win_frame", "q_win_rankfuncs",
+    "q_orderby_limit", "q_union", "q_setops", "q_except", "q_distinct",
+    "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
+    # ---- positions 51+ (round-8 head candidates) ----
+    # q_vec_cosine is the one remaining r4-verdict key that didn't fit
+    # the 50-key window; new round-7 keys stage after it.
+    "q_vec_cosine",
 ]
 
 

@@ -90,36 +90,42 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round6_correctness_window_composition():
+def test_round7_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-6 contract: the sixteen round-5 keys with no driver
-    verdict lead the window, the 23 r3-era keys (22 TPC-H +
-    q_multimodal_resize) backfill next, and every round-6 addition
-    stays at 51+ (they get their verdicts in the round-7 rotation). A
-    PRIORITY edit that accidentally reorders the window fails here,
-    loudly."""
+    order. Round-7 contract: the twelve round-6 keys with no driver
+    verdict lead the window, the 38 oldest-verdict keys (latest verdict
+    still round 4, in CORRECTNESS_r04 order) backfill next, and every
+    round-7 addition stays at 51+ (they get their verdicts in the
+    round-8 rotation). A PRIORITY edit that accidentally reorders the
+    window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     head = list(ordered(QUERIES))[:50]
-    assert head[:16] == [
-        "q_pii_redact", "q_boilerplate_passages", "q_contamination_report",
-        "q_decontaminate_hashed", "q_sample_temperature",
-        "q_simjoin_containment", "q_scd2_history", "q_vec_quantize",
-        "q_text_rules_filter", "q_vec_knn_quantized", "q_dedup_containment",
-        "q_retention_cohorts", "q_simjoin_weighted_containment",
-        "q_simjoin_containment_rs", "q_agg_kmv_distinct",
-        "q_events_outliers",
-    ]
-    r3_era = {f"q_tpch_q{i}" for i in range(1, 23)} | {"q_multimodal_resize"}
-    assert r3_era <= set(head[16:39]), r3_era - set(head[16:39])
-    round6_new = {
-        "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
-        "q_simjoin_weighted_containment_rs", "q_events_gaps",
-        "q_simjoin_weighted_jaccard", "q_text_keyterms",
+    assert head[:12] == [
+        "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty",
+        "q_vec_knn_label", "q_simjoin_weighted_containment_rs",
+        "q_events_gaps", "q_simjoin_weighted_jaccard", "q_text_keyterms",
         "q_vec_label_outliers", "q_text_encode", "q_dedup_cluster_sizes",
         "q_mixture_drift",
+    ]
+    # Backfill: all driver verdicts in the tail must be r4-era; spot-pin
+    # the boundary keys so an off-by-one in the window is loud.
+    assert head[12] == "q_stream_tumbling"
+    assert head[49] == "q_ngram"
+    r4_stale = {
+        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+        "q_win_lag", "q_json_get", "q_join_asof", "q_join_range",
+        "q_dedup_latest", "q_funnel_stages", "q_pivot",
+        "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+        "q_join_multikey", "q_agg_global", "q_agg_groupby",
+        "q_agg_distinct", "q_agg_approx_distinct", "q_agg_rollup",
+        "q_agg_groupingsets", "q_agg_cube", "q_agg_median",
+        "q_agg_percentiles", "q_agg_histogram", "q_win_rownum",
+        "q_win_agg", "q_win_frame", "q_win_rankfuncs", "q_orderby_limit",
+        "q_union", "q_setops", "q_except", "q_distinct", "q_str_funcs",
+        "q_math_funcs", "q_date_funcs", "q_ngram",
     }
-    assert not round6_new & set(head), round6_new & set(head)
+    assert set(head[12:]) == r4_stale, set(head[12:]) ^ r4_stale
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):

@@ -7,7 +7,11 @@ candidate-join parallelism, and Python-free hot paths.
 
 from __future__ import annotations
 
-from hive_similarity_join_spark.plans.inspect import assert_in_plan, explain_str
+from hive_similarity_join_spark.plans.inspect import (
+    assert_in_plan,
+    explain_str,
+    unpartitioned_window_violations,
+)
 from hive_similarity_join_spark.registry import QUERIES, load_registry
 from tests.conftest import SF_SMOKE
 
@@ -151,7 +155,61 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         # (1-row scalar relations, theta joins against broadcast sides).
         if "CartesianProduct" in plan:
             offenders[key] = "CartesianProduct"
+        # Third suite-wide scale gate (r6 verdict item 3): a global
+        # row_number/rank with no PARTITION BY serializes the whole
+        # relation through one task unless the input is already
+        # limit-bounded (the sanctioned limit-then-rank shape).
+        viols = unpartitioned_window_violations(plan)
+        if viols:
+            offenders[key] = "; ".join(viols)
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
+
+
+def test_unpartitioned_window_detector_fixtures():
+    """The detector itself: flags a global window over an unlimited
+    input, clears the limit-then-rank shape, clears partitioned windows
+    (including the ambiguous two-group partitioned-unordered form that
+    q_win_agg plans)."""
+    bad = """\
+AdaptiveSparkPlan (4)
++- Window (3)
+   +- Sort (2)
+      +- Scan parquet  (1)
+
+(3) Window
+Arguments: [row_number() windowspecdefinition(c#9L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS _we0#16], [c#9L ASC NULLS FIRST]
+"""
+    assert unpartitioned_window_violations(bad) == [
+        "Window(3) over unlimited input"
+    ]
+    limited = """\
+AdaptiveSparkPlan (4)
++- Window (3)
+   +- TakeOrderedAndProject (2)
+      +- Scan parquet  (1)
+
+(3) Window
+Arguments: [row_number() windowspecdefinition(c#9L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS _we0#16], [c#9L ASC NULLS FIRST]
+"""
+    assert unpartitioned_window_violations(limited) == []
+    part_unordered = """\
+AdaptiveSparkPlan (3)
++- Window (2)
+   +- Scan parquet  (1)
+
+(2) Window
+Arguments: [count(1) windowspecdefinition(component#1L, specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS _we0#2L], [component#1L]
+"""
+    assert unpartitioned_window_violations(part_unordered) == []
+    part_ordered = """\
+AdaptiveSparkPlan (3)
++- Window (2)
+   +- Scan parquet  (1)
+
+(2) Window
+Arguments: [row_number() windowspecdefinition(g#1L, ts#2 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#3], [g#1L], [ts#2 ASC NULLS FIRST]
+"""
+    assert unpartitioned_window_violations(part_ordered) == []
 
 
 def _jobs_for(spark, key):
