@@ -394,22 +394,42 @@ def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):
     batch's relation). ``pin=True`` marks a checkpoint read for the
     whole run — the edge set every label round re-joins — as
     never-pruned.
+
+    Each run is NAMESPACED under a fresh ``run-<uuid>`` subdirectory of
+    ``checkpoint_dir`` (ADVICE r6): ``setCheckpointDir`` is a
+    context-global mutation and attribution works by before/after
+    directory listing, so two CC runs sharing the raw dir could
+    mis-attribute and delete each other's live checkpoint files. With
+    the namespace, concurrent runs on the same SparkContext only race
+    on the LAST ``setCheckpointDir`` to execute — interleaving
+    checkpoint calls of two simultaneously-iterating CC runs on one
+    context is still unsupported (document stands) — but the common
+    sequential-runs-shared-dir case is fully safe. The returned
+    callable exposes ``.cleanup()``, which deletes the whole run
+    subdirectory — call it only after the result has been fully
+    consumed (written out / collected), since the final DataFrame's
+    lineage still reads the last checkpoint files.
     """
     if checkpoint_dir is None:
-        return lambda df, pin=False: df.localCheckpoint(eager=True)
+        fn = lambda df, pin=False: df.localCheckpoint(eager=True)  # noqa: E731
+        fn.cleanup = lambda: None
+        return fn
 
+    import uuid
+
+    run_dir = checkpoint_dir.rstrip("/") + f"/run-{uuid.uuid4().hex[:12]}"
     sc = pairs.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    sc.setCheckpointDir(run_dir)
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
 
     def _rdd_dirs() -> dict[str, object]:
-        root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        root = jvm.org.apache.hadoop.fs.Path(run_dir)
         fs = root.getFileSystem(hconf)
         out = {}
         if fs.exists(root):
             glob = jvm.org.apache.hadoop.fs.Path(
-                checkpoint_dir.rstrip("/") + "/*/rdd-*"
+                run_dir.rstrip("/") + "/*/rdd-*"
             )
             for st in fs.globStatus(glob) or []:
                 p = st.getPath()
@@ -431,13 +451,20 @@ def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):
             while len(history) > 2:
                 stale = history.pop(0)
                 fs = jvm.org.apache.hadoop.fs.Path(
-                    checkpoint_dir
+                    run_dir
                 ).getFileSystem(hconf)
                 for name, p in stale.items():
                     if name not in protected:
                         fs.delete(p, True)
         return out
 
+    def cleanup() -> None:
+        root = jvm.org.apache.hadoop.fs.Path(run_dir)
+        fs = root.getFileSystem(hconf)
+        if fs.exists(root):
+            fs.delete(root, True)
+
+    ckpt.cleanup = cleanup
     return ckpt
 
 

@@ -589,8 +589,14 @@ def q_agg_kmv_distinct(spark, sf_dir):
 # vs exact is pinned in tests/test_ivf.py instead.
 
 def _ann_recall_oracle() -> str:
-    from hive_similarity_join_spark.queries.vectors_q import KNN_K as k
+    # Importing the MODULE (not just registry) forces vectors_q's
+    # @query registrations before the ORACLES reads below — without
+    # this, the builder silently depends on queries/__init__.py
+    # importing vectors_q before dedup_q (ADVICE r6).
+    from hive_similarity_join_spark.queries import vectors_q
     from hive_similarity_join_spark.registry import ORACLES
+
+    k = vectors_q.KNN_K
 
     return f"""
 WITH exact AS ({ORACLES["q_vec_knn"]}),
@@ -671,6 +677,9 @@ def q_vec_ann_recall(spark, sf_dir):
 
 
 def _knn_label_oracle() -> str:
+    # Force vectors_q registration before reading ORACLES["q_vec_knn"]
+    # — see _ann_recall_oracle for the ordering contract (ADVICE r6).
+    from hive_similarity_join_spark.queries import vectors_q  # noqa: F401
     from hive_similarity_join_spark.registry import ORACLES
 
     return f"""

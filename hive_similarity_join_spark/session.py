@@ -46,29 +46,38 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # getActiveSession() is THREAD-local, but getOrCreate() falls back to
+    # the PROCESS-global default session: a call from a thread that never
+    # activated the session would see active=None yet still get the
+    # owner's session back — and then clobber its shuffle sizing. Consult
+    # the process-global default too (ADVICE r6; _instantiatedSession is
+    # what getOrCreate() itself reuses — no public accessor in PySpark).
+    pre_existing = (
+        SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config(
-            "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    pre_existing = SparkSession.getActiveSession()
+    # Ownership rule for spark.sql.shuffle.partitions: on a REUSED
+    # session with no explicit request, the session owner's sizing wins
+    # (getOrCreate() APPLIES runtime builder configs to an existing
+    # session, so the knob must stay OFF the builder in that case — a
+    # caller that only wants the handle must not clobber an embedding
+    # application's conf with our local-mode default). An EXPLICIT
+    # request is honored either way via a runtime set below — builder
+    # configs alone are not enough on some reuse paths (the r4/r5
+    # driver benches ran explicitly-repartitioned keys 2.5x slow when a
+    # harness's default-200 session leaked in; same ownership rule as
+    # tune(), which never touches the knob).
+    if pre_existing is None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
     spark = tune(builder.getOrCreate())
-    # getOrCreate() on a process that ALREADY has a session returns it
-    # and silently ignores every builder .config() — an EXPLICITLY
-    # requested shuffle sizing would be lost (e.g. bench.py inheriting a
-    # harness's default-200 session: the r4/r5 driver benches ran the
-    # explicitly-repartitioned keys 2.5x slow for exactly this reason
-    # before operators/partitions.py decoupled them). shuffle.partitions
-    # is runtime-settable, so honor an explicit request either way — but
-    # on a REUSED session with no explicit request, the session owner's
-    # sizing wins (same ownership rule as tune(), which never touches
-    # it): a caller that only wants the handle must not clobber an
-    # embedding application's conf with our local-mode default.
     if shuffle_partitions is not None or pre_existing is None:
         try:
             spark.conf.set(

@@ -64,6 +64,27 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
         assert 1 <= len(rdd_dirs) <= 3, rdd_dirs
 
 
+def test_checkpointer_runs_are_namespaced_and_cleanable(spark, tmp_path):
+    """Two runs sharing one checkpoint_dir must land in distinct
+    run-* subdirectories (ADVICE r6: before/after listing on a shared
+    dir could delete another run's live files), and .cleanup() must
+    remove exactly the finished run's subtree."""
+    from hive_similarity_join_spark.operators.dedup import _checkpointer
+
+    pairs = spark.createDataFrame([Row(id1=1, id2=2)])
+    c1 = _checkpointer(pairs, str(tmp_path))
+    c1(pairs)
+    c2 = _checkpointer(pairs, str(tmp_path))
+    c2(pairs)
+    runs = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
+    assert len(runs) == 2 and all(r.startswith("run-") for r in runs), runs
+    c1.cleanup()
+    left = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
+    assert len(left) == 1 and left[0] != runs[0] if runs else True
+    c2.cleanup()
+    assert not [p for p in tmp_path.iterdir() if p.is_dir()]
+
+
 def test_minhash_deterministic(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
     a = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", 0.8).collect()))

@@ -145,6 +145,34 @@ def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_get_spark_from_fresh_thread_respects_owner_conf(spark):
+    """getActiveSession() is thread-local but getOrCreate() reuses the
+    process-global session: a get_spark() call from a thread that never
+    activated the session must still see it as pre-existing and leave
+    the owner's shuffle sizing alone (ADVICE r6 — the old code clobbered
+    it with the local default)."""
+    import threading
+
+    from hive_similarity_join_spark.session import get_spark
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    res = {}
+
+    def worker():
+        s = get_spark()  # no explicit request
+        res["same"] = s is spark
+        res["shuffle"] = s.conf.get("spark.sql.shuffle.partitions")
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "77")
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert res == {"same": True, "shuffle": "77"}, res
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_parallelism_ignores_session_shuffle_conf(spark):
     """Explicit candidate-join repartition counts must track hardware
     (sc.defaultParallelism), not the generic shuffle sizing knob — the
