@@ -78,6 +78,39 @@ def train_cells(
     return [[float(x) for x in c] for c in centers]
 
 
+def hash_sampled_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """SQL-mirrorable coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest ``(md5(id), id)`` — a deterministic pseudo-random
+    sample of data points as cell centers (exactly k-means' classic
+    init step, minus the Lloyd refinement numpy runs in train_cells;
+    FAISS-style random-pivot coarse quantizers are the same design).
+
+    Exists so IVF routing can be ORACLE-CHECKED: md5-order sampling is
+    computable verbatim in DuckDB, while the seeded numpy k-means in
+    ``train_cells`` is not. Cell quality is slightly below refined
+    k-means, which the recall audit (q_vec_ann_recall) now measures
+    instead of assumes. The collect is bounded by n_cells rows — the
+    same deliberately-bounded single-node subproblem as train_cells;
+    the sample itself is a distributed TakeOrderedAndProject, not a
+    full-corpus sort. Cell ids are positions in the (md5, id) order.
+    """
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"), V.as_double(vec_col).alias("_v")
+        )
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
 def _cell_dists(vec, centroids: list[list[float]]):
     """Array of (dist, cell) structs — centroid table inlined as
     literals (k x dim doubles: a few KB of plan, the broadcast-free

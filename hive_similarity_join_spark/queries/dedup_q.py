@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
-from hive_similarity_join_spark.functions.vectors import duck_cosine
+from hive_similarity_join_spark.functions.vectors import duck_cosine, duck_l2
 from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
 from hive_similarity_join_spark.operators.dedup import (
     connected_components,
@@ -129,17 +129,89 @@ def q_vec_knn_ann(spark, sf_dir):
     return ann_topk(e, probes, k=5, n_planes=4)
 
 
-@query("q_vec_knn_ivf")  # approximate by design -> rows-only
+IVF_CELLS = 8
+IVF_NPROBE = 3
+
+# DuckDB mirror of the full IVF search with the hash-sampled coarse
+# quantizer: centroid sample -> cell assignment (argmin L2, tie-break
+# cell asc) -> probe routing (top-nprobe cells) -> exact cosine rescore
+# -> top-k. Every stage is deterministic on both engines.
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_CELLS}
+  )
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {duck_l2('e.embedding', 'c.cv')}, c.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+routed AS (
+  SELECT probe_id, cell FROM (
+    SELECT p.vec_id AS probe_id, c.cell,
+           row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {duck_l2('p.embedding', 'c.cv')}, c.cell
+           ) AS rn
+    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < 10
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT r.probe_id, a.vec_id,
+         {duck_cosine('p.embedding', 'e.embedding')} AS sim
+  FROM routed r
+  JOIN asg a ON a.cell = r.cell AND a.vec_id <> r.probe_id
+  JOIN embeddings p ON p.vec_id = r.probe_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT * FROM (
+  SELECT probe_id, vec_id, sim,
+         CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("q_vec_knn_ivf", oracle=_IVF_ORACLE)
 def q_vec_knn_ivf(spark, sf_dir):
-    """IVF-Flat ANN: coarse k-means cells + nprobe-cell search + exact
+    """IVF-Flat ANN: coarse quantizer cells + nprobe-cell search + exact
     re-scoring (operators/ivf.py) — the inverted-list scale path; at
     100 TB the corpus is bucketed by cell id so a probe reads
-    nprobe/n_cells of the data."""
-    from hive_similarity_join_spark.operators.ivf import ivf_topk
+    nprobe/n_cells of the data.
+
+    Hash-checked since round 7 (was rows-only): the registered key uses
+    the SQL-mirrorable hash-sampled coarse quantizer
+    (operators/ivf.py hash_sampled_centroids — data points picked by
+    (md5(id), id) order, k-means' init step without Lloyd refinement)
+    so cell assignment, routing, and rescoring are all reproducible in
+    the DuckDB oracle above. The numpy k-means quantizer remains the
+    default for ivf_topk(centroids=None) and keeps its recall pin in
+    tests/test_ivf.py."""
+    from hive_similarity_join_spark.operators.ivf import (
+        hash_sampled_centroids,
+        ivf_topk,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(e, probes, k=5, n_cells=16, nprobe=4)
+    cents = hash_sampled_centroids(e, IVF_CELLS)
+    return ivf_topk(
+        e, probes, k=5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, centroids=cents
+    )
 
 
 _ELSH_ORACLE = f"""
@@ -577,16 +649,17 @@ def q_agg_kmv_distinct(spark, sf_dir):
     )
 
 
-# --- ANN recall audit (round 6) -------------------------------------
+# --- ANN recall audit (round 6; IVF leg added round 7) ---------------
 # Turns the approximate ANN paths' quality from asserted to measured:
-# per-probe recall@k of the hyperplane-LSH path (q_vec_knn_ann) and the
-# SQ8 two-stage path (q_vec_knn_quantized) against the exact
-# brute-force q_vec_knn. All three paths are deterministic (seeded
-# planes, integral-double code dots, (sim desc, id) tie-breaks), so the
-# oracle composes the three already-verified oracle queries verbatim as
-# CTEs and the whole audit is hash-checked bit-exact. The IVF path has
-# no SQL-expressible oracle (driver-side k-means quantizer); its recall
-# vs exact is pinned in tests/test_ivf.py instead.
+# per-probe recall@k of the hyperplane-LSH path (q_vec_knn_ann), the
+# SQ8 two-stage path (q_vec_knn_quantized), and the IVF path
+# (q_vec_knn_ivf, hash-sampled quantizer) against the exact brute-force
+# q_vec_knn. All four paths are deterministic (seeded planes,
+# integral-double code dots, md5-ordered centroid sample, (sim desc,
+# id) tie-breaks), so the oracle composes the already-verified oracle
+# queries verbatim as CTEs and the whole audit is hash-checked
+# bit-exact. The numpy-k-means IVF variant additionally keeps its
+# recall pin in tests/test_ivf.py.
 
 def _ann_recall_oracle() -> str:
     # Importing the MODULE (not just registry) forces vectors_q's
@@ -602,10 +675,13 @@ def _ann_recall_oracle() -> str:
 WITH exact AS ({ORACLES["q_vec_knn"]}),
 lsh AS ({ORACLES["q_vec_knn_ann"]}),
 sq8 AS ({ORACLES["q_vec_knn_quantized"]}),
+ivf AS ({ORACLES["q_vec_knn_ivf"]}),
 m AS (
   SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
   UNION ALL
   SELECT 'sq8' AS method, probe_id, vec_id FROM sq8
+  UNION ALL
+  SELECT 'ivf' AS method, probe_id, vec_id FROM ivf
 ),
 hits AS (
   SELECT m.method, m.probe_id, count(*) AS hits
@@ -615,7 +691,7 @@ hits AS (
 grid AS (
   SELECT p.probe_id, t.method
   FROM (SELECT DISTINCT probe_id FROM exact) p,
-       unnest(['lsh', 'sq8']) AS t(method)
+       unnest(['lsh', 'sq8', 'ivf']) AS t(method)
 )
 SELECT g.probe_id, g.method,
        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -627,9 +703,10 @@ FROM grid g LEFT JOIN hits h
 
 @query("q_vec_ann_recall", oracle=_ann_recall_oracle())
 def q_vec_ann_recall(spark, sf_dir):
-    """Recall@k audit of the two deterministic ANN paths vs exact kNN.
+    """Recall@k audit of the three deterministic ANN paths vs exact kNN.
 
-    Emits (probe_id, method, hits, recall) for method in {lsh, sq8}:
+    Emits (probe_id, method, hits, recall) for method in {lsh, sq8,
+    ivf}:
     hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
     double (BIGINT/DOUBLE correctly-rounded divide on both engines —
     exact for these tiny integers). Probes with zero overlap still
@@ -651,6 +728,7 @@ def q_vec_ann_recall(spark, sf_dir):
     legs = [
         ("lsh", q_vec_knn_ann(spark, sf_dir)),
         ("sq8", q_vec_knn_quantized(spark, sf_dir)),
+        ("ivf", q_vec_knn_ivf(spark, sf_dir)),
     ]
     m = None
     for name, df in legs:
@@ -664,7 +742,9 @@ def q_vec_ann_recall(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("hits"))
     )
     methods = spark.range(1).select(
-        F.explode(F.array(F.lit("lsh"), F.lit("sq8"))).alias("method")
+        F.explode(
+            F.array(F.lit("lsh"), F.lit("sq8"), F.lit("ivf"))
+        ).alias("method")
     )
     grid = exact.select("probe_id").distinct().crossJoin(F.broadcast(methods))
     n_hits = F.coalesce(F.col("hits"), F.lit(0))

@@ -63,8 +63,11 @@ PRIORITY: list[str] = [
     "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
     # ---- positions 51+ (round-8 head candidates) ----
     # q_vec_cosine is the one remaining r4-verdict key that didn't fit
-    # the 50-key window; new round-7 keys stage after it.
+    # the 50-key window; keys added or semantically changed in round 7
+    # stage after it.
     "q_vec_cosine",
+    # r7: upgraded rows-only -> hash-checked (hash-sampled quantizer)
+    "q_vec_knn_ivf",
 ]
 
 
