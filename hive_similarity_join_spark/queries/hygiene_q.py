@@ -371,6 +371,93 @@ def q_bpe_pairs(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One BPE training round as SQL: decode symbols, count adjacent
+    pairs (overlap-inclusive, weighted by word count), pick the winner
+    by (count DESC, left, right), apply it with plain replace() —
+    greedy left-to-right non-overlapping, exactly the reference merge."""
+    return f"""
+sy{r} AS (
+  SELECT w, n, string_split(trim(w, '|'), '||') AS sy FROM w{r}
+),
+pc{r} AS (
+  SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM sy{r}, unnest(generate_series(1, len(sy) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+w{r + 1} AS (
+  SELECT replace(s.w, '|' || t.a || '||' || t.b || '|',
+                 '|' || t.a || t.b || '|') AS w, s.n
+  FROM w{r} s CROSS JOIN b{r} t
+)"""
+
+
+@query(
+    "q_bpe_merges",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS (
+  SELECT t.tok AS word, count(*) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+')
+  GROUP BY 1
+),
+w1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))}
+SELECT CAST(1 AS BIGINT) AS merge_round, a AS lhs, b AS rhs,
+       cnt AS n_occ, a || b AS merged FROM b1
+UNION ALL SELECT 2, a, b, cnt, a || b FROM b2
+UNION ALL SELECT 3, a, b, cnt, a || b FROM b3
+""",
+)
+def q_bpe_merges(spark, sf_dir):
+    """The iterated BPE trainer's first {_BPE_ROUNDS} merge rounds,
+    pinned bit-exactly — the loop q_bpe_pairs' docstring describes,
+    actually run: character-level symbols over the word-frequency
+    table, each round counts adjacent pairs (overlap-inclusive,
+    weighted by word occurrences), merges the (count DESC, left,
+    right)-first pair greedily left-to-right, and re-counts on the
+    merged vocabulary (operators/bpe.py; Sennrich et al. ACL 2016
+    semantics, pytest-verified against the single-node reference in
+    tests/test_bpe.py).
+
+    Scale shape: the trainer runs on the vocabulary-sized word-
+    frequency sketch, not the corpus — the one corpus-sized pass is
+    the initial word count; each round is one partial-aggregated
+    pair-count shuffle plus a broadcast 1-row merge relation, and the
+    merge application is a single codegen'd string replace per word
+    (the |a||b| encoding makes SQL replace() exactly the reference's
+    greedy non-overlapping scan). The production N-round form
+    (bpe_train) collects one scalar row per round and localCheckpoints
+    the evolving words; this 3-round key uses the fully-lazy zero-
+    collect form so the oracle mirrors the whole computation."""
+    from hive_similarity_join_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    out = None
+    for r, best in enumerate(bpe.bpe_merge_rounds_lazy(wf, _BPE_ROUNDS), 1):
+        leg = best.select(
+            F.lit(r).cast("bigint").alias("merge_round"),
+            F.col("a").alias("lhs"),
+            F.col("b").alias("rhs"),
+            F.col("cnt").alias("n_occ"),
+            F.concat("a", "b").alias("merged"),
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out
+
+
 # -------------------------------------------------- corpus novelty
 
 _NOVELTY_N = 3

@@ -68,6 +68,8 @@ PRIORITY: list[str] = [
     "q_vec_cosine",
     # r7: upgraded rows-only -> hash-checked (hash-sampled quantizer)
     "q_vec_knn_ivf",
+    # r7: new keys
+    "q_bpe_merges",
 ]
 
 

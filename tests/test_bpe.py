@@ -1,0 +1,112 @@
+"""BPE trainer: equivalence with the single-node reference algorithm
+(Sennrich et al., ACL 2016 — get_stats / merge_word semantics), plus
+the lazy 3-round form used by the q_bpe_merges key."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.operators import bpe
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.sources.loader import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _ref_merge_word(w: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(w):
+        if i < len(w) - 1 and (w[i], w[i + 1]) == pair:
+            out.append(w[i] + w[i + 1])
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference trainer: overlap-inclusive pair counts, greedy
+    left-to-right merge, (count DESC, left, right) tie-break."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats: Counter = Counter()
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                stats[(w[i], w[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], stats[best]))
+        # distinct input words stay distinct after a merge (equal
+        # strings transform equally), so plain reassignment is safe
+        words = {_ref_merge_word(w, best): c for w, c in words.items()}
+    segmented = {"".join(w): list(w) for w in words}
+    return merges, segmented
+
+
+def _toy_counts():
+    return {
+        "low": 5, "lower": 2, "lowest": 1, "newer": 6, "new": 3,
+        "wider": 2, "widest": 1, "aaa": 4, "aaaa": 2, "banana": 3,
+    }
+
+
+def test_trainer_matches_reference_on_toy_corpus(spark):
+    counts = _toy_counts()
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"), F.col("n").cast("bigint").alias("n")
+    )
+    got_merges, got_words = bpe.bpe_train(wf, 12, checkpoint_every=5)
+    want_merges, want_seg = _ref_bpe(counts, 12)
+    assert got_merges == want_merges
+    got_seg = {
+        "".join(r.sy): list(r.sy)
+        for r in got_words.select(bpe.decode_symbols("w").alias("sy")).collect()
+    }
+    assert got_seg == want_seg
+
+
+def test_overlap_semantics_aaa():
+    """Counting is overlap-inclusive; application is non-overlapping:
+    'aaaa'x1 counts (a,a)=3 but merges to [aa, aa]."""
+    merges, seg = _ref_bpe({"aaaa": 1}, 1)
+    assert merges == [("a", "a", 3)]
+    assert seg == {"aaaa": ["aa", "aa"]}
+
+
+def test_spark_replace_is_greedy_nonoverlapping(spark):
+    """The |a||b| string-replace trick must equal the reference greedy
+    scan on the nasty overlap cases."""
+    cases = {"aaa": 1, "aaaa": 1, "aaaaa": 1, "ababa": 1, "bbab": 1}
+    rows = [Row(word=w, n=c) for w, c in cases.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"), F.col("n").cast("bigint").alias("n")
+    )
+    best = spark.createDataFrame([Row(a="a", b="a", cnt=1)])
+    got = {
+        "".join(r.sy): list(r.sy)
+        for r in bpe.apply_merge(wf, best)
+        .select(bpe.decode_symbols("w").alias("sy"))
+        .collect()
+    }
+    want = {
+        w: list(_ref_merge_word(tuple(w), ("a", "a"))) for w in cases
+    }
+    assert got == want
+
+
+def test_lazy_rounds_match_iterated_trainer(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    wf = bpe.word_freqs(d, TX.bag_tokens("text"))
+    merges, _ = bpe.bpe_train(wf, 3)
+    lazy = [
+        (r.a, r.b, int(r.cnt))
+        for best in bpe.bpe_merge_rounds_lazy(wf, 3)
+        for r in best.collect()
+    ]
+    assert lazy == merges
