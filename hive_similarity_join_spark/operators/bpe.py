@@ -148,6 +148,16 @@ def bpe_train(
     return merges, words
 
 
+def bpe_apply_rounds_lazy(words: DataFrame, n_merges: int) -> DataFrame:
+    """The words relation AFTER ``n_merges`` lazy training rounds —
+    the segmented vocabulary a trained tokenizer ships. Zero collect;
+    each round's 1-row best-pair relation broadcasts into the next
+    round's replace."""
+    for _ in range(n_merges):
+        words = apply_merge(words, best_pair(words))
+    return words
+
+
 def bpe_merge_rounds_lazy(
     words: DataFrame, n_merges: int
 ) -> list[DataFrame]:

@@ -465,6 +465,7 @@ def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):
             fs.delete(root, True)
 
     ckpt.cleanup = cleanup
+    ckpt.run_dir = run_dir
     return ckpt
 
 

@@ -289,6 +289,65 @@ def q_dedup_connected_star(spark, sf_dir):
     )
 
 
+_SEM_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM ({_ELSH_ORACLE})
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS cluster,
+       CAST(CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+
+
+@query("q_dedup_semantic", oracle=_SEM_ORACLE)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster by embedding similarity, keep one
+    representative per cluster): every vector labeled with its
+    semantic-duplicate cluster and a keep flag. Clusters = connected
+    components of the hyperplane-LSH cosine pair graph
+    (q_dedup_embedding_lsh's blocking + exact verify), closed with the
+    O(log n)-round alternating-star CC; singletons are their own
+    cluster; representative = min vec_id. The per-vector keep flag is
+    exactly the artifact a dataset builder anti-joins against.
+
+    Scale shape: LSH blocking keeps candidate pairs near-linear, the
+    alternating-star closure shuffles edge-sized relations for
+    O(log n) rounds regardless of cluster diameter, and the final
+    left join is corpus × component-sized. Hash-checked: the oracle
+    nests the already-verified ELSH pair SQL and closes it with a
+    recursive CTE (same min-label semantics)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = q_dedup_embedding_lsh(spark, sf_dir).select("id1", "id2")
+    comp = connected_components_alternating(pairs)
+    cluster = F.coalesce(F.col("comp"), F.col("vec_id"))
+    return (
+        e.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster"),
+            F.when(cluster == F.col("vec_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_rep"),
+        )
+    )
+
+
 def _duck_reps_oracle(threshold: float) -> str:
     """DuckDB mirror of q_dedup_representatives: minhash-LSH pair graph
     (same CTE as q_dedup_minhash_lsh, nested as a subquery) closed with
@@ -554,6 +613,111 @@ def q_minhash_estimate(spark, sf_dir):
             est.alias("est_sim"),
             exact.alias("exact_sim"),
             F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+# --------------------------------------- Count-Min heavy-hitters audit
+
+CMS_D = 4    # hash rows
+CMS_W = 256  # buckets per row
+CMS_TOP = 20
+
+
+def _duck_cms_bucket(r_ref: str, tok_ref: str) -> str:
+    seed = f"concat(CAST({r_ref} AS VARCHAR), ':', {tok_ref})"
+    return f"{TX.duck_md5_prefix60(seed)} % {CMS_W}"
+
+
+@query(
+    "q_agg_cms_topk",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+tc AS (
+  SELECT t.tok AS tok, CAST(count(*) AS BIGINT) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  GROUP BY 1
+),
+cells AS (
+  SELECT r.r AS r, {_duck_cms_bucket('r.r', 'tok')} AS b, n
+  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) r
+),
+counters AS (
+  SELECT r, b, CAST(sum(n) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT {CMS_TOP}
+),
+probe AS (
+  SELECT top.tok, top.n, r.r AS r, {_duck_cms_bucket('r.r', 'top.tok')} AS b
+  FROM top CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) r
+)
+SELECT p.tok, p.n AS n_exact,
+       CAST(min(c.cnt) AS BIGINT) AS n_cms,
+       CAST(min(c.cnt) - p.n AS BIGINT) AS overcount
+FROM probe p JOIN counters c ON c.r = p.r AND c.b = p.b
+GROUP BY p.tok, p.n
+""",
+)
+def q_agg_cms_topk(spark, sf_dir):
+    """Count-Min-Sketch heavy-hitters audit (Cormode & Muthukrishnan,
+    J.Alg 2005): token frequencies estimated from a {CMS_D}x{CMS_W}
+    counter array, compared against exact counts for the top-{CMS_TOP}
+    tokens — estimate = min over rows of the hashed-bucket counter,
+    always >= exact (one-sided error), overcount emitted per token.
+    The third sketch-accuracy audit next to q_minhash_estimate
+    (Jaccard) and q_agg_kmv_distinct (distinct count); CMS is the
+    sketch a frequency-capping / stopword-discovery pass ships at
+    100 TB when the exact vocabulary would not fit.
+
+    Deterministic and hash-checkable: bucket = md5-prefix60('r:'+tok)
+    mod {CMS_W} (engine-portable integer hash), counters are exact
+    integer sums.
+
+    Scale shape: counters build from the TOKEN-COUNT relation
+    (vocab-sized), not the occurrence stream — same totals, one
+    partial-aggregated shuffle into {CMS_D}x{CMS_W} cells; the audit
+    join broadcasts the {CMS_TOP}x{CMS_D} probe against the cell
+    table. At true scale the counter build is the only pass the
+    sketch needs over data already aggregated by token."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(TX.bag_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_D)])
+    ).alias("r")
+
+    def bucket(r_col, tok_col):
+        seed = F.concat(
+            r_col.cast("string"), F.lit(":"), tok_col
+        )
+        return TX.md5_prefix60(seed) % CMS_W
+
+    cells = tc.select("tok", "n", rows).select(
+        "r", bucket(F.col("r"), F.col("tok")).alias("b"), "n"
+    )
+    counters = cells.groupBy("r", "b").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    top = tc.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP)
+    probe = top.select("tok", "n", rows).select(
+        "tok", "n", "r", bucket(F.col("r"), F.col("tok")).alias("b")
+    )
+    return (
+        F.broadcast(probe)
+        .join(counters, ["r", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").cast("bigint").alias("n_cms"))
+        .select(
+            "tok",
+            F.col("n").alias("n_exact"),
+            "n_cms",
+            (F.col("n_cms") - F.col("n")).cast("bigint").alias("overcount"),
         )
     )
 

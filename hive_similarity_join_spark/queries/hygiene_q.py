@@ -458,6 +458,65 @@ def q_bpe_merges(spark, sf_dir):
     return out
 
 
+_BPE_SEG_TOP = 50
+
+
+@query(
+    "q_bpe_segment",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS (
+  SELECT t.tok AS word, count(*) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+')
+  GROUP BY 1
+),
+w1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))}
+SELECT replace(w, '|', '') AS word, n,
+       CAST(len(string_split(trim(w, '|'), '||')) AS BIGINT) AS n_symbols,
+       array_to_string(string_split(trim(w, '|'), '||'), ' ') AS segmented
+FROM w{_BPE_ROUNDS + 1}
+ORDER BY n DESC, word LIMIT {_BPE_SEG_TOP}
+""",
+)
+def q_bpe_segment(spark, sf_dir):
+    """The trained tokenizer APPLIED: the top-{_BPE_SEG_TOP} corpus
+    words (by occurrence count) with their symbol segmentation after
+    q_bpe_merges' {_BPE_ROUNDS} learned merges — word, count, number of
+    symbols, and the space-joined segmentation. Together with
+    q_bpe_merges this pins the full train-then-encode loop bit-exactly
+    (the merge TABLE there, the resulting SEGMENTATIONS here).
+
+    Scale shape: identical to the trainer (vocabulary-sized relation,
+    one pair-count shuffle + broadcast 1-row merge per round); the
+    top-k is TakeOrderedAndProject over the vocab. The segmentation
+    column is derived by the same trim/split both engines run on the
+    encoded string."""
+    from hive_similarity_join_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    final = bpe.bpe_apply_rounds_lazy(wf, _BPE_ROUNDS)
+    sy = bpe.decode_symbols("w")
+    return (
+        final.select(
+            F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),
+            "n",
+            F.size(sy).cast("bigint").alias("n_symbols"),
+            F.array_join(sy, " ").alias("segmented"),
+        )
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_BPE_SEG_TOP)
+    )
+
+
 # -------------------------------------------------- corpus novelty
 
 _NOVELTY_N = 3

@@ -69,7 +69,7 @@ PRIORITY: list[str] = [
     # r7: upgraded rows-only -> hash-checked (hash-sampled quantizer)
     "q_vec_knn_ivf",
     # r7: new keys
-    "q_bpe_merges",
+    "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic", "q_agg_cms_topk",
 ]
 
 

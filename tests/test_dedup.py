@@ -3,6 +3,8 @@ LSH determinism + recall against the exact join."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Row
 
 from hive_similarity_join_spark.operators.dedup import (
@@ -78,9 +80,10 @@ def test_checkpointer_runs_are_namespaced_and_cleanable(spark, tmp_path):
     c2(pairs)
     runs = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
     assert len(runs) == 2 and all(r.startswith("run-") for r in runs), runs
+    assert c1.run_dir != c2.run_dir
     c1.cleanup()
-    left = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
-    assert len(left) == 1 and left[0] != runs[0] if runs else True
+    left = [p.name for p in tmp_path.iterdir() if p.is_dir()]
+    assert left == [Path(c2.run_dir).name], (left, c2.run_dir)
     c2.cleanup()
     assert not [p for p in tmp_path.iterdir() if p.is_dir()]
 
