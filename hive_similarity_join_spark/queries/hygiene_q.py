@@ -256,6 +256,130 @@ def q_decontaminate_hashed(spark, sf_dir):
     )
 
 
+# --------------------------------------- Bloom decontamination screen
+
+BLOOM_D = 3        # hash functions
+BLOOM_M = 16384    # bits (2^14): sized so the FP audit is non-vacuous at test SFs
+
+
+def _duck_bloom_bit(j_ref: str, g_ref: str) -> str:
+    seed = f"concat(CAST({j_ref} AS VARCHAR), ':', {g_ref})"
+    return f"{TX.duck_md5_prefix60(seed)} % {BLOOM_M}"
+
+
+@query(
+    "q_decontaminate_bloom",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.g
+  FROM bags, unnest({_duck_grams(_DECON_N)}) AS t(g)
+  WHERE len(bag) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+js AS (SELECT unnest(generate_series(0, {BLOOM_D - 1})) AS j),
+bits AS (
+  SELECT DISTINCT {_duck_bloom_bit('js.j', 'ev.g')} AS b
+  FROM ev CROSS JOIN js
+),
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {_DECON_MOD} <> 0),
+probe AS (
+  SELECT tr.doc_id, tr.g, {_duck_bloom_bit('js.j', 'tr.g')} AS b
+  FROM tr CROSS JOIN js
+),
+pos AS (
+  SELECT doc_id, g
+  FROM probe JOIN bits USING (b)
+  GROUP BY doc_id, g
+  HAVING count(*) = {BLOOM_D}
+),
+nb AS (SELECT doc_id, count(*) AS n_bloom FROM pos GROUP BY doc_id),
+nx AS (
+  SELECT tr.doc_id, count(*) AS n_exact
+  FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id)
+SELECT ng.doc_id,
+       CAST(ng.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+       CAST(coalesce(nx.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(nb.n_bloom, 0) - coalesce(nx.n_exact, 0) AS BIGINT)
+           AS n_false_pos
+FROM ng LEFT JOIN nb USING (doc_id) LEFT JOIN nx USING (doc_id)
+""",
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination PRE-FILTER, with its false-positive
+    cost measured (Bloom 1970; the standard 100 TB trick: at scale the
+    eval-set shingle relation is replaced by an m-bit filter a few
+    hundred KB wide, the probe becomes a map-side bitmap test, and only
+    bloom-positive shingles reach the exact join). Per training doc:
+    distinct-shingle count, bloom-positive count (one-sided: always >=
+    exact), the exact shared count, and the false-positive overcount —
+    the audit that tells a pipeline whether ({BLOOM_D} hashes,
+    {BLOOM_M} bits) is sized right for its eval set.
+
+    Deterministic and hash-checkable: bit j(g) = md5_prefix60('j:'+g)
+    mod {BLOOM_M}; membership = all {BLOOM_D} bits present. The bit
+    set is represented RELATIONALLY (distinct bit ids, broadcast) so
+    the DuckDB oracle mirrors it verbatim; a production deployment
+    compiles the same set into an actual bitmap broadcast (Spark's own
+    runtime-filter bloom works this way) with identical semantics.
+
+    Scale shape: bits relation is bounded by m = {BLOOM_M} rows
+    regardless of eval-set size — broadcast; probes explode each
+    training shingle x{BLOOM_D} map-side, partial-agg into per-shingle
+    verdicts, then per-doc counts; the exact leg reuses the
+    q_decontaminate broadcast join on bloom-survivors only at true
+    scale (here both legs run corpus-wide so n_false_pos is exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _DECON_N))
+    sh = d.select("doc_id", F.explode(grams).alias("g")).distinct()
+    ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_D)])).alias("j")
+
+    def bit(j_col, g_col):
+        return TX.md5_prefix60(
+            F.concat(j_col.cast("string"), F.lit(":"), g_col)
+        ) % BLOOM_M
+
+    bits = (
+        ev.select("g", js)
+        .select(bit(F.col("j"), F.col("g")).alias("b"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    probe = tr.select("doc_id", "g", js).select(
+        "doc_id", "g", bit(F.col("j"), F.col("g")).alias("b")
+    )
+    pos = (
+        probe.join(F.broadcast(bits), "b")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == BLOOM_D)
+    )
+    nb = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom"))
+    nx = tr.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    ng = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_bloom = F.coalesce(F.col("n_bloom"), F.lit(0))
+    n_exact = F.coalesce(F.col("n_exact"), F.lit(0))
+    return (
+        ng.join(nb, "doc_id", "left")
+        .join(nx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            n_bloom.cast("bigint").alias("n_bloom"),
+            n_exact.cast("bigint").alias("n_exact"),
+            (n_bloom - n_exact).cast("bigint").alias("n_false_pos"),
+        )
+    )
+
+
 # -------------------------------------- temperature-flattened sampling
 
 @query(
