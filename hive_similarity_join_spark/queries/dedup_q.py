@@ -619,8 +619,8 @@ def q_minhash_estimate(spark, sf_dir):
 
 # --------------------------------------- Count-Min heavy-hitters audit
 
-CMS_D = 4    # hash rows
-CMS_W = 256  # buckets per row
+from hive_similarity_join_spark.operators.cms import CMS_D, CMS_W  # noqa: E402
+
 CMS_TOP = 20
 
 
@@ -681,38 +681,23 @@ def q_agg_cms_topk(spark, sf_dir):
     partial-aggregated shuffle into {CMS_D}x{CMS_W} cells; the audit
     join broadcasts the {CMS_TOP}x{CMS_D} probe against the cell
     table. At true scale the counter build is the only pass the
-    sketch needs over data already aggregated by token."""
+    sketch needs over data already aggregated by token. Counters are
+    exact integer sums, hence MERGEABLE — streaming/incremental_cms.py
+    maintains the same cells across micro-batches (pytest-asserted
+    equal to this batch build)."""
+    from hive_similarity_join_spark.operators import cms
+
     d = load_table(spark, sf_dir, "documents")
     tc = (
         d.select(F.explode(TX.bag_tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    rows = F.explode(
-        F.array(*[F.lit(r) for r in range(CMS_D)])
-    ).alias("r")
-
-    def bucket(r_col, tok_col):
-        seed = F.concat(
-            r_col.cast("string"), F.lit(":"), tok_col
-        )
-        return TX.md5_prefix60(seed) % CMS_W
-
-    cells = tc.select("tok", "n", rows).select(
-        "r", bucket(F.col("r"), F.col("tok")).alias("b"), "n"
-    )
-    counters = cells.groupBy("r", "b").agg(
-        F.sum("n").cast("bigint").alias("cnt")
-    )
+    ).persist()
+    counters = cms.counters_from_token_counts(tc)
     top = tc.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP)
-    probe = top.select("tok", "n", rows).select(
-        "tok", "n", "r", bucket(F.col("r"), F.col("tok")).alias("b")
-    )
+    est = cms.estimate(counters, top.select("tok"))
     return (
-        F.broadcast(probe)
-        .join(counters, ["r", "b"])
-        .groupBy("tok", "n")
-        .agg(F.min("cnt").cast("bigint").alias("n_cms"))
+        top.join(est, "tok")
         .select(
             "tok",
             F.col("n").alias("n_exact"),
