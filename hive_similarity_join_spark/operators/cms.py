@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from hive_similarity_join_spark.functions import text as TX
 
 CMS_D = 4    # hash rows
-CMS_W = 256  # buckets per row
+CMS_W = 64   # buckets per row: sized so collisions (and the overcount audit) are non-vacuous on the closed test vocabulary
 
 
 def bucket(r_col: Column, tok_col: Column) -> Column:

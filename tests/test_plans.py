@@ -165,6 +165,22 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
 
+def test_sketch_and_bloom_keys_broadcast_their_small_sides(spark):
+    """The round-7 sketch/screen keys must keep their structural scale
+    properties: CMS probes and Bloom bit-sets broadcast (never shuffle
+    the corpus side on sketch keys), top-k plans as
+    TakeOrderedAndProject, and the BPE trainer's 1-row merge relations
+    join as broadcast nested loops — not CartesianProduct."""
+    cms_plan = explain_str(_q("q_agg_cms_topk", spark))
+    assert "BroadcastHashJoin" in cms_plan
+    assert "TakeOrderedAndProject" in cms_plan
+    bloom_plan = explain_str(_q("q_decontaminate_bloom", spark))
+    assert "BroadcastHashJoin" in bloom_plan
+    bpe_plan = explain_str(_q("q_bpe_merges", spark))
+    assert "CartesianProduct" not in bpe_plan
+    assert "BroadcastNestedLoopJoin" in bpe_plan  # the 1-row best pairs
+
+
 def test_unpartitioned_window_detector_fixtures():
     """The detector itself: flags a global window over an unlimited
     input, clears the limit-then-rank shape, clears partitioned windows
