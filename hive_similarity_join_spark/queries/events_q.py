@@ -318,3 +318,88 @@ def q_events_gaps(spark, sf_dir):
             + F.sum(F.when(F.col("gap_us") > session_cut, 1).otherwise(0))
         ).cast("bigint").alias("n_sessions"),
     )
+
+
+PATTERN = ("view", "click", "purchase")
+
+
+@query(
+    "q_events_pattern",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         lead(event_type, 1) OVER w AS et1,
+         lead(event_id, 1) OVER w AS id1,
+         lead(event_type, 2) OVER w AS et2,
+         lead(event_id, 2) OVER w AS id2,
+         lead(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS us2
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+)
+SELECT user_id,
+       event_id AS start_event, id1 AS mid_event, id2 AS end_event,
+       CAST(us2 - us AS BIGINT) AS span_us
+FROM seq
+WHERE event_type = '{PATTERN[0]}' AND et1 = '{PATTERN[1]}'
+  AND et2 = '{PATTERN[2]}'
+""",
+)
+def q_events_pattern(spark, sf_dir):
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE / CEP
+    family): per user, every CONSECUTIVE {' -> '.join(PATTERN)} triple
+    in the (ts, event_id)-ordered stream, with its exact completion
+    span — the conversion-path matcher whose
+    funnel-rate cousin is q_funnel_stages (that key asks "did the user
+    ever convert"; this one emits each matched occurrence with its
+    exact span). Strictly-consecutive semantics = MATCH_RECOGNIZE's
+    default row pattern A B C with no skips; a skip-tolerant variant
+    is the same window with a per-type filter pushed before it, and a
+    WITHIN-t constraint is one more span_us conjunct (omitted here:
+    this corpus's per-user cadence is ~days, so any sub-hour window
+    would pin an empty — vacuous — result).
+
+    Exactness: matches are identified by event ids (exact integers)
+    and an exact integer-microsecond span; the (ts, event_id) total
+    order pins tie-breaks on both engines; NULL ts excluded before the
+    window (same hazard note as q_events_gaps).
+
+    Scale shape: one hash shuffle on user_id for the lead window (no
+    self-joins — the classic CEP-on-windows mapping), then a map-side
+    pattern filter; output is match-count-sized. At 100 TB this is the
+    shape streaming CEP engines compile to, and the streaming mirror
+    is the same builder over session-scoped state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (
+        e.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+        .select(
+            "user_id", "event_id", "event_type", "us",
+            F.lead("event_type", 1).over(w).alias("et1"),
+            F.lead("event_id", 1).over(w).alias("id1"),
+            F.lead("event_type", 2).over(w).alias("et2"),
+            F.lead("event_id", 2).over(w).alias("id2"),
+            F.lead("us", 2).over(w).alias("us2"),
+        )
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == PATTERN[0])
+            & (F.col("et1") == PATTERN[1])
+            & (F.col("et2") == PATTERN[2])
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event"),
+            F.col("id1").alias("mid_event"),
+            F.col("id2").alias("end_event"),
+            (F.col("us2") - F.col("us")).cast("bigint").alias("span_us"),
+        )
+    )
