@@ -641,6 +641,88 @@ def q_bpe_segment(spark, sf_dir):
     )
 
 
+@query(
+    "q_bpe_encode_docs",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS (
+  SELECT t.tok AS word, count(*) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+')
+  GROUP BY 1
+),
+w1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))},
+seg AS (
+  SELECT replace(w, '|', '') AS word,
+         len(string_split(trim(w, '|'), '||')) AS n_sym
+  FROM w{_BPE_ROUNDS + 1}
+),
+occ AS (
+  SELECT doc_id, t.tok AS word
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+')
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(s.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(s.n_sym)
+           AS compression
+FROM occ o JOIN seg s ON s.word = o.word
+GROUP BY o.doc_id
+""",
+)
+def q_bpe_encode_docs(spark, sf_dir):
+    """The trained tokenizer's per-document budget: for every doc, its
+    encodable word count, character count, BPE token count after the
+    {_BPE_ROUNDS} learned merges, and the chars-per-token compression
+    ratio — the tokens-per-document planning artifact that feeds
+    q_pack_sequences' bin packing (you pack token budgets, not char
+    budgets; this key is where the two meet). Occurrence-weighted:
+    each word occurrence costs its segmentation length.
+
+    Determinism: integer counts joined through the word relation
+    (every encodable occurrence matches exactly one segmented word);
+    the single double division per row has identical association both
+    sides.
+
+    Scale shape: the segmented vocabulary (vocab-sized) BROADCASTS
+    into the per-occurrence join — the corpus-sized relation never
+    shuffles on the word key; per-doc aggregation is the only
+    corpus-sized shuffle, keyed on doc_id."""
+    from hive_similarity_join_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    final = bpe.bpe_apply_rounds_lazy(wf, _BPE_ROUNDS)
+    seg = final.select(
+        F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),
+        F.size(bpe.decode_symbols("w")).alias("n_sym"),
+    )
+    occ = d.select(
+        "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    return (
+        occ.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum(F.length("word")).cast("double") / F.sum("n_sym")
+            ).alias("compression"),
+        )
+    )
+
+
 # -------------------------------------------------- corpus novelty
 
 _NOVELTY_N = 3
