@@ -292,6 +292,52 @@ def q_join_multikey(spark, sf_dir):
     )
 
 
+@query(
+    "q_join_skew_salted",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_order_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_returnflag
+""",
+)
+def q_join_skew_salted(spark, sf_dir):
+    """The fact-fact equi join executed through the first-class salting
+    operator (operators/skew.py): lineitem salted by hash(linenumber),
+    orders replicated across the salt fan-out, join on
+    (orderkey, salt) — the in-plan fix for hot-key skew that works
+    regardless of join strategy and of output blowup (AQE's skew
+    splitting only rescues sort-merge joins whose skew shows in map
+    stats). Result multiset is IDENTICAL to the plain join — exactly
+    what the oracle (a plain SQL join) checks; the salt never appears
+    in the output. The similarity kernel applies this same scheme
+    inline on its candidate join; this key pins the reusable form
+    under the hash gate.
+
+    Scale shape: the replicated side shuffles n copies — pick the
+    SMALLER side to replicate (orders here) and n ~ per-executor
+    cores; each hot orderkey's lineitem rows spread across n reducer
+    partitions instead of one."""
+    from hive_similarity_join_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    j = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+        o.select("l_orderkey", "o_totalprice"),
+        "l_orderkey",
+        spread_col="l_linenumber",
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        _dsum(F.col("o_totalprice")).alias("sum_order_price"),
+    )
+
+
 # ---------------------------------------------------------------- §2.4 aggs
 
 @query(
