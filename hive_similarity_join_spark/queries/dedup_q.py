@@ -825,12 +825,15 @@ WITH exact AS ({ORACLES["q_vec_knn"]}),
 lsh AS ({ORACLES["q_vec_knn_ann"]}),
 sq8 AS ({ORACLES["q_vec_knn_quantized"]}),
 ivf AS ({ORACLES["q_vec_knn_ivf"]}),
+pq AS ({ORACLES["q_vec_knn_pq"]}),
 m AS (
   SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
   UNION ALL
   SELECT 'sq8' AS method, probe_id, vec_id FROM sq8
   UNION ALL
   SELECT 'ivf' AS method, probe_id, vec_id FROM ivf
+  UNION ALL
+  SELECT 'pq' AS method, probe_id, vec_id FROM pq
 ),
 hits AS (
   SELECT m.method, m.probe_id, count(*) AS hits
@@ -840,7 +843,7 @@ hits AS (
 grid AS (
   SELECT p.probe_id, t.method
   FROM (SELECT DISTINCT probe_id FROM exact) p,
-       unnest(['lsh', 'sq8', 'ivf']) AS t(method)
+       unnest(['lsh', 'sq8', 'ivf', 'pq']) AS t(method)
 )
 SELECT g.probe_id, g.method,
        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -852,10 +855,10 @@ FROM grid g LEFT JOIN hits h
 
 @query("q_vec_ann_recall", oracle=_ann_recall_oracle())
 def q_vec_ann_recall(spark, sf_dir):
-    """Recall@k audit of the three deterministic ANN paths vs exact kNN.
+    """Recall@k audit of the four deterministic ANN paths vs exact kNN.
 
     Emits (probe_id, method, hits, recall) for method in {lsh, sq8,
-    ivf}:
+    ivf, pq}:
     hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
     double (BIGINT/DOUBLE correctly-rounded divide on both engines —
     exact for these tiny integers). Probes with zero overlap still
@@ -874,10 +877,13 @@ def q_vec_ann_recall(spark, sf_dir):
     )
 
     exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
+    from hive_similarity_join_spark.queries.vectors_q import q_vec_knn_pq
+
     legs = [
         ("lsh", q_vec_knn_ann(spark, sf_dir)),
         ("sq8", q_vec_knn_quantized(spark, sf_dir)),
         ("ivf", q_vec_knn_ivf(spark, sf_dir)),
+        ("pq", q_vec_knn_pq(spark, sf_dir)),
     ]
     m = None
     for name, df in legs:
@@ -892,7 +898,7 @@ def q_vec_ann_recall(spark, sf_dir):
     )
     methods = spark.range(1).select(
         F.explode(
-            F.array(F.lit("lsh"), F.lit("sq8"), F.lit("ivf"))
+            F.array(F.lit("lsh"), F.lit("sq8"), F.lit("ivf"), F.lit("pq"))
         ).alias("method")
     )
     grid = exact.select("probe_id").distinct().crossJoin(F.broadcast(methods))

@@ -299,6 +299,116 @@ def q_vec_knn_quantized(spark, sf_dir):
     )
 
 
+def _pq_oracle() -> str:
+    from hive_similarity_join_spark.operators.pq import PQ_K, PQ_M, PQ_SUB
+
+    cand_c, k = PQ_CAND_C, KNN_K
+    sub = lambda m: (  # noqa: E731 — subvector m of an embedding ref
+        f"list_transform(generate_series({m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}), "
+        f"i -> CAST(embedding[i] AS DOUBLE))"
+    )
+    books = "\nUNION ALL\n".join(
+        f"""SELECT {m} AS m,
+       CAST(row_number() OVER (
+           ORDER BY md5('{m}:' || CAST(vec_id AS VARCHAR)), vec_id
+       ) AS INTEGER) - 1 AS c,
+       {sub(m)} AS sv
+FROM (SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5('{m}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})"""
+        for m in range(PQ_M)
+    )
+    d2 = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
+        f"i -> (CAST(e.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE) - cb.sv[i])"
+        f" * (CAST(e.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE) - cb.sv[i])), "
+        f"(x, y) -> x + y)"
+    )
+    return f"""
+WITH cb AS (
+{books}
+),
+enc0 AS (
+  SELECT e.vec_id, cb.m, cb.c,
+         row_number() OVER (
+             PARTITION BY e.vec_id, cb.m ORDER BY {d2}, cb.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, list(c ORDER BY m) AS cd
+  FROM enc0 WHERE rn = 1 GROUP BY vec_id
+),
+pt AS (
+  SELECT e.vec_id AS probe_id, cb.m, cb.c, {d2} AS d2
+  FROM embeddings e CROSS JOIN cb WHERE e.vec_id < {N_PROBES}
+),
+ptl AS (
+  SELECT probe_id, list(dl ORDER BY m) AS dt FROM (
+    SELECT probe_id, m, list(d2 ORDER BY c) AS dl
+    FROM pt GROUP BY probe_id, m
+  ) GROUP BY probe_id
+),
+scored AS (
+  SELECT p.probe_id, x.vec_id,
+         list_reduce(list_transform(generate_series(1, {PQ_M}),
+                                    m -> p.dt[m][x.cd[m] + 1]),
+                     (a, b) -> a + b) AS adist
+  FROM ptl p CROSS JOIN enc x WHERE p.probe_id <> x.vec_id
+),
+cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY adist, vec_id
+           ) AS cr
+    FROM scored
+  ) WHERE cr <= {cand_c}
+)
+SELECT * FROM (
+  SELECT c.probe_id, c.vec_id,
+         {V.duck_cosine('pe.embedding', 'ce.embedding')} AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY c.probe_id
+             ORDER BY {V.duck_cosine('pe.embedding', 'ce.embedding')} DESC,
+                      c.vec_id
+         ) AS BIGINT) AS rank
+  FROM cand c
+  JOIN embeddings pe ON pe.vec_id = c.probe_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+) WHERE rank <= {k}
+"""
+
+
+PQ_CAND_C = 20
+
+
+@query("q_vec_knn_pq", oracle=_pq_oracle())
+def q_vec_knn_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC re-rank (Jégou et al., TPAMI
+    2011; operators/pq.py) — the fourth ANN path: 8 subspaces x 16
+    hash-sampled codebook entries compress each vector to 8 codes
+    (4 bytes vs 256 for raw floats); search computes each probe's
+    8x16 distance tables ONCE and scores every corpus vector with 8
+    table lookups folded in subspace order (never a groupBy float sum
+    — the association would be nondeterministic), then exact-cosine
+    reranks the top-{PQ_CAND_C}. Hash-checked end to end because the
+    codebooks are SQL-mirrorable data samples (the q_vec_knn_ivf
+    recipe).
+
+    Scale shape: probes broadcast with their tables; the corpus
+    streams its 4-byte codes — the per-pair cost is integer lookups,
+    which is precisely the scan-cost reduction PQ exists for; the
+    rerank touches {PQ_CAND_C} rows per probe. At 100 TB the codes
+    column sinks to parquet next to SQ8's and composes with IVF's
+    partition pruning (IVFADC)."""
+    from hive_similarity_join_spark.operators.pq import adc_topk, sample_codebooks
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES)
+    books = sample_codebooks(e)
+    return adc_topk(e, probes, books, k=KNN_K, n_candidates=PQ_CAND_C)
+
+
 @query(
     "q_vec_centroid",
     oracle=f"""
