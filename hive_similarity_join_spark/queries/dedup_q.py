@@ -214,6 +214,108 @@ def q_vec_knn_ivf(spark, sf_dir):
     )
 
 
+def _ivfadc_oracle() -> str:
+    """IVFADC = the IVF oracle's cent/asg/routed CTEs composed with the
+    PQ oracle's cb/enc/ptl fragments (imported, so the two oracles
+    cannot drift), ADC-scoring only the routed cells' codes."""
+    from hive_similarity_join_spark.queries.vectors_q import pq_sql_fragments
+
+    fr = pq_sql_fragments()
+    return f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_CELLS}
+  )
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {duck_l2('e.embedding', 'c.cv')}, c.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+routed AS (
+  SELECT probe_id, cell FROM (
+    SELECT p.vec_id AS probe_id, c.cell,
+           row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {duck_l2('p.embedding', 'c.cv')}, c.cell
+           ) AS rn
+    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < 10
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cb AS (
+{fr["cb"]}
+),
+{fr["enc"]},
+{fr["ptl"]},
+scored AS (
+  SELECT r.probe_id, a.vec_id,
+         {fr["fold"]('p', 'x')} AS adist
+  FROM routed r
+  JOIN asg a ON a.cell = r.cell AND a.vec_id <> r.probe_id
+  JOIN enc x ON x.vec_id = a.vec_id
+  JOIN ptl p ON p.probe_id = r.probe_id
+),
+cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY adist, vec_id
+           ) AS cr
+    FROM scored
+  ) WHERE cr <= 20
+)
+SELECT * FROM (
+  SELECT c.probe_id, c.vec_id,
+         {duck_cosine('pe.embedding', 'ce.embedding')} AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY c.probe_id
+             ORDER BY {duck_cosine('pe.embedding', 'ce.embedding')} DESC,
+                      c.vec_id
+         ) AS BIGINT) AS rank
+  FROM cand c
+  JOIN embeddings pe ON pe.vec_id = c.probe_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+) WHERE rank <= 5
+"""
+
+
+@query("q_vec_knn_ivfadc", oracle=_ivfadc_oracle())
+def q_vec_knn_ivfadc(spark, sf_dir):
+    """IVFADC — the production large-scale ANN composition (FAISS's
+    default index family): IVF routing prunes the scan to
+    nprobe/n_cells of the corpus, ADC scores only those cells' 4-byte
+    PQ codes with table lookups, exact cosine reranks the top-20.
+    Multiplicative savings: read fewer rows (IVF) AND fewer bytes per
+    row (PQ). Composed from the same hash-sampled quantizer and
+    codebooks as q_vec_knn_ivf and q_vec_knn_pq — the oracle imports
+    their SQL fragments verbatim, so all three stay in lockstep —
+    and hash-checked end to end like both parents."""
+    from hive_similarity_join_spark.operators.ivf import hash_sampled_centroids
+    from hive_similarity_join_spark.operators.pq import (
+        ivfadc_topk,
+        sample_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    cents = hash_sampled_centroids(e, IVF_CELLS)
+    books = sample_codebooks(e)
+    return ivfadc_topk(
+        e, probes, cents, books, k=5, nprobe=IVF_NPROBE, n_candidates=20
+    )
+
+
 _ELSH_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, embedding,

@@ -299,10 +299,14 @@ def q_vec_knn_quantized(spark, sf_dir):
     )
 
 
-def _pq_oracle() -> str:
+def pq_sql_fragments() -> dict:
+    """The PQ oracle's shared CTE bodies — reused verbatim by
+    q_vec_knn_pq here and q_vec_knn_ivfadc (queries/dedup_q.py), so
+    the two oracles cannot drift. Keys: cb (codebooks), enc (per-vector
+    code lists), ptl (per-probe nested distance tables), fold(p, x)
+    (the ordered ADC fold given probe/code relation aliases)."""
     from hive_similarity_join_spark.operators.pq import PQ_K, PQ_M, PQ_SUB
 
-    cand_c, k = PQ_CAND_C, KNN_K
     sub = lambda m: (  # noqa: E731 — subvector m of an embedding ref
         f"list_transform(generate_series({m * PQ_SUB + 1}, {(m + 1) * PQ_SUB}), "
         f"i -> CAST(embedding[i] AS DOUBLE))"
@@ -323,11 +327,7 @@ FROM (SELECT vec_id, embedding FROM embeddings
         f" * (CAST(e.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE) - cb.sv[i])), "
         f"(x, y) -> x + y)"
     )
-    return f"""
-WITH cb AS (
-{books}
-),
-enc0 AS (
+    enc = f"""enc0 AS (
   SELECT e.vec_id, cb.m, cb.c,
          row_number() OVER (
              PARTITION BY e.vec_id, cb.m ORDER BY {d2}, cb.c
@@ -337,8 +337,8 @@ enc0 AS (
 enc AS (
   SELECT vec_id, list(c ORDER BY m) AS cd
   FROM enc0 WHERE rn = 1 GROUP BY vec_id
-),
-pt AS (
+)"""
+    ptl = f"""pt AS (
   SELECT e.vec_id AS probe_id, cb.m, cb.c, {d2} AS d2
   FROM embeddings e CROSS JOIN cb WHERE e.vec_id < {N_PROBES}
 ),
@@ -347,12 +347,29 @@ ptl AS (
     SELECT probe_id, m, list(d2 ORDER BY c) AS dl
     FROM pt GROUP BY probe_id, m
   ) GROUP BY probe_id
+)"""
+
+    def fold(p: str, x: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {PQ_M}), "
+            f"m -> {p}.dt[m][{x}.cd[m] + 1]), (a, b) -> a + b)"
+        )
+
+    return {"cb": books, "enc": enc, "ptl": ptl, "fold": fold}
+
+
+def _pq_oracle() -> str:
+    cand_c, k = PQ_CAND_C, KNN_K
+    fr = pq_sql_fragments()
+    return f"""
+WITH cb AS (
+{fr["cb"]}
 ),
+{fr["enc"]},
+{fr["ptl"]},
 scored AS (
   SELECT p.probe_id, x.vec_id,
-         list_reduce(list_transform(generate_series(1, {PQ_M}),
-                                    m -> p.dt[m][x.cd[m] + 1]),
-                     (a, b) -> a + b) AS adist
+         {fr["fold"]('p', 'x')} AS adist
   FROM ptl p CROSS JOIN enc x WHERE p.probe_id <> x.vec_id
 ),
 cand AS (

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -98,6 +100,34 @@ def test_spark_replace_is_greedy_nonoverlapping(spark):
         w: list(_ref_merge_word(tuple(w), ("a", "a"))) for w in cases
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_trainer_matches_reference_on_random_corpora(spark, counts):
+    """Property check: random small corpora over a tiny alphabet (rich
+    in overlaps and ties) must train identically to the reference.
+    max_examples kept low — each example is several Spark jobs."""
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, got_words = bpe.bpe_train(wf, 6)
+    want_merges, want_seg = _ref_bpe(counts, 6)
+    assert got_merges == want_merges, counts
+    got_seg = {
+        "".join(r.sy): list(r.sy)
+        for r in got_words.select(bpe.decode_symbols("w").alias("sy")).collect()
+    }
+    assert got_seg == want_seg, counts
 
 
 def test_lazy_rounds_match_iterated_trainer(spark):
