@@ -165,6 +165,59 @@ HEADLINERS: dict[str, str] = {
         "HashAggregate), and the pair-exact positional bound in the "
         "join condition. No Python."
     ),
+    "q_bpe_merges": (
+        "Iterated BPE trainer (3 lazy rounds). Look for: the "
+        "vocab-sized word-frequency aggregate persisted and reused by "
+        "every round (InMemoryTableScan), each round = one pair-count "
+        "partial+final HashAggregate pair around a single Exchange "
+        "plus a TakeOrderedAndProject(1) whose 1-row result joins back "
+        "as BroadcastNestedLoopJoin (broadcast of a scalar relation — "
+        "the sanctioned unkeyed-join form), and the merge application "
+        "as a codegen'd string replace in a Project. No Python, no "
+        "CartesianProduct."
+    ),
+    "q_agg_cms_topk": (
+        "Count-Min-Sketch audit. Look for: counters built FROM the "
+        "token-count aggregate (vocab-sized), never the occurrence "
+        "stream — one partial-aggregated Exchange into the D x W cell "
+        "space; TakeOrderedAndProject for the exact top-k; the "
+        "probe x row expansion BroadcastHashJoin'd against the cell "
+        "table (the sketch side never shuffles the corpus)."
+    ),
+    "q_decontaminate_bloom": (
+        "Bloom pre-filter audit. Look for: the bit-set relation "
+        "(bounded by m bits, not eval-set size) on the BROADCAST side "
+        "of the probe join; the xD bit expansion evaluated map-side in "
+        "the scan/join stage; per-shingle verdicts via partial "
+        "HashAggregate with the HAVING count = D filter after the "
+        "final agg; the exact leg reusing the same broadcast-ev shape "
+        "as q_decontaminate."
+    ),
+    "q_join_skew_salted": (
+        "First-class salted equi join. Look for: _skew_salt inside the "
+        "join keys / hashpartitioning (the hot key spreads across the "
+        "fan-out), the replicated side's explode evaluated map-side "
+        "before its shuffle, and NO salt column in the final output "
+        "projection."
+    ),
+    "q_vec_knn_pq": (
+        "Product-quantization ADC. Look for: codebooks inlined as "
+        "literals (like IVF's centroids — no join to build codes), the "
+        "probe side BROADCAST carrying its 8x16 distance tables as a "
+        "computed array column, the per-pair score as an ordered "
+        "aggregate fold of table lookups (no float multiply per pair, "
+        "and deliberately NOT a groupBy sum — association), and two "
+        "Windows: candidate top-20 by approx distance, exact-cosine "
+        "top-k rerank."
+    ),
+    "q_dedup_semantic": (
+        "SemDeDup-style semantic dedup. Look for: the hyperplane-LSH "
+        "bucket equi-join generating candidate pairs (no all-pairs "
+        "anywhere), exact cosine verify in codegen, the alternating-"
+        "star CC rounds reading the localCheckpoint'd pair relation, "
+        "and the final corpus-sized LEFT join attaching cluster + keep "
+        "flag with singletons defaulting to their own id."
+    ),
 }
 
 
