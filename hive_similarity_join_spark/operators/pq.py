@@ -21,6 +21,15 @@ the key is hash-checked. Argmin/rank tie-breaks are (distance, code)
 and (approx, vec_id). The ADC sum folds the M lookups in subspace
 order (left fold on BOTH engines) — never a groupBy float sum, whose
 association is nondeterministic.
+
+Plan shape: fully RELATIONAL, zero driver collects — the codebook is a
+PQ_M x PQ_K relation built in one distributed pass (per-subspace
+windowed top-K over the hash order) and BROADCAST everywhere it is
+used; cell assignment and probe tables are joins against it with ONE
+shared d2 expression. (A first cut inlined the codebooks as literal
+arrays, IVF-centroid style: 128 nested fold lambdas made every run
+recompile ~4s of codegen and ship MB-sized task binaries. The
+relational form compiles one lambda and ships none.)
 """
 
 from __future__ import annotations
@@ -35,76 +44,179 @@ PQ_K = 16       # codebook entries per subspace
 PQ_SUB = V.DIM // PQ_M  # dims per subspace
 
 
-def sample_codebooks(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[list[float]]]:
-    """codebooks[m][c] = the c-th sampled subvector for subspace m.
-    One bounded collect of PQ_M * PQ_K subvectors (distributed
-    TakeOrderedAndProject per subspace, same legitimacy note as
-    operators/ivf.hash_sampled_centroids)."""
-    books = []
-    v = V.as_double(vec_col)
-    for m in range(PQ_M):
-        rows = (
-            corpus.select(
-                F.col(id_col).alias("_id"),
-                F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("_sv"),
+def _subspaces(v: Column) -> Column:
+    """array of (m, sv) structs: the vector split into PQ_M subvectors."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("sv"),
             )
-            .withColumn(
-                "_h", F.md5(F.concat(F.lit(f"{m}:"), F.col("_id").cast("string")))
-            )
-            .orderBy("_h", "_id")
-            .limit(PQ_K)
-            .collect()
-        )
-        books.append([[float(x) for x in r._sv] for r in rows])
-    return books
+            for m in range(PQ_M)
+        ]
+    )
 
 
-def _sub(v: Column, m: int) -> Column:
-    return F.slice(v, m * PQ_SUB + 1, PQ_SUB)
-
-
-def _d2(a: Column, lit_vec: list[float]) -> Column:
-    """Squared L2 between a subvector column and a literal codebook
-    entry — zip_with + left-fold, the engine-portable association."""
-    b = F.array(*[F.lit(x) for x in lit_vec])
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two subvector columns — zip_with + left-fold,
+    the engine-portable association (shared by encode and tables)."""
     diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def codebook_relation(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(m, c, sv): for each subspace m, the PQ_K corpus subvectors with
+    the smallest (md5('m:'+id), id) — one distributed pass for ALL
+    subspaces; c is the position in that order. PQ_M x PQ_K rows
+    total: broadcast-sized by construction.
+
+    Two-phase top-K (top-K of per-task top-Ks equals the global
+    top-K): a per-(m, task) window prunes to K rows first, so the
+    per-m global window only ever sorts n_tasks x K rows — a single
+    window partitioned by m alone would funnel the whole corpus
+    through PQ_M tasks at 100 TB."""
+    v = V.as_double(vec_col)
+    ex = corpus.select(
+        F.col(id_col).alias("_id"), F.explode(_subspaces(v)).alias("_s")
+    ).select("_id", F.col("_s.m").alias("m"), F.col("_s.sv").alias("sv"))
+    h = F.md5(
+        F.concat(F.col("m").cast("string"), F.lit(":"), F.col("_id").cast("string"))
+    )
+    w1 = Window.partitionBy("m", "_pid").orderBy(h.asc(), F.col("_id").asc())
+    local = (
+        ex.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= PQ_K)
+    )
+    w2 = Window.partitionBy("m").orderBy(h.asc(), F.col("_id").asc())
+    return (
+        local.withColumn("c", F.row_number().over(w2) - 1)
+        .filter(F.col("c") < PQ_K)
+        .select("m", "c", "sv")
+    )
+
+
 def encode(
     corpus: DataFrame,
-    codebooks: list[list[list[float]]],
+    codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, _v, cd): each vector's M codes (argmin d2 per subspace,
-    tie-break code asc) as an array — one narrow projection, the index
-    build touches each row once."""
+    tie-break code asc) as an m-ordered array — subspace explode joined
+    against the broadcast codebook relation, windowed argmin,
+    reassembled with sort_array(collect_list) so the order is pinned."""
     v = V.as_double(vec_col)
-    codes = []
-    for m in range(PQ_M):
-        sv = _sub(v, m)
-        dists = F.array(
-            *[
-                F.struct(_d2(sv, codebooks[m][c]).alias("d"), F.lit(c).alias("c"))
-                for c in range(len(codebooks[m]))
-            ]
-        )
-        codes.append(F.element_at(F.array_sort(dists), 1)["c"])
-    return corpus.select(
-        F.col(id_col).alias("vec_id"), v.alias("_v"), F.array(*codes).alias("cd")
+    ex = corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(_subspaces(v)).alias("_s")
+    ).select("vec_id", F.col("_s.m").alias("m"), F.col("_s.sv").alias("pv"))
+    scored = ex.join(F.broadcast(codebooks), "m").select(
+        "vec_id", "m", "c", _d2(F.col("pv"), F.col("sv")).alias("d2")
     )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("c"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    cd = best.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "c"))), lambda s: s["c"]
+        ).alias("cd")
+    )
+    return corpus.select(F.col(id_col).alias("vec_id"), v.alias("_v")).join(
+        cd, "vec_id"
+    )
+
+
+def probe_tables(
+    probes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, _p, _dt): each probe's M x K distance tables as a
+    nested array (ordered by m then c via sort_array reassembly) —
+    computed ONCE per probe, broadcast into the scan."""
+    v = V.as_double(vec_col)
+    ex = probes.select(
+        F.col(id_col).alias("probe_id"), F.explode(_subspaces(v)).alias("_s")
+    ).select("probe_id", F.col("_s.m").alias("m"), F.col("_s.sv").alias("pv"))
+    cell = ex.join(F.broadcast(codebooks), "m").select(
+        "probe_id", "m", "c", _d2(F.col("pv"), F.col("sv")).alias("d2")
+    )
+    rows = cell.groupBy("probe_id", "m").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "d2"))), lambda s: s["d2"]
+        ).alias("dl")
+    )
+    dt = rows.groupBy("probe_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "dl"))), lambda s: s["dl"]
+        ).alias("_dt")
+    )
+    return probes.select(F.col(id_col).alias("probe_id"), v.alias("_p")).join(
+        dt, "probe_id"
+    )
+
+
+def _adc_fold() -> Column:
+    """Approximate distance: left fold over subspaces of
+    _dt[m][cd[m]+1] — ordered, association-identical on both engines
+    (never a groupBy float sum)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("_dt"), m), F.element_at(F.col("cd"), m) + 1
+        ),
+    )
+
+
+def _rerank(cand: DataFrame, k: int) -> DataFrame:
+    sim = V.cosine(F.col("_p"), F.col("_v"))
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.select("probe_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """(probe_id, vec_id, sim, rank): ADC candidate generation + exact
+    cosine re-rank. The probe side carries its M x K distance tables
+    and BROADCASTS; the corpus streams — the per-pair cost is M
+    integer lookups + an M-term ordered fold."""
+    cb = codebook_relation(corpus, id_col, vec_col)
+    indexed = encode(corpus, cb, id_col, vec_col)
+    p = probe_tables(probes, cb, id_col, vec_col)
+    scored = (
+        F.broadcast(p)
+        .join(indexed, F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", "_p", "_v", _adc_fold().alias("adist"))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cand = scored.withColumn("_cr", F.row_number().over(wc)).filter(
+        F.col("_cr") <= n_candidates
+    )
+    return _rerank(cand, k)
 
 
 def ivfadc_topk(
     corpus: DataFrame,
     probes: DataFrame,
     centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -120,106 +232,28 @@ def ivfadc_topk(
     default large-scale ANN deployment."""
     from hive_similarity_join_spark.operators.ivf import _cell_dists, assign_cells
 
+    cb = codebook_relation(corpus, id_col, vec_col)
     cells = assign_cells(corpus, centroids, id_col, vec_col).select(
         "vec_id", "cell"
     )
-    indexed = encode(corpus, codebooks, id_col, vec_col).join(cells, "vec_id")
+    indexed = encode(corpus, cb, id_col, vec_col).join(cells, "vec_id")
 
-    pv = V.as_double(vec_col)
-    tables = F.array(
-        *[
-            F.array(
-                *[_d2(_sub(pv, m), codebooks[m][c]) for c in range(len(codebooks[m]))]
-            )
-            for m in range(PQ_M)
-        ]
-    )
+    p = probe_tables(probes, cb, id_col, vec_col)
     top_cells = F.slice(
         F.array_sort(_cell_dists(F.col("_p"), centroids)), 1, nprobe
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), pv.alias("_p"), tables.alias("_dt")
     )
     routed = p.select(
         "probe_id", "_p", "_dt", F.explode(top_cells).alias("_tc")
     ).select("probe_id", "_p", "_dt", F.col("_tc.cell").alias("cell"))
 
-    approx = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("_dt"), m), F.element_at(F.col("cd"), m) + 1
-        ),
-    )
     scored = (
         F.broadcast(routed)
         .join(indexed, "cell")
         .filter(F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", "_p", "_v", approx.alias("adist"))
+        .select("probe_id", "vec_id", "_p", "_v", _adc_fold().alias("adist"))
     )
     wc = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     cand = scored.withColumn("_cr", F.row_number().over(wc)).filter(
         F.col("_cr") <= n_candidates
     )
-    sim = V.cosine(F.col("_p"), F.col("_v"))
-    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        cand.select("probe_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
-
-
-def adc_topk(
-    corpus: DataFrame,
-    probes: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_candidates: int = 20,
-) -> DataFrame:
-    """(probe_id, vec_id, sim, rank): ADC candidate generation + exact
-    cosine re-rank. The probe side carries its M x K distance tables
-    as a computed array column and BROADCASTS; the corpus streams —
-    the per-pair cost is M integer lookups + an M-term ordered fold."""
-    indexed = encode(corpus, codebooks, id_col, vec_col)
-    pv = V.as_double(vec_col)
-    tables = F.array(
-        *[
-            F.array(
-                *[_d2(_sub(pv, m), codebooks[m][c]) for c in range(len(codebooks[m]))]
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), pv.alias("_p"), tables.alias("_dt")
-    )
-    # approx = left fold over subspaces of table[m][code[m]] — ordered,
-    # association-identical on both engines
-    approx = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("_dt"), m), F.element_at(F.col("cd"), m) + 1
-        ),
-    )
-    scored = (
-        F.broadcast(p)
-        .join(indexed, F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", "_p", "_v", approx.alias("adist"))
-    )
-    wc = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
-    cand = scored.withColumn("_cr", F.row_number().over(wc)).filter(
-        F.col("_cr") <= n_candidates
-    )
-    sim = V.cosine(F.col("_p"), F.col("_v"))
-    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        cand.select("probe_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank(cand, k)

@@ -302,17 +302,13 @@ def q_vec_knn_ivfadc(spark, sf_dir):
     their SQL fragments verbatim, so all three stay in lockstep —
     and hash-checked end to end like both parents."""
     from hive_similarity_join_spark.operators.ivf import hash_sampled_centroids
-    from hive_similarity_join_spark.operators.pq import (
-        ivfadc_topk,
-        sample_codebooks,
-    )
+    from hive_similarity_join_spark.operators.pq import ivfadc_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     cents = hash_sampled_centroids(e, IVF_CELLS)
-    books = sample_codebooks(e)
     return ivfadc_topk(
-        e, probes, cents, books, k=5, nprobe=IVF_NPROBE, n_candidates=20
+        e, probes, cents, k=5, nprobe=IVF_NPROBE, n_candidates=20
     )
 
 

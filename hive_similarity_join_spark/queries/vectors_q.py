@@ -417,13 +417,15 @@ def q_vec_knn_pq(spark, sf_dir):
     which is precisely the scan-cost reduction PQ exists for; the
     rerank touches {PQ_CAND_C} rows per probe. At 100 TB the codes
     column sinks to parquet next to SQ8's and composes with IVF's
-    partition pruning (IVFADC)."""
-    from hive_similarity_join_spark.operators.pq import adc_topk, sample_codebooks
+    partition pruning (IVFADC). Fully relational: the codebook is a
+    broadcast RELATION built in one distributed pass (no driver
+    collect, no literal-array plans — operators/pq.py plan-shape
+    note)."""
+    from hive_similarity_join_spark.operators.pq import adc_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_PROBES)
-    books = sample_codebooks(e)
-    return adc_topk(e, probes, books, k=KNN_K, n_candidates=PQ_CAND_C)
+    return adc_topk(e, probes, k=KNN_K, n_candidates=PQ_CAND_C)
 
 
 @query(

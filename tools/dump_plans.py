@@ -201,14 +201,15 @@ HEADLINERS: dict[str, str] = {
         "projection."
     ),
     "q_vec_knn_pq": (
-        "Product-quantization ADC. Look for: codebooks inlined as "
-        "literals (like IVF's centroids — no join to build codes), the "
-        "probe side BROADCAST carrying its 8x16 distance tables as a "
-        "computed array column, the per-pair score as an ordered "
-        "aggregate fold of table lookups (no float multiply per pair, "
-        "and deliberately NOT a groupBy sum — association), and two "
-        "Windows: candidate top-20 by approx distance, exact-cosine "
-        "top-k rerank."
+        "Product-quantization ADC. Look for: the codebook RELATION "
+        "(8x16 rows, two-phase windowed top-K — no driver collect, no "
+        "literal-array plans) on the BROADCAST side of the encode and "
+        "table joins; the probe side broadcast carrying its 8x16 "
+        "distance tables as a collected-and-sorted nested array; the "
+        "per-pair score as an ordered aggregate fold of table lookups "
+        "(no float multiply per pair, and deliberately NOT a groupBy "
+        "sum — association); and two Windows: candidate top-20 by "
+        "approx distance, exact-cosine top-k rerank."
     ),
     "q_dedup_semantic": (
         "SemDeDup-style semantic dedup. Look for: the hyperplane-LSH "
