@@ -403,6 +403,192 @@ def q_pipeline_corpus_clean(spark, sf_dir):
     )
 
 
+def _llm_corpus_oracle() -> str:
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
+    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+
+    return f"""
+WITH bags AS (
+  SELECT doc_id, text, lang, {TX.duck_bag()} AS bag FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, bag, len(bag) AS n_tokens,
+         {_quality_sql()} AS quality
+  FROM bags WHERE len(bag) > 0
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {Q_MIN_TOKENS} AND quality >= {Q_MIN_QUALITY}
+),
+exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+surv AS (SELECT k.* FROM kept k JOIN exact e USING (doc_id)),
+tok AS (
+  SELECT DISTINCT s.doc_id, t.tok
+  FROM surv s, unnest(string_split(lower(s.text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {CLEAN_NEAR_T}
+),
+clean AS (
+  SELECT s.* FROM surv s WHERE s.doc_id NOT IN (SELECT id2 FROM pairs)
+),
+ev AS (
+  SELECT DISTINCT t.g
+  FROM bags b, unnest({_duck_grams(_DECON_N)}) AS t(g)
+  WHERE b.doc_id % {_DECON_MOD} = 0 AND len(bag) >= {_DECON_N}
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM clean c, unnest({_duck_grams(_DECON_N)}) AS t(g)
+  JOIN ev ON ev.g = t.g
+  WHERE len(c.bag) >= {_DECON_N}
+),
+decon AS (
+  SELECT * FROM clean
+  WHERE doc_id % {_DECON_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+lc AS (SELECT lang, count(*) AS n_lang FROM decon GROUP BY lang),
+mn AS (SELECT min(n_lang) AS n_min FROM lc),
+rates AS (
+  SELECT lang,
+         sqrt(CAST(mn.n_min AS DOUBLE) / CAST(lc.n_lang AS DOUBLE))
+             AS sample_rate
+  FROM lc, mn
+)
+SELECT d.doc_id, d.lang, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       r.sample_rate
+FROM decon d JOIN rates r USING (lang)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < r.sample_rate
+"""
+
+
+@query("q_pipeline_llm_corpus", oracle=_llm_corpus_oracle())
+def q_pipeline_llm_corpus(spark, sf_dir):
+    """The WHOLE LLM training-corpus build in one Catalyst plan —
+    q_pipeline_corpus_clean extended through the remaining hygiene
+    stages: quality gate -> exact dedup -> near-dup removal (t=0.9
+    kernel over survivors) -> eval-set decontamination (any shared
+    4-gram with the doc_id % 53 eval split drops the doc; the eval
+    split itself never enters the corpus) -> temperature-flattened
+    language resampling (T=2, rates computed over the POST-
+    decontamination corpus — the mixture you actually train on, not
+    the raw crawl). Output: the training manifest (doc_id, lang,
+    n_tokens, sample_rate).
+
+    Stage ORDER is the 100 TB optimization: O(corpus) scans first,
+    the pair-generating join only over gated survivors, the broadcast
+    decontamination probe only over near-dedup survivors, and the
+    mixture aggregate over the smallest relation of all. Every stage
+    shares its expressions verbatim with its standalone key
+    (q_text_quality / q_dedup_exact / q_dedup_near / q_decontaminate /
+    q_sample_temperature), so the composition is hash-checked with
+    the same bit-exactness discipline as each stage alone."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators.similarity import similarity_join
+    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+
+    d = load_table(spark, sf_dir, "documents")
+    bagc = F.col("bag")
+    scored = (
+        d.select("doc_id", "text", "lang", TX.bag_tokens("text").alias("bag"))
+        .filter(F.size("bag") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "bag",
+            F.size(bagc).alias("n_tokens"),
+            (
+                F.lit(0.5)
+                * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
+                + F.lit(0.3)
+                * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
+                + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
+            ).alias("quality"),
+        )
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
+    )
+    exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(exact_keep, "doc_id", "left_semi").persist()
+    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
+    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    clean = surv.join(dupes, "doc_id", "left_anti")
+
+    grams = F.array_distinct(TX.word_ngrams(F.col("bag"), _DECON_N))
+    ev = (
+        d.select("doc_id", TX.bag_tokens("text").alias("bag"))
+        .filter(
+            (F.col("doc_id") % _DECON_MOD == 0) & (F.size("bag") >= _DECON_N)
+        )
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        clean.filter(F.size("bag") >= _DECON_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = (
+        clean.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .persist()
+    )
+
+    rates = (
+        decon.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .crossJoin(
+            F.broadcast(
+                decon.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("nl"))
+                .agg(F.min("nl").alias("n_min"))
+            )
+        )
+        .select(
+            "lang",
+            F.sqrt(
+                F.col("n_min").cast("double") / F.col("n_lang").cast("double")
+            ).alias("sample_rate"),
+        )
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        decon.join(F.broadcast(rates), "lang")
+        .filter(coin < F.col("sample_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "sample_rate",
+        )
+    )
+
+
 VAL_HEX_CUTOFF = "1999999999999999"  # ~10% of the 64-bit hex space
 
 
