@@ -48,15 +48,25 @@ def estimate(counters: DataFrame, probes: DataFrame) -> DataFrame:
     """(tok, n_cms): point estimates for the tokens in ``probes``
     (a (tok,) relation) — min over rows of the hashed-bucket counter.
     The probe side is small by construction (heavy-hitter candidates);
-    it broadcasts against the <= D*W-cell counter table."""
+    it broadcasts against the <= D*W-cell counter table.
+
+    Cells absent from ``counters`` count as ZERO (left join +
+    coalesce): a probe token never folded into the sketch — an
+    external watchlist entry, say — correctly estimates 0 (or the
+    smallest mass among its buckets), instead of being dropped or
+    min'd over only its non-empty cells, which would overestimate."""
     pb = probes.select("tok", _rows()).select(
         "tok", "r", bucket(F.col("r"), F.col("tok")).alias("b")
     )
     return (
         F.broadcast(pb)
-        .join(counters, ["r", "b"])
+        .join(counters, ["r", "b"], "left")
         .groupBy("tok")
-        .agg(F.min("cnt").cast("bigint").alias("n_cms"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_cms")
+        )
     )
 
 

@@ -37,15 +37,19 @@ def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: list[str] | str,
-    spread_col: str,
+    spread_col: str | list[str],
     how: str = "inner",
     n_salts: int | None = None,
 ) -> DataFrame:
     """Equi-join ``left`` with ``right`` on ``on``, with left-side skew
-    split across ``n_salts`` salted partitions. ``spread_col`` is a
-    left column of high cardinality (e.g. the row id) whose hash
-    spreads the hot key's rows; it must not be the join key itself
-    (hashing the key would put the hot key back in one partition).
+    split across ``n_salts`` salted partitions. ``spread_col`` names
+    one or more left columns whose COMBINED hash must vary within a
+    hot key's rows (a row id, or the key plus a discriminator column);
+    it must not be exactly the join key(s) — hashing only the key
+    would put every hot-key row back in one salt partition. A
+    low-cardinality spread silently wastes most right-side replicas
+    (hash of k distinct values hits at most k salts), so prefer a
+    genuine row id.
 
     Supports how in {inner, left}: those are the joins where every
     left row's salt meets exactly one replica of each matching right
@@ -58,11 +62,14 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    if spread_col in keys:
-        raise ValueError("spread_col must differ from the join key(s)")
+    spread = [spread_col] if isinstance(spread_col, str) else list(spread_col)
+    if set(spread) <= set(keys):
+        raise ValueError(
+            "spread_col must include a column beyond the join key(s)"
+        )
     n = n_salts or parallelism(left.sparkSession)
     salted_left = left.withColumn(
-        _SALT, F.pmod(F.hash(F.col(spread_col)), F.lit(n))
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in spread]), F.lit(n))
     )
     replicated_right = right.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n)]))

@@ -316,100 +316,14 @@ def _quality_sql() -> str:
     return TX.duck_quality("bag")
 
 
-def _clean_oracle() -> str:
+def _clean_ctes() -> str:
+    """The quality -> exact-dedup -> near-dedup CTE chain through
+    ``clean`` — ONE definition consumed by both pipeline oracles
+    (q_pipeline_corpus_clean and q_pipeline_llm_corpus), so an edit to
+    any stage cannot desync them (the pq_sql_fragments discipline)."""
     from hive_similarity_join_spark.functions import text as TX
 
-    return f"""
-WITH bags AS (
-  SELECT doc_id, text, lang, {TX.duck_bag()} AS bag FROM documents
-),
-scored AS (
-  SELECT doc_id, text, lang, len(bag) AS n_tokens, {_quality_sql()} AS quality
-  FROM bags WHERE len(bag) > 0
-),
-kept AS (
-  SELECT * FROM scored
-  WHERE n_tokens >= {Q_MIN_TOKENS} AND quality >= {Q_MIN_QUALITY}
-),
-exact AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
-surv AS (SELECT k.doc_id, k.lang, k.n_tokens, k.text
-         FROM kept k JOIN exact e USING (doc_id)),
-tok AS (
-  SELECT DISTINCT s.doc_id, t.tok
-  FROM surv s, unnest(string_split(lower(s.text), ' ')) AS t(tok)
-  WHERE t.tok <> ''
-),
-sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id1, id2 FROM inter
-  JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {CLEAN_NEAR_T}
-)
-SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
-FROM surv s
-WHERE s.doc_id NOT IN (SELECT id2 FROM pairs)
-"""
-
-
-@query("q_pipeline_corpus_clean", oracle=_clean_oracle())
-def q_pipeline_corpus_clean(spark, sf_dir):
-    """The training-data pipeline, end to end in ONE Catalyst plan:
-    quality gate (token count + composite quality score) -> exact dedup
-    (content groupBy, keep min id) -> near-dup removal (exact t=0.9
-    kernel over the SURVIVORS ONLY, greedy keep-first) -> cleaned
-    corpus (doc_id, lang, n_tokens). Each stage shrinks the input of
-    the next — the cheap O(corpus) gates run before the expensive
-    pair-generating join, which is the ordering that matters at 100 TB.
-    Stage expressions are shared verbatim with q_text_quality /
-    q_dedup_exact / q_dedup_near, so the composition is oracle-checked
-    with the same bit-exactness discipline as each stage alone."""
-    from hive_similarity_join_spark.functions import text as TX
-    from hive_similarity_join_spark.operators.similarity import similarity_join
-
-    d = load_table(spark, sf_dir, "documents")
-    bagc = F.col("bag")
-    scored = (
-        d.select("doc_id", "text", "lang", TX.bag_tokens("text").alias("bag"))
-        .filter(F.size("bag") > 0)
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            F.size(bagc).alias("n_tokens"),
-            (
-                F.lit(0.5)
-                * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
-                + F.lit(0.3)
-                * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
-                + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
-            ).alias("quality"),
-        )
-    )
-    kept = scored.filter(
-        (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
-    )
-    exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(exact_keep, "doc_id", "left_semi")
-    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
-    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
-    return (
-        surv.join(dupes, "doc_id", "left_anti")
-        .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
-    )
-
-
-def _llm_corpus_oracle() -> str:
-    from hive_similarity_join_spark.functions import text as TX
-    from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
-    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
-
-    return f"""
-WITH bags AS (
+    return f"""bags AS (
   SELECT doc_id, text, lang, {TX.duck_bag()} AS bag FROM documents
 ),
 scored AS (
@@ -441,7 +355,81 @@ pairs AS (
 ),
 clean AS (
   SELECT s.* FROM surv s WHERE s.doc_id NOT IN (SELECT id2 FROM pairs)
-),
+)"""
+
+
+def _clean_oracle() -> str:
+    return f"""
+WITH {_clean_ctes()}
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM clean
+"""
+
+
+def _clean_relation(spark, sf_dir):
+    """The Spark twin of _clean_ctes: (doc_id, text, lang, bag,
+    n_tokens, quality) through quality gate, exact dedup, and t=0.9
+    near-dup removal — shared by both pipeline keys. The exact-dedup
+    survivors persist (consumed by the kernel's candidate machinery
+    AND the final anti-join)."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators.similarity import similarity_join
+
+    d = load_table(spark, sf_dir, "documents")
+    bagc = F.col("bag")
+    scored = (
+        d.select("doc_id", "text", "lang", TX.bag_tokens("text").alias("bag"))
+        .filter(F.size("bag") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "bag",
+            F.size(bagc).alias("n_tokens"),
+            (
+                F.lit(0.5)
+                * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
+                + F.lit(0.3)
+                * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
+                + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
+            ).alias("quality"),
+        )
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
+    )
+    exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(exact_keep, "doc_id", "left_semi").persist()
+    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
+    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return surv.join(dupes, "doc_id", "left_anti")
+
+
+@query("q_pipeline_corpus_clean", oracle=_clean_oracle())
+def q_pipeline_corpus_clean(spark, sf_dir):
+    """The training-data pipeline, end to end in ONE Catalyst plan:
+    quality gate (token count + composite quality score) -> exact dedup
+    (content groupBy, keep min id) -> near-dup removal (exact t=0.9
+    kernel over the SURVIVORS ONLY, greedy keep-first) -> cleaned
+    corpus (doc_id, lang, n_tokens). Each stage shrinks the input of
+    the next — the cheap O(corpus) gates run before the expensive
+    pair-generating join, which is the ordering that matters at 100 TB.
+    Stage expressions are shared verbatim with q_text_quality /
+    q_dedup_exact / q_dedup_near — and LITERALLY shared with
+    q_pipeline_llm_corpus via _clean_relation / _clean_ctes — so the
+    composition is oracle-checked with the same bit-exactness
+    discipline as each stage alone."""
+    return _clean_relation(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+def _llm_corpus_oracle() -> str:
+    from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
+    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+
+    return f"""
+WITH {_clean_ctes()},
 ev AS (
   SELECT DISTINCT t.g
   FROM bags b, unnest({_duck_grams(_DECON_N)}) AS t(g)
@@ -493,40 +481,15 @@ def q_pipeline_llm_corpus(spark, sf_dir):
     mixture aggregate over the smallest relation of all. Every stage
     shares its expressions verbatim with its standalone key
     (q_text_quality / q_dedup_exact / q_dedup_near / q_decontaminate /
-    q_sample_temperature), so the composition is hash-checked with
-    the same bit-exactness discipline as each stage alone."""
+    q_sample_temperature), and its front half LITERALLY with
+    q_pipeline_corpus_clean (_clean_relation / _clean_ctes), so the
+    composition is hash-checked with the same bit-exactness discipline
+    as each stage alone."""
     from hive_similarity_join_spark.functions import text as TX
-    from hive_similarity_join_spark.operators.similarity import similarity_join
     from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
 
     d = load_table(spark, sf_dir, "documents")
-    bagc = F.col("bag")
-    scored = (
-        d.select("doc_id", "text", "lang", TX.bag_tokens("text").alias("bag"))
-        .filter(F.size("bag") > 0)
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            "bag",
-            F.size(bagc).alias("n_tokens"),
-            (
-                F.lit(0.5)
-                * (F.size(F.array_distinct(bagc)).cast("double") / F.size(bagc))
-                + F.lit(0.3)
-                * F.least(F.size(bagc).cast("double") / F.lit(50.0), F.lit(1.0))
-                + F.lit(0.2) * (F.lit(1.0) - TX.stopword_ratio(bagc))
-            ).alias("quality"),
-        )
-    )
-    kept = scored.filter(
-        (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
-    )
-    exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(exact_keep, "doc_id", "left_semi").persist()
-    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
-    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
-    clean = surv.join(dupes, "doc_id", "left_anti")
+    clean = _clean_relation(spark, sf_dir)
 
     grams = F.array_distinct(TX.word_ngrams(F.col("bag"), _DECON_N))
     ev = (

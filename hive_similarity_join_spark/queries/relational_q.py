@@ -330,7 +330,10 @@ def q_join_skew_salted(spark, sf_dir):
         li.select("l_orderkey", "l_linenumber", "l_returnflag"),
         o.select("l_orderkey", "o_totalprice"),
         "l_orderkey",
-        spread_col="l_linenumber",
+        # spread on the full line identity: hash(orderkey, linenumber)
+        # varies WITHIN a hot orderkey (linenumber alone is 1-7 — only
+        # ~6 distinct salts, wasting most replicas)
+        spread_col=["l_orderkey", "l_linenumber"],
     )
     return j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),

@@ -52,6 +52,22 @@ def test_update_core_is_mergeable(spark):
     assert _cells(merged) == _cells(_batch_counters(docs))
 
 
+def test_estimate_unseen_token_is_zero_not_dropped(spark):
+    """A probe token never folded into the sketch must estimate the
+    mass of its (possibly empty) buckets — 0 when all are empty — not
+    vanish from the output or min over only non-empty cells."""
+    from pyspark.sql import Row
+
+    tc = spark.createDataFrame([Row(tok="seen", n=7)])
+    counters = cms.counters_from_token_counts(tc)
+    probes = spark.createDataFrame(
+        [Row(tok="seen"), Row(tok="never-in-the-stream")]
+    )
+    got = {r.tok: r.n_cms for r in cms.estimate(counters, probes).collect()}
+    assert got["seen"] == 7
+    assert got["never-in-the-stream"] == 0
+
+
 def test_streaming_counters_equal_batch_build(spark, dirs):
     docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
     src = f"{dirs}/incoming"

@@ -58,7 +58,7 @@ def test_salt_reaches_the_shuffle_keys(spark):
         li.select("o_orderkey", "l_linenumber", "l_quantity"),
         o.select("o_orderkey", "o_totalprice"),
         "o_orderkey",
-        spread_col="l_linenumber",
+        spread_col=["o_orderkey", "l_linenumber"],
         n_salts=4,
     )
     plan = explain_str(j)
@@ -72,4 +72,23 @@ def test_guards(spark):
     with pytest.raises(ValueError):
         salted_join(df, df, "k", spread_col="k")
     with pytest.raises(ValueError):
+        salted_join(df, df, "k", spread_col=["k"])
+    with pytest.raises(ValueError):
         salted_join(df, df, "k", spread_col="id", how="full")
+    # key + discriminator is allowed — the combined hash varies
+    assert salted_join(df, df, "k", spread_col=["k", "id"]).count() == 1
+
+
+def test_hot_key_actually_spreads(spark):
+    """The point of the operator: a hot key's left rows must land in
+    many distinct salts (the review case — a 7-value spread column
+    reached at most 6 of 32 salts)."""
+    from hive_similarity_join_spark.operators.skew import _SALT  # noqa
+
+    left = spark.createDataFrame(
+        [Row(k=1, id=i) for i in range(400)]  # one pathological key
+    )
+    salted = left.withColumn(
+        "_s", F.pmod(F.hash(F.col("k"), F.col("id")), F.lit(16))
+    )
+    assert salted.select("_s").distinct().count() == 16
