@@ -341,6 +341,196 @@ def q_join_skew_salted(spark, sf_dir):
     )
 
 
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH coin AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM orders
+),
+src AS (
+  SELECT CASE WHEN u < 0.10 THEN o_orderkey
+              ELSE o_orderkey + 100000000 END AS o_orderkey,
+         CASE WHEN u < 0.02 THEN o_totalprice
+              WHEN u < 0.10 THEN o_totalprice * 1.1
+              ELSE o_totalprice + 1000.0 END AS p,
+         CASE WHEN u < 0.02 THEN 'D' WHEN u < 0.10 THEN 'U'
+              ELSE 'N' END AS st
+  FROM coin WHERE u < 0.13
+),
+m AS (
+  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         t.o_totalprice AS tp, t.o_orderstatus AS tst,
+         s.p, s.st,
+         t.o_orderkey IS NOT NULL AS th,
+         s.o_orderkey IS NOT NULL AS sh
+  FROM orders t FULL OUTER JOIN src s ON s.o_orderkey = t.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN sh THEN p ELSE tp END AS o_totalprice,
+       CASE WHEN sh THEN st ELSE tst END AS o_orderstatus,
+       CASE WHEN th AND sh THEN 'update'
+            WHEN sh THEN 'insert' ELSE 'keep' END AS action
+FROM m
+WHERE NOT (th AND sh AND st = 'D')
+""",
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) — the Hive-ACID / Delta / Iceberg warehouse
+    primitive (operators/merge.py): target = orders; a deterministic
+    change batch derived from the md5 coin (u < 0.02 -> DELETE the
+    matched row, u < 0.10 -> UPDATE price x1.1 status 'U', u < 0.13 ->
+    INSERT a new key at +100M with price +1000 status 'N'); WHEN
+    MATCHED AND st='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN
+    NOT MATCHED THEN INSERT. Emits the full post-merge table plus the
+    per-row action tag, so the compare covers every surviving row and
+    every action path.
+
+    Scale shape: one full-outer equi join on the merge key (both sides
+    bucket by it at 100 TB and the exchange drops out — exactly the
+    data plan transactional table formats execute, minus their commit
+    metadata); the change-batch derivation is map-side. Floats stay
+    bit-exact: x*1.1 and x+1000.0 are single IEEE ops identical on
+    both engines."""
+    from hive_similarity_join_spark.operators.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    coin = o.select("o_orderkey", "o_totalprice", "o_orderstatus", u.alias("u"))
+    src = coin.filter(F.col("u") < 0.13).select(
+        F.when(F.col("u") < 0.10, F.col("o_orderkey"))
+        .otherwise(F.col("o_orderkey") + 100000000)
+        .alias("o_orderkey"),
+        F.when(F.col("u") < 0.02, F.col("o_totalprice"))
+        .when(F.col("u") < 0.10, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice") + 1000.0)
+        .alias("o_totalprice"),
+        F.when(F.col("u") < 0.02, F.lit("D"))
+        .when(F.col("u") < 0.10, F.lit("U"))
+        .otherwise(F.lit("N"))
+        .alias("o_orderstatus"),
+    )
+    return merge_into(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        src,
+        key="o_orderkey",
+        value_cols=["o_totalprice", "o_orderstatus"],
+        delete_cond=F.col("_src_o_orderstatus") == "D",
+        action_col="action",
+    )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_bad
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_pk_dups',
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT)
+UNION ALL
+SELECT 'events_null_ts',
+       CAST((SELECT count(*) FROM events WHERE ts IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'documents_empty_text',
+       CAST((SELECT count(*) FROM documents
+             WHERE text IS NULL OR length(text) = 0) AS BIGINT)
+""",
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-quality gate (the dbt-test / deequ-style audit every
+    pipeline runs before trusting a load): referential integrity
+    (lineitem -> orders, orders -> customer as anti-join counts),
+    primary-key uniqueness, null/empty screens — one row per check
+    with its violation count; a clean load is all zeros (and any
+    non-zero is a loud, named failure, not a silent bad join later).
+
+    Scale shape: each FK check is a broadcast/shuffled LEFT ANTI join
+    counted with partial aggregation; the PK check is one
+    count-distinct; the null screens are scan-local predicates pushed
+    to parquet. The checks union into a 6-row relation — the audit
+    artifact, not the data, is the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def row(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_bad"),
+        )
+
+    checks = [
+        row(
+            "lineitem_orphan_orderkey",
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "orders_orphan_custkey",
+            o.join(
+                c.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "orders_pk_dups",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+            ),
+        ),
+        row(
+            "events_null_ts",
+            e.filter(F.col("ts").isNull()).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "lineitem_nonpositive_qty",
+            li.filter(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        row(
+            "documents_empty_text",
+            d.filter(
+                F.col("text").isNull() | (F.length("text") == 0)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
+
+
 # ---------------------------------------------------------------- §2.4 aggs
 
 @query(

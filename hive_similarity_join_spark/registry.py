@@ -72,7 +72,7 @@ PRIORITY: list[str] = [
     "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic", "q_agg_cms_topk",
     "q_decontaminate_bloom", "q_events_pattern", "q_bpe_encode_docs",
     "q_join_skew_salted", "q_vec_knn_pq", "q_vec_knn_ivfadc",
-    "q_pipeline_llm_corpus",
+    "q_pipeline_llm_corpus", "q_merge_upsert", "q_dq_checks",
 ]
 
 
