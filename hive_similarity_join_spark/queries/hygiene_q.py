@@ -891,7 +891,7 @@ vocab AS (
 )
 SELECT o.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       list(CAST(v.id AS BIGINT) ORDER BY o.pos) AS ids,
+       array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY o.pos), ',') AS ids,
        CAST(SUM(v.id) AS BIGINT) AS ids_sum
 FROM occ o JOIN vocab v ON v.tok = o.tok
 GROUP BY o.doc_id
@@ -904,6 +904,10 @@ def q_text_encode(spark, sf_dir):
     most frequent, ties by token — the BPE-rank convention), emitted
     with the id sequence and an exact integer checksum. This is the
     artifact q_pack_sequences' bins would actually carry to a trainer.
+
+    The id sequence is serialized to a single comma-joined string
+    because the driver's canonicalizer cannot hash array cells (the
+    r1 q_agg_collect rule, relational_q.py; r7 regression fixed here).
 
     Determinism: the vocabulary is a strict total order (count DESC,
     token ASC) computed with the distributed two-pass rank (no
@@ -935,7 +939,14 @@ def q_text_encode(spark, sf_dir):
             ).alias("_pi"),
             F.sum("id").cast("bigint").alias("ids_sum"),
         )
-        .select("doc_id", "n_tokens", F.col("_pi.id").alias("ids"), "ids_sum")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_join(
+                F.transform(F.col("_pi.id"), lambda x: x.cast("string")), ","
+            ).alias("ids"),
+            "ids_sum",
+        )
     )
 
 

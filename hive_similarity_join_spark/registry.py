@@ -41,38 +41,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-7 window (positions 1-50) ----
-    # The 12 round-6 keys with NO driver verdict yet, first
-    # (selfcheck-green since round 6; judge re-verified bit-exact).
-    "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
-    "q_simjoin_weighted_containment_rs", "q_events_gaps",
-    "q_simjoin_weighted_jaccard", "q_text_keyterms", "q_vec_label_outliers",
-    "q_text_encode", "q_dedup_cluster_sizes", "q_mixture_drift",
-    # Backfill, oldest driver verdict first: 38 of the 39 keys whose
-    # latest verdict is still round 4, in CORRECTNESS_r04 key order.
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_win_lag", "q_json_get", "q_join_asof", "q_join_range",
-    "q_dedup_latest", "q_funnel_stages", "q_pivot",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
-    "q_join_multikey",
-    "q_agg_global", "q_agg_groupby", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_groupingsets",
-    "q_agg_cube", "q_agg_median", "q_agg_percentiles", "q_agg_histogram",
-    "q_win_rownum", "q_win_agg", "q_win_frame", "q_win_rankfuncs",
-    "q_orderby_limit", "q_union", "q_setops", "q_except", "q_distinct",
-    "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
-    # ---- positions 51+ (round-8 head candidates) ----
-    # q_vec_cosine is the one remaining r4-verdict key that didn't fit
-    # the 50-key window; keys added or semantically changed in round 7
-    # stage after it.
-    "q_vec_cosine",
-    # r7: upgraded rows-only -> hash-checked (hash-sampled quantizer)
-    "q_vec_knn_ivf",
-    # r7: new keys
+    # ---- round-8 window (positions 1-50) ----
+    # Head: q_vec_cosine (sole remaining r4-verdict key, missed the r7
+    # window) + the 14 keys staged during round 7 — q_vec_knn_ivf
+    # (upgraded rows-only -> hash-checked, hash-sampled quantizer) and
+    # the thirteen round-7 additions. All selfcheck-green; none has a
+    # current-form driver hash verdict yet.
+    "q_vec_cosine", "q_vec_knn_ivf",
     "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic", "q_agg_cms_topk",
     "q_decontaminate_bloom", "q_events_pattern", "q_bpe_encode_docs",
     "q_join_skew_salted", "q_vec_knn_pq", "q_vec_knn_ivfadc",
     "q_pipeline_llm_corpus", "q_merge_upsert", "q_dq_checks",
+    # Backfill (35): the keys with the OLDEST latest driver verdict —
+    # all r5-era — in CORRECTNESS_r05 key order (recomputed r8 start
+    # from CORRECTNESS_r0{1..7}; every other key has an r6/r7 verdict).
+    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
+    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+    "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
+    "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
+    "q_text_langid", "q_text_quality", "q_text_tokencount",
+    "q_text_fingerprint", "q_text_repetition", "q_unpivot",
+    "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
+    "q_pack_sequences", "q_shuffle_export", "q_simjoin_jaccard_self",
+    "q_simjoin_jaccard_rs", "q_dedup_exact", "q_dedup_near",
+    "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
+    "q_dedup_connected", "q_dedup_connected_star",
+    "q_dedup_representatives", "q_dedup_embedding", "q_dedup_embedding_lsh",
+    # ---- positions 51+ (round-9 head candidates) ----
+    # Stage round-8 additions here as they land; rotate to head at r9.
 ]
 
 

@@ -90,42 +90,46 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round7_correctness_window_composition():
+def test_round8_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-7 contract: the twelve round-6 keys with no driver
-    verdict lead the window, the 38 oldest-verdict keys (latest verdict
-    still round 4, in CORRECTNESS_r04 order) backfill next, and every
-    round-7 addition stays at 51+ (they get their verdicts in the
-    round-8 rotation). A PRIORITY edit that accidentally reorders the
-    window fails here, loudly."""
+    order. Round-8 contract: q_vec_cosine (sole remaining r4-verdict
+    key) + the 14 round-7-staged keys (q_vec_knn_ivf's rows-only ->
+    hash upgrade and the thirteen round-7 additions) lead the window;
+    the 35 oldest-verdict keys (all r5-era, in CORRECTNESS_r05 order)
+    backfill; round-8 additions stay at 51+ (verdicts in the round-9
+    rotation). A PRIORITY edit that accidentally reorders the window
+    fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     head = list(ordered(QUERIES))[:50]
-    assert head[:12] == [
-        "q_vec_ann_recall", "q_bpe_pairs", "q_text_novelty",
-        "q_vec_knn_label", "q_simjoin_weighted_containment_rs",
-        "q_events_gaps", "q_simjoin_weighted_jaccard", "q_text_keyterms",
-        "q_vec_label_outliers", "q_text_encode", "q_dedup_cluster_sizes",
-        "q_mixture_drift",
+    assert head[:15] == [
+        "q_vec_cosine", "q_vec_knn_ivf",
+        "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic",
+        "q_agg_cms_topk", "q_decontaminate_bloom", "q_events_pattern",
+        "q_bpe_encode_docs", "q_join_skew_salted", "q_vec_knn_pq",
+        "q_vec_knn_ivfadc", "q_pipeline_llm_corpus", "q_merge_upsert",
+        "q_dq_checks",
     ]
-    # Backfill: all driver verdicts in the tail must be r4-era; spot-pin
+    # Backfill: all driver verdicts in the tail must be r5-era; spot-pin
     # the boundary keys so an off-by-one in the window is loud.
-    assert head[12] == "q_stream_tumbling"
-    assert head[49] == "q_ngram"
-    r4_stale = {
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-        "q_win_lag", "q_json_get", "q_join_asof", "q_join_range",
-        "q_dedup_latest", "q_funnel_stages", "q_pivot",
-        "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
-        "q_join_multikey", "q_agg_global", "q_agg_groupby",
-        "q_agg_distinct", "q_agg_approx_distinct", "q_agg_rollup",
-        "q_agg_groupingsets", "q_agg_cube", "q_agg_median",
-        "q_agg_percentiles", "q_agg_histogram", "q_win_rownum",
-        "q_win_agg", "q_win_frame", "q_win_rankfuncs", "q_orderby_limit",
-        "q_union", "q_setops", "q_except", "q_distinct", "q_str_funcs",
-        "q_math_funcs", "q_date_funcs", "q_ngram",
+    assert head[15] == "q_decontaminate"
+    assert head[49] == "q_dedup_embedding_lsh"
+    r5_stale = {
+        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
+        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+        "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
+        "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
+        "q_text_langid", "q_text_quality", "q_text_tokencount",
+        "q_text_fingerprint", "q_text_repetition", "q_unpivot",
+        "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
+        "q_pack_sequences", "q_shuffle_export", "q_simjoin_jaccard_self",
+        "q_simjoin_jaccard_rs", "q_dedup_exact", "q_dedup_near",
+        "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
+        "q_dedup_connected", "q_dedup_connected_star",
+        "q_dedup_representatives", "q_dedup_embedding",
+        "q_dedup_embedding_lsh",
     }
-    assert set(head[12:]) == r4_stale, set(head[12:]) ^ r4_stale
+    assert set(head[15:]) == r5_stale, set(head[15:]) ^ r5_stale
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):

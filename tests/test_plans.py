@@ -165,6 +165,32 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
 
+def test_no_array_or_map_output_on_oracle_checked_keys(spark):
+    """Suite-wide driver-contract gate: the driver's canonicalizer
+    pandas-sorts result cells and CANNOT hash array/map values
+    (TypeError: unhashable type) — r1 q_agg_collect and r7
+    q_text_encode both shipped ArrayType output and errored at the
+    driver. Every oracle-checked key must serialize nested sequences
+    to strings (the array_join rule, relational_q.py). Struct columns
+    would fail the same way; forbid all three."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from hive_similarity_join_spark.registry import ORACLES
+
+    offenders = {}
+    for key in sorted(ORACLES):
+        schema = QUERIES[key](spark, SF_SMOKE).schema
+        bad = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[key] = bad
+    assert not offenders, (
+        f"oracle-checked keys return driver-unhashable columns: {offenders}"
+    )
+
+
 def test_sketch_and_bloom_keys_broadcast_their_small_sides(spark):
     """The round-7 sketch/screen keys must keep their structural scale
     properties: CMS probes and Bloom bit-sets broadcast (never shuffle
