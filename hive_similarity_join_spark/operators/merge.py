@@ -56,7 +56,12 @@ def merge_into(
     src_here = F.col("_src_present").isNotNull()
 
     if delete_cond is not None:
-        j = j.filter(~(tgt_here & src_here & delete_cond))
+        # SQL MERGE: a NULL WHEN-MATCHED-AND condition is NOT satisfied
+        # — the row falls through to UPDATE. Without the coalesce,
+        # filter(~(... & NULL)) yields NULL and silently DELETES it.
+        j = j.filter(
+            ~(tgt_here & src_here & F.coalesce(delete_cond, F.lit(False)))
+        )
     action = (
         F.when(tgt_here & src_here, F.lit("update"))
         .when(src_here, F.lit("insert"))

@@ -21,6 +21,7 @@ from hive_similarity_join_spark.operators.knn import (
     duck_bucket,
 )
 from hive_similarity_join_spark.operators.similarity import similarity_join
+from hive_similarity_join_spark.queries.vectors_q import N_PROBES
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 from hive_similarity_join_spark.operators.partitions import parallelism
@@ -96,7 +97,7 @@ WITH c AS (
 ),
 p0 AS (
   SELECT vec_id AS probe_id, embedding AS pe, bkt AS bkt0
-  FROM c WHERE vec_id < 10
+  FROM c WHERE vec_id < {N_PROBES}
 ),
 pb AS (
   SELECT probe_id, pe, t.bkt
@@ -125,7 +126,7 @@ def q_vec_knn_ann(spark, sf_dir):
     exact re-scoring, (sim desc, id) tie-break), so the DuckDB oracle
     mirrors the same algorithm with the planes inlined as literals."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 10)
+    probes = e.filter(F.col("vec_id") < N_PROBES)
     return ann_topk(e, probes, k=5, n_planes=4)
 
 
@@ -165,7 +166,7 @@ routed AS (
                PARTITION BY p.vec_id
                ORDER BY {duck_l2('p.embedding', 'c.cv')}, c.cell
            ) AS rn
-    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < 10
+    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < {N_PROBES}
   ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
@@ -207,7 +208,7 @@ def q_vec_knn_ivf(spark, sf_dir):
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 10)
+    probes = e.filter(F.col("vec_id") < N_PROBES)
     cents = hash_sampled_centroids(e, IVF_CELLS)
     return ivf_topk(
         e, probes, k=5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, centroids=cents
@@ -250,7 +251,7 @@ routed AS (
                PARTITION BY p.vec_id
                ORDER BY {duck_l2('p.embedding', 'c.cv')}, c.cell
            ) AS rn
-    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < 10
+    FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < {N_PROBES}
   ) WHERE rn <= {IVF_NPROBE}
 ),
 cb AS (
@@ -305,7 +306,7 @@ def q_vec_knn_ivfadc(spark, sf_dir):
     from hive_similarity_join_spark.operators.pq import ivfadc_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 10)
+    probes = e.filter(F.col("vec_id") < N_PROBES)
     cents = hash_sampled_centroids(e, IVF_CELLS)
     return ivfadc_topk(
         e, probes, cents, k=5, nprobe=IVF_NPROBE, n_candidates=20

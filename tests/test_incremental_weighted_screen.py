@@ -4,10 +4,6 @@ multi-epoch accumulation behavior."""
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-from pathlib import Path
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -22,15 +18,11 @@ from hive_similarity_join_spark.streaming.incremental_weighted_screen import (
 )
 from tests.conftest import SF_SMOKE
 
-REPO_TMP = Path(__file__).resolve().parent / "_incwscreen_tmp"
-
-
 @pytest.fixture()
-def dirs(spark):
-    REPO_TMP.mkdir(exist_ok=True)
-    d = tempfile.mkdtemp(dir=REPO_TMP)
-    yield d
-    shutil.rmtree(d, ignore_errors=True)
+def dirs(spark, tmp_path):
+    # pytest-managed scratch (auto-cleaned): an aborted run must not
+    # leak untracked dirs into the repo (r7 ADVICE).
+    yield str(tmp_path / "incwscreen")
 
 
 def test_single_epoch_equals_batch_key(spark):

@@ -46,6 +46,29 @@ def test_all_four_action_paths(spark):
     }
 
 
+def test_null_delete_cond_falls_through_to_update(spark):
+    """SQL MERGE: a WHEN MATCHED AND <cond> whose condition evaluates
+    to NULL is NOT satisfied — the matched row must fall through to
+    UPDATE, not be silently deleted (three-valued logic in the filter
+    would otherwise drop it)."""
+    target = spark.createDataFrame([Row(k=1, v=10.0, s="a")])
+    source = spark.createDataFrame(
+        [Row(k=1, v=11.0, s=None)], schema="k bigint, v double, s string"
+    )
+    got = {
+        r.k: (r.v, r.s, r.action)
+        for r in merge_into(
+            target,
+            source,
+            key="k",
+            value_cols=["v", "s"],
+            delete_cond=F.col("_src_s") == "D",  # NULL = "D" -> NULL
+            action_col="action",
+        ).collect()
+    }
+    assert got == {1: (11.0, None, "update")}
+
+
 def test_no_delete_cond_and_no_action_col(spark):
     target = spark.createDataFrame([Row(k=1, v=1.0)])
     source = spark.createDataFrame([Row(k=1, v=2.0), Row(k=2, v=3.0)])

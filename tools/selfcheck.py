@@ -97,6 +97,12 @@ def main() -> int:
             print(f"FAIL  {key}: spark raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        finally:
+            # some builders persist() intermediates (CMS token counts,
+            # pipeline survivor relations); drop them per key so a full
+            # 164-key run doesn't accumulate cached relations (bench.py
+            # does the same)
+            spark.catalog.clearCache()
         if key not in ORACLES:
             print(f"ROWS  {key}: {len(sdf)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
