@@ -148,6 +148,83 @@ def bpe_train(
     return merges, words
 
 
+def bpe_train_delta(
+    words: DataFrame, n_merges: int, checkpoint_every: int = 8
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Production N-merge trainer with INCREMENTAL pair-count
+    maintenance — same result as ``bpe_train`` (pytest-asserted
+    equivalent), different cost curve.
+
+    ``bpe_train`` re-aggregates the pair counts of EVERY word each
+    round: O(rounds x vocab-symbols) aggregation input, which is what
+    makes a 30k-merge vocabulary expensive. Here the pair-count table
+    is built ONCE, then each round only the words CONTAINING the merged
+    pair are re-counted: their old pair contributions are subtracted
+    and their post-merge contributions added (a delta that is exactly
+    the full recount's difference, since a merge can only change pair
+    adjacencies inside words where it fires). Under a Zipf vocabulary
+    the affected set collapses after the first few rounds, so the
+    per-round aggregation input is the delta, not the corpus vocabulary.
+
+    Per round: one contains-filter scan of the (vocab-sized) words
+    relation, one pair aggregation over the affected words only, one
+    vocab-of-pairs-sized merge of the count table, one
+    TakeOrderedAndProject pick. Both iterated relations are
+    localCheckpoint'd every ``checkpoint_every`` rounds to keep lineage
+    flat."""
+    merges: list[tuple[str, str, int]] = []
+    pc = pair_counts(words).localCheckpoint(eager=True)
+    for r in range(n_merges):
+        row = (
+            pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        a, b, cnt = row[0].a, row[0].b, int(row[0].cnt)
+        merges.append((a, b, cnt))
+        pattern = F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
+        merged_sym = F.lit(f"{SEP}{a}{b}{SEP}")
+        affected = words.filter(F.col("w").contains(pattern))
+        re_merged = affected.select(
+            F.replace(F.col("w"), pattern, merged_sym).alias("w"), "n"
+        )
+        delta = (
+            pair_counts(affected)
+            .select("a", "b", (-F.col("cnt")).alias("cnt"))
+            .unionAll(pair_counts(re_merged))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("d"))
+        )
+        # co-partitioned merge: pc is hash-partitioned on (a, b) from
+        # the previous round's join output, so only the (small) delta
+        # side shuffles — the count table itself is never re-aggregated
+        pc = (
+            pc.join(delta, ["a", "b"], "full_outer")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).cast("bigint").alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+            # checkpoint EVERY round: pc is pair-vocab-sized (bounded,
+            # small) and its lineage contains this round's shuffles —
+            # without materializing, the next round's pick re-executes
+            # every join/agg back to the last checkpoint (quadratic)
+            .localCheckpoint(eager=True)
+        )
+        words = words.select(
+            F.replace(F.col("w"), pattern, merged_sym).alias("w"), "n"
+        )
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges, words
+
+
 def bpe_apply_rounds_lazy(words: DataFrame, n_merges: int) -> DataFrame:
     """The words relation AFTER ``n_merges`` lazy training rounds —
     the segmented vocabulary a trained tokenizer ships. Zero collect;

@@ -897,17 +897,18 @@ def q_agg_kmv_distinct(spark, sf_dir):
     )
 
 
-# --- ANN recall audit (round 6; IVF leg added round 7) ---------------
+# --- ANN recall audit (round 6; IVF leg r7, IVFADC leg r8) -----------
 # Turns the approximate ANN paths' quality from asserted to measured:
 # per-probe recall@k of the hyperplane-LSH path (q_vec_knn_ann), the
-# SQ8 two-stage path (q_vec_knn_quantized), and the IVF path
-# (q_vec_knn_ivf, hash-sampled quantizer) against the exact brute-force
-# q_vec_knn. All four paths are deterministic (seeded planes,
-# integral-double code dots, md5-ordered centroid sample, (sim desc,
-# id) tie-breaks), so the oracle composes the already-verified oracle
-# queries verbatim as CTEs and the whole audit is hash-checked
-# bit-exact. The numpy-k-means IVF variant additionally keeps its
-# recall pin in tests/test_ivf.py.
+# SQ8 two-stage path (q_vec_knn_quantized), the IVF path
+# (q_vec_knn_ivf, hash-sampled quantizer), the PQ-ADC path
+# (q_vec_knn_pq), and their production composition IVFADC
+# (q_vec_knn_ivfadc) against the exact brute-force q_vec_knn. All five
+# paths are deterministic (seeded planes, integral-double code dots,
+# md5-ordered centroid sample, (sim desc, id) tie-breaks), so the
+# oracle composes the already-verified oracle queries verbatim as CTEs
+# and the whole audit is hash-checked bit-exact. The numpy-k-means IVF
+# variant additionally keeps its recall pin in tests/test_ivf.py.
 
 def _ann_recall_oracle() -> str:
     # Importing the MODULE (not just registry) forces vectors_q's
@@ -925,6 +926,7 @@ lsh AS ({ORACLES["q_vec_knn_ann"]}),
 sq8 AS ({ORACLES["q_vec_knn_quantized"]}),
 ivf AS ({ORACLES["q_vec_knn_ivf"]}),
 pq AS ({ORACLES["q_vec_knn_pq"]}),
+ivfadc AS ({ORACLES["q_vec_knn_ivfadc"]}),
 m AS (
   SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
   UNION ALL
@@ -933,6 +935,8 @@ m AS (
   SELECT 'ivf' AS method, probe_id, vec_id FROM ivf
   UNION ALL
   SELECT 'pq' AS method, probe_id, vec_id FROM pq
+  UNION ALL
+  SELECT 'ivfadc' AS method, probe_id, vec_id FROM ivfadc
 ),
 hits AS (
   SELECT m.method, m.probe_id, count(*) AS hits
@@ -942,7 +946,7 @@ hits AS (
 grid AS (
   SELECT p.probe_id, t.method
   FROM (SELECT DISTINCT probe_id FROM exact) p,
-       unnest(['lsh', 'sq8', 'ivf', 'pq']) AS t(method)
+       unnest(['lsh', 'sq8', 'ivf', 'pq', 'ivfadc']) AS t(method)
 )
 SELECT g.probe_id, g.method,
        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -954,17 +958,17 @@ FROM grid g LEFT JOIN hits h
 
 @query("q_vec_ann_recall", oracle=_ann_recall_oracle())
 def q_vec_ann_recall(spark, sf_dir):
-    """Recall@k audit of the four deterministic ANN paths vs exact kNN.
+    """Recall@k audit of the five deterministic ANN paths vs exact kNN.
 
     Emits (probe_id, method, hits, recall) for method in {lsh, sq8,
-    ivf, pq}:
+    ivf, pq, ivfadc}:
     hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
     double (BIGINT/DOUBLE correctly-rounded divide on both engines —
     exact for these tiny integers). Probes with zero overlap still
     appear (left join from the probe×method grid), so a recall
     collapse is visible as 0.0 rows, not missing rows.
 
-    Scale shape: the three kNN legs keep their own posture (broadcast
+    Scale shape: the five kNN legs keep their own posture (broadcast
     probes, streamed corpus); the audit itself only joins top-k sets —
     |probes| × k rows per method — so at 100 TB this costs the price
     of running the legs, plus a negligible id-pair join. This is the
@@ -983,6 +987,7 @@ def q_vec_ann_recall(spark, sf_dir):
         ("sq8", q_vec_knn_quantized(spark, sf_dir)),
         ("ivf", q_vec_knn_ivf(spark, sf_dir)),
         ("pq", q_vec_knn_pq(spark, sf_dir)),
+        ("ivfadc", q_vec_knn_ivfadc(spark, sf_dir)),
     ]
     m = None
     for name, df in legs:
@@ -997,7 +1002,10 @@ def q_vec_ann_recall(spark, sf_dir):
     )
     methods = spark.range(1).select(
         F.explode(
-            F.array(F.lit("lsh"), F.lit("sq8"), F.lit("ivf"), F.lit("pq"))
+            F.array(
+                F.lit("lsh"), F.lit("sq8"), F.lit("ivf"), F.lit("pq"),
+                F.lit("ivfadc"),
+            )
         ).alias("method")
     )
     grid = exact.select("probe_id").distinct().crossJoin(F.broadcast(methods))

@@ -69,6 +69,9 @@ PRIORITY: list[str] = [
     "q_dedup_representatives", "q_dedup_embedding", "q_dedup_embedding_lsh",
     # ---- positions 51+ (round-9 head candidates) ----
     # Stage round-8 additions here as they land; rotate to head at r9.
+    # r8: ivfadc leg added to the recall grid (5 methods) AFTER its r7
+    # 4-method verdict -> needs a fresh verdict on the new form.
+    "q_vec_ann_recall",
 ]
 
 

@@ -105,27 +105,51 @@ def process_epoch(
     return matches, new_carry
 
 
+def _carry_versions(state_dir: str) -> list[str]:
+    """Existing carry version dirs, oldest first. Driver-side local
+    listing (glob); on a cluster filesystem the same contract runs on
+    the Hadoop FileSystem API — list, not read."""
+    import glob
+
+    return sorted(
+        glob.glob(f"{state_dir}/carry_v*"),
+        key=lambda p: int(p.rsplit("_v", 1)[1]),
+    )
+
+
 def incremental_pattern(
     stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str | None = None,
 ):
     """Start the streaming query; matches accumulate append-only at
-    ``{state_dir}/matches``, the per-user tail lives at
-    ``{state_dir}/carry``."""
+    ``{state_dir}/matches``, the per-user tail lives in VERSIONED dirs
+    ``{state_dir}/carry_v{epoch}``: each epoch reads the latest
+    version and writes the next one — never read-then-overwrite on one
+    path, and never a driver round-trip of the carry rows (the r7
+    ``carry.collect()`` materialization is gone; at 100 TB the carry is
+    the user population and must stay distributed). Old versions beyond
+    the previous one are pruned each epoch, so storage is bounded at
+    2 x carry size; keeping the previous version makes an epoch retry
+    after a mid-write failure re-readable."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        carry = _read(spark, f"{state_dir}/carry", _CARRY_SCHEMA)
-        if carry is not None:
-            # materialize the old carry before overwriting its path
-            # (read-then-overwrite on one location corrupts lazily).
-            # Bounded: <= 2 rows per user at this scale; a 100 TB
-            # deployment writes versioned carry dirs and swaps instead.
-            carry = spark.createDataFrame(carry.collect(), _CARRY_SCHEMA)
+        versions = _carry_versions(state_dir)
+        carry = (
+            _read(spark, versions[-1], _CARRY_SCHEMA) if versions else None
+        )
         matches, new_carry = process_epoch(batch, carry)
         matches.write.mode("append").parquet(f"{state_dir}/matches")
-        new_carry.write.mode("overwrite").parquet(f"{state_dir}/carry")
+        # distinct dir per epoch: the lazy read of the old version and
+        # the write of the new one never touch the same path
+        new_carry.write.mode("overwrite").parquet(
+            f"{state_dir}/carry_v{epoch_id}"
+        )
+        import shutil
+
+        for old in _carry_versions(state_dir)[:-2]:
+            shutil.rmtree(old, ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -130,6 +130,49 @@ def test_trainer_matches_reference_on_random_corpora(spark, counts):
     assert got_seg == want_seg, counts
 
 
+def test_delta_trainer_matches_full_recount_on_toy_corpus(spark):
+    """The incremental pair-count trainer must produce EXACTLY the
+    merges and final segmentation of the full-recount trainer (the
+    delta is the full recount's difference by construction)."""
+    counts = _toy_counts()
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, got_words = bpe.bpe_train_delta(wf, 12, checkpoint_every=5)
+    want_merges, want_seg = _ref_bpe(counts, 12)
+    assert got_merges == want_merges
+    got_seg = {
+        "".join(r.sy): list(r.sy)
+        for r in got_words.select(bpe.decode_symbols("w").alias("sy")).collect()
+    }
+    assert got_seg == want_seg
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_delta_trainer_matches_reference_on_random_corpora(spark, counts):
+    """Property check for the delta trainer on overlap/tie-rich tiny
+    corpora — exhaustion (no pairs left) and tie-breaks must match the
+    reference exactly, like the full-recount trainer."""
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, _ = bpe.bpe_train_delta(wf, 6)
+    want_merges, _ = _ref_bpe(counts, 6)
+    assert got_merges == want_merges, counts
+
+
 def test_lazy_rounds_match_iterated_trainer(spark):
     d = load_table(spark, SF_SMOKE, "documents").limit(200)
     wf = bpe.word_freqs(d, TX.bag_tokens("text"))

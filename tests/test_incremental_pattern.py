@@ -81,6 +81,14 @@ def test_streaming_matches_equal_batch_key(spark, dirs):
     got = _match_set(spark.read.parquet(f"{dirs}/state/matches"))
     want = _match_set(q_events_pattern(spark, SF_SMOKE))
     assert got == want
-    carry = spark.read.parquet(f"{dirs}/state/carry")
+    from hive_similarity_join_spark.streaming.incremental_pattern import (
+        _carry_versions,
+    )
+
+    versions = _carry_versions(f"{dirs}/state")
+    # versioned carry dirs: storage bounded at <= 2 versions, and the
+    # LATEST version holds the per-user tail
+    assert 1 <= len(versions) <= 2
+    carry = spark.read.parquet(versions[-1])
     n_users = events.select("user_id").distinct().count()
     assert carry.count() <= 2 * n_users
