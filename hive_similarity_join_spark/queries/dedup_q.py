@@ -1171,3 +1171,201 @@ def q_dedup_cluster_sizes(spark, sf_dir):
         "n_clusters",
         "n_docs",
     )
+
+
+# ------------------------------- exact-substring (span-level) dedup
+
+SPAN_L = 8       # span length in tokens
+SPAN_CAP = 20    # "stop span" doc-frequency cap
+
+
+def _substring_oracle() -> str:
+    return f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, {TX.duck_md5_prefix60('t.g')} AS h
+  FROM bags, unnest({_duck_grams(SPAN_L)}) AS t(g)
+  WHERE len(bag) >= {SPAN_L}
+),
+keep AS (
+  SELECT h FROM (SELECT h, count(*) AS df FROM g GROUP BY h)
+  WHERE df BETWEEN 2 AND {SPAN_CAP}
+),
+gk AS (SELECT g.doc_id, g.h FROM g JOIN keep USING (h))
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(count(*) AS BIGINT) AS shared_spans
+FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("q_dedup_substring", oracle=_substring_oracle())
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring duplication detector (the span-level dedup of
+    Lee et al., ACL 2022, "Deduplicating Training Data Makes Language
+    Models Better" — published method, reconstructed surface): doc
+    pairs sharing at least one EXACT {SPAN_L}-token span, with the
+    count of distinct shared spans. Catches verbatim boilerplate /
+    quotation reuse that set-similarity keys dilute away (a 5000-token
+    doc embedding one copied paragraph has tiny Jaccard but is still a
+    span-duplicate).
+
+    Determinism + scale shape: spans compress to 60-bit md5 hashes
+    (engine-portable ints, the decontamination family's key trick);
+    spans occurring in more than {SPAN_CAP} documents are STOP SPANS
+    and dropped before the pair join — that cap is what bounds the
+    blowup at 100 TB (a hot boilerplate span in 10^6 docs would
+    otherwise emit 10^12 pairs; the capped join emits at most
+    C(cap,2) pairs per span, and the hot spans belong in a boilerplate
+    report, not a pair list — q_boilerplate_passages is that report).
+    One distinct-gram explode, one df aggregate reusing the same
+    hash partitioning for the cap semi-join, one capped self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), SPAN_L))
+        ).alias("gs"),
+    ).select("doc_id", TX.md5_prefix60(F.col("gs")).alias("h"))
+    keep = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_CAP))
+        .select("h")
+    )
+    gk = g.join(keep, "h", "left_semi")
+    a = gk.alias("a")
+    b = gk.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+    )
+
+
+# ------------------------------------ PageRank over the dedup graph
+
+PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (exact integers)
+PR_ROUNDS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def _pagerank_oracle() -> str:
+    # Importing the module forces text_q's registrations before the
+    # ORACLES read (the _ann_recall_oracle ordering contract).
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    it = []
+    for t in range(PR_ROUNDS):
+        it.append(f"""
+r{t + 1} AS (
+  SELECT e.b AS id,
+         base.v + {PR_DAMP_NUM} * sum(r{t}.pr // deg.outdeg) // {PR_DAMP_DEN}
+             AS pr
+  FROM e
+  JOIN r{t} ON r{t}.id = e.a
+  JOIN deg ON deg.id = e.a
+  CROSS JOIN base
+  GROUP BY e.b, base.v
+)""")
+    its = ",".join(it)
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT a AS id, count(*) AS outdeg FROM e GROUP BY a),
+base AS (
+  SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM} // {PR_DAMP_DEN}) // n.n
+      AS v
+  FROM n
+),
+r0 AS (SELECT id, {PR_SCALE} // n.n AS pr FROM nodes CROSS JOIN n),
+{its}
+SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM r{PR_ROUNDS}
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the near-duplicate document graph (Page et al.
+    1999; Pregel-style iteration, Malewicz et al. SIGMOD 2010) —
+    centrality on the trigram-Jaccard pair graph surfaces template
+    hubs: documents whose text keeps recurring across the corpus rank
+    highest, exactly the pages a boilerplate auditor reads first.
+
+    Bit-exact by FIXED-POINT arithmetic: ranks are integers in units
+    of 1/{PR_SCALE}, every contribution is an integer division
+    (pr DIV outdeg), damping is the exact ratio
+    {PR_DAMP_NUM}/{PR_DAMP_DEN} applied as multiply-then-integer-divide
+    — no float accumulation anywhere (CLAUDE.md's FMA-divergence rule:
+    double sums here would be association-ordered), so {PR_ROUNDS}
+    unrolled rounds hash-match DuckDB's identical `//` chain exactly.
+    The graph restricts to nodes with at least one edge (every such
+    node has outdeg >= 1, so there is no dangling-mass term).
+
+    Scale shape: the classic vertex-partitioned iteration — each round
+    is ONE join of the edge relation with the rank relation on the
+    source id plus ONE partial-aggregated shuffle on the destination
+    id; the degree relation joins on the same key and the 1-row (n,
+    base) relations broadcast. Rounds unroll lazily into a single
+    plan ({PR_ROUNDS} shuffle pairs); a 100-round production run
+    would localCheckpoint every ~8 rounds like the CC operator."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    # persist: the similarity-join pair graph feeds nodes, degrees, and
+    # every iteration — without it the trigram join recomputes 5x
+    # (selfcheck/bench clear the cache per key)
+    e = pairs.select(
+        F.col("id1").alias("a"), F.col("id2").alias("b")
+    ).unionAll(
+        pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+    ).persist()
+    nodes = e.select(F.col("a").alias("id")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
+    base = n.select(
+        F.expr(
+            f"({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM} div {PR_DAMP_DEN})"
+            " div n"
+        ).alias("v")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "id", F.expr(f"{PR_SCALE} div n").alias("pr")
+    )
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            e.join(ranks, e.a == ranks.id)
+            .join(deg.withColumnRenamed("id", "_did"), e.a == F.col("_did"))
+            .select(F.col("b"), F.expr("pr div outdeg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("b").alias("id"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                "id",
+                F.expr(f"v + {PR_DAMP_NUM} * s div {PR_DAMP_DEN}").alias("pr"),
+            )
+            # lazy lineage truncation per round (materializes on first
+            # use): without it round t's plan embeds every earlier
+            # round's join tree and Catalyst re-plans the pair-graph
+            # subtree O(rounds^2) times
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("id", "pr").select(
+        F.col("id").alias("doc_id"), F.col("pr").cast("bigint").alias("pr")
+    )

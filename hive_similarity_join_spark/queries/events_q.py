@@ -403,3 +403,86 @@ def q_events_pattern(spark, sf_dir):
             (F.col("us2") - F.col("us")).cast("bigint").alias("span_us"),
         )
     )
+
+
+# ------------------------------------------- Z-order layout audit
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 interleaved bits -> 64 buckets
+
+
+def _z_interleave(x: str, y: str, div: str) -> str:
+    """Morton (Z-order) interleave of two {_Z_BITS}-bit non-negative
+    ints as pure arithmetic — bit i of x lands at position 2i, bit i of
+    y at 2i+1. ``div`` is the dialect's integer-division token (Spark
+    ``div``, DuckDB ``//``); %, * and + round identically for
+    non-negative operands, so the expression is engine-portable."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id % {1 << _Z_BITS} AS x,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % {1 << _Z_BITS} AS y
+  FROM events WHERE ts IS NOT NULL
+),
+z AS (
+  SELECT x, y, ({_z_interleave('x', 'y', '//')}) // {1 << _Z_BUCKET_SHIFT}
+             AS zbucket
+  FROM pts
+)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM z GROUP BY zbucket
+""",
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering audit — the multi-dimensional
+    data-layout operator behind Delta's OPTIMIZE ZORDER BY and
+    Iceberg's sort orders (public Morton-order literature; Morton
+    1966): events mapped to a 2-D (user, time-second) grid, each point
+    given its Morton code, and the corpus bucketed by the code's top
+    bits. Emits per-bucket row count + min/max of BOTH dimensions —
+    exactly the file-skipping statistics a lakehouse writer would
+    store, demonstrating the Z-property: every bucket bounds BOTH
+    dimensions, so a predicate on user OR time prunes buckets (1-D
+    range partitioning bounds only its own sort key).
+
+    Engine-portable bit math: the interleave is generated once
+    (arithmetic div/mod, no dialect-specific bit operators) and pasted
+    into both the Spark expression and the oracle SQL, so the codes
+    are identical by construction.
+
+    Scale shape: pure map work (codegen'd arithmetic per row) + ONE
+    partial-aggregated shuffle on the bucket key — the same cost as
+    any single groupBy pass. At 100 TB this runs as the analysis
+    stage before a repartitionByRange(zbucket) rewrite; the stats
+    output IS the pruning manifest."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.filter(F.col("ts").isNotNull()).select(
+        (F.col("user_id") % (1 << _Z_BITS)).alias("x"),
+        F.expr(
+            f"(unix_micros(ts) div 1000000) % {1 << _Z_BITS}"
+        ).alias("y"),
+    )
+    z = pts.select(
+        "x",
+        "y",
+        F.expr(
+            f"({_z_interleave('x', 'y', 'div')}) div {1 << _Z_BUCKET_SHIFT}"
+        ).alias("zbucket"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("min_x"),
+        F.max("x").cast("bigint").alias("max_x"),
+        F.min("y").cast("bigint").alias("min_y"),
+        F.max("y").cast("bigint").alias("max_y"),
+    )

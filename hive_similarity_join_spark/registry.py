@@ -52,7 +52,13 @@ PRIORITY: list[str] = [
     "q_decontaminate_bloom", "q_events_pattern", "q_bpe_encode_docs",
     "q_join_skew_salted", "q_vec_knn_pq", "q_vec_knn_ivfadc",
     "q_pipeline_llm_corpus", "q_merge_upsert", "q_dq_checks",
-    # Backfill (35): the keys with the OLDEST latest driver verdict —
+    # q_text_encode ERRORED in its r7 check (ArrayType output, fixed
+    # this round) — the fix needs a hash verdict, which only keys in
+    # the 50-key window get, so it takes position 16 and the
+    # oldest-verdict backfill shrinks to 34 (the r5-era key dropped,
+    # q_dedup_embedding_lsh, rotates in at r9).
+    "q_text_encode",
+    # Backfill (34): the keys with the OLDEST latest driver verdict —
     # all r5-era — in CORRECTNESS_r05 key order (recomputed r8 start
     # from CORRECTNESS_r0{1..7}; every other key has an r6/r7 verdict).
     "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
@@ -66,12 +72,16 @@ PRIORITY: list[str] = [
     "q_simjoin_jaccard_rs", "q_dedup_exact", "q_dedup_near",
     "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
     "q_dedup_connected", "q_dedup_connected_star",
-    "q_dedup_representatives", "q_dedup_embedding", "q_dedup_embedding_lsh",
+    "q_dedup_representatives", "q_dedup_embedding",
     # ---- positions 51+ (round-9 head candidates) ----
+    # displaced r5-era backfill key (first r9 backfill candidate)
+    "q_dedup_embedding_lsh",
     # Stage round-8 additions here as they land; rotate to head at r9.
     # r8: ivfadc leg added to the recall grid (5 methods) AFTER its r7
     # 4-method verdict -> needs a fresh verdict on the new form.
     "q_vec_ann_recall",
+    # r8: new keys
+    "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
 ]
 
 

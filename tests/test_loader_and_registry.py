@@ -95,25 +95,27 @@ def test_round8_correctness_window_composition():
     order. Round-8 contract: q_vec_cosine (sole remaining r4-verdict
     key) + the 14 round-7-staged keys (q_vec_knn_ivf's rows-only ->
     hash upgrade and the thirteen round-7 additions) lead the window;
-    the 35 oldest-verdict keys (all r5-era, in CORRECTNESS_r05 order)
-    backfill; round-8 additions stay at 51+ (verdicts in the round-9
-    rotation). A PRIORITY edit that accidentally reorders the window
-    fails here, loudly."""
+    q_text_encode (r7 driver ERROR, ArrayType output fixed this round)
+    takes position 16 for its re-verdict; the 34 oldest-verdict keys
+    (all r5-era, in CORRECTNESS_r05 order; the 35th rotated out to make
+    room) backfill; round-8 additions stay at 51+ (verdicts in the
+    round-9 rotation). A PRIORITY edit that accidentally reorders the
+    window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     head = list(ordered(QUERIES))[:50]
-    assert head[:15] == [
+    assert head[:16] == [
         "q_vec_cosine", "q_vec_knn_ivf",
         "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic",
         "q_agg_cms_topk", "q_decontaminate_bloom", "q_events_pattern",
         "q_bpe_encode_docs", "q_join_skew_salted", "q_vec_knn_pq",
         "q_vec_knn_ivfadc", "q_pipeline_llm_corpus", "q_merge_upsert",
-        "q_dq_checks",
+        "q_dq_checks", "q_text_encode",
     ]
     # Backfill: all driver verdicts in the tail must be r5-era; spot-pin
     # the boundary keys so an off-by-one in the window is loud.
-    assert head[15] == "q_decontaminate"
-    assert head[49] == "q_dedup_embedding_lsh"
+    assert head[16] == "q_decontaminate"
+    assert head[49] == "q_dedup_embedding"
     r5_stale = {
         "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
         "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
@@ -127,9 +129,8 @@ def test_round8_correctness_window_composition():
         "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
         "q_dedup_connected", "q_dedup_connected_star",
         "q_dedup_representatives", "q_dedup_embedding",
-        "q_dedup_embedding_lsh",
     }
-    assert set(head[15:]) == r5_stale, set(head[15:]) ^ r5_stale
+    assert set(head[16:]) == r5_stale, set(head[16:]) ^ r5_stale
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
