@@ -1369,3 +1369,137 @@ def q_graph_pagerank(spark, sf_dir):
     return ranks.select("id", "pr").select(
         F.col("id").alias("doc_id"), F.col("pr").cast("bigint").alias("pr")
     )
+
+
+# ------------------------- triangle census over the dedup graph
+
+
+def _triangles_oracle() -> str:
+    # Same registration-order contract as _pagerank_oracle: importing
+    # text_q forces q_dedup_ngram's ORACLES row to exist first.
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs
+  ) GROUP BY id
+),
+od AS (
+  SELECT CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.degree < db.degree
+                OR (da.degree = db.degree AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM od e1
+  JOIN od e2 ON e2.u = e1.v
+  JOIN od e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (
+  SELECT id, count(*) AS tri FROM (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)
+SELECT d.id AS doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree < 2 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(2 * coalesce(t.tri, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       END AS clustering
+FROM deg d LEFT JOIN tn t ON t.id = d.id
+"""
+
+
+@query("q_graph_triangles", oracle=_triangles_oracle())
+def q_graph_triangles(spark, sf_dir):
+    """Triangle census + local clustering coefficient over the
+    near-duplicate pair graph (trigram-Jaccard edges, the same graph
+    q_graph_pagerank ranks). High-clustering nodes sit inside cliques
+    of mutually-near-duplicate documents — template families — while
+    high-degree/low-clustering nodes are hubs stitching unrelated
+    groups, exactly the split a dedup auditor wants before choosing
+    cluster representatives.
+
+    Algorithm: degree-ordered orientation (Chiba-Nishizeki / the
+    compact-forward enumeration, published method): every undirected
+    edge points from its (degree, id)-smaller endpoint to the larger,
+    making the triangle DAG u->v, v->w, u->w unique per triangle.
+    The wedge join (e1 JOIN e2 ON e2.u = e1.v) fans out by the
+    OUT-degree of the middle vertex, which orientation bounds by
+    O(sqrt(m)) — the skew story at 100 TB: a celebrity hub with 10^6
+    neighbors contributes wedges only through its (bounded) out-edges,
+    not its full degree squared. Two self-joins of the oriented edge
+    relation on co-partitionable keys + one explode-aggregate; the
+    pair graph is persisted because nodes, degrees, and edges all
+    consume it.
+
+    Exactness: counts are integers; the clustering coefficient is ONE
+    division of two exact integers (2*tri / deg*(deg-1)) — identical
+    literal shape in both engines, no FMA-able chain (CLAUDE.md rule).
+    """
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2").persist()
+    deg = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionAll(pairs.select(F.col("id2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    ).persist()
+    e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    da = deg.select(F.col("id").alias("_ia"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("id").alias("_ib"), F.col("degree").alias("_db"))
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    od = (
+        e.join(da, F.col("a") == F.col("_ia"))
+        .join(db, F.col("b") == F.col("_ib"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).persist()
+    e1 = od.select(F.col("u").alias("_u1"), F.col("v").alias("_v1"))
+    e2 = od.select(F.col("u").alias("_u2"), F.col("v").alias("_v2"))
+    e3 = od.select(F.col("u").alias("_u3"), F.col("v").alias("_v3"))
+    tri = (
+        e1.join(e2, F.col("_u2") == F.col("_v1"))
+        .join(
+            e3,
+            (F.col("_u3") == F.col("_u1")) & (F.col("_v3") == F.col("_v2")),
+            "left_semi",
+        )
+        .select(
+            F.col("_u1").alias("x"),
+            F.col("_v1").alias("y"),
+            F.col("_v2").alias("z"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return deg.join(tn, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("tri", F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            (F.coalesce("tri", F.lit(0)) * 2).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+        )
+        .alias("clustering"),
+    )

@@ -486,3 +486,72 @@ def q_zorder_layout(spark, sf_dir):
         F.min("y").cast("bigint").alias("min_y"),
         F.max("y").cast("bigint").alias("max_y"),
     )
+
+
+# ----------------------------------- event-type transition matrix
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE) AS p
+FROM c
+""",
+)
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (current, next) event-type adjacency
+    the raw count and the row-stochastic probability
+    P(next | current). The sessionization-analytics staple — funnel
+    drop-off, loop detection, anomalous-path mining all read off this
+    matrix — and the behavioral-cloning prior a training-data pipeline
+    computes before sampling trajectories.
+
+    Plan shape: ONE shuffle on user_id for the lead() window (sequence
+    adjacency needs per-user time order, nothing else), then a
+    partial-aggregated groupBy on the (cur, next) pair — event-type
+    cardinality squared rows at most, so the second shuffle is tiny.
+    The probability is a window sum over the AGGREGATED matrix
+    (|types|^2 rows), not the event log: at 100 TB the heavy data is
+    touched exactly once.
+
+    Exactness: counts are integers; p is ONE division of two exact
+    bigints with identical shape in both engines — no float
+    accumulation (CLAUDE.md FMA rule)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("cur_type")
+    return c.select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias(
+            "p"
+        ),
+    )

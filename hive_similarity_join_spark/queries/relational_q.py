@@ -1253,3 +1253,90 @@ def q_lateral_explode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(TX.bag_tokens("text")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
+# -------------------------------- bivariate statistics (corr/covar)
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM v GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr_qty_disc,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE)
+           AS covp_qty_disc
+FROM s
+""",
+)
+def q_agg_corr(spark, sf_dir):
+    """Grouped Pearson correlation + population covariance (quantity
+    vs discount per return flag) — the bivariate-statistics aggregate
+    surface (CORR / COVAR_POP), computed bit-exactly instead of via the
+    engines' float accumulators.
+
+    Why not F.corr / DuckDB corr(): both engines stream
+    float-accumulated moments whose association order differs run to
+    run and engine to engine. Here every moment (n, Sx, Sy, Sxx, Syy,
+    Sxy) is an EXACT bigint — inputs normalized to small integers
+    (quantity is integer-valued; discount has 2 decimals, scaled to
+    cents via an exact decimal cast) — and the classic identities
+    n*Sxy - Sx*Sy etc. stay in integer arithmetic. Magnitude audit:
+    x <= 50, y <= 10, so n*Sxy < 6e5 * 3e8 ~ 2e14 < 2^53 at sf0.1 —
+    every final integer casts to double EXACTLY on both engines, and
+    the only float ops are sqrt/multiply/divide on identical operands
+    (no a*b+c chain, so DuckDB's FMA fusion can't bite — CLAUDE.md
+    rule). Zero-variance groups emit NULL, identically.
+
+    Scale shape: one partial-aggregated shuffle on the group key —
+    the six moments combine associatively map-side, the textbook
+    single-pass parallel corr. At 100 TB this is the same cost as any
+    grouped sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = v.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den1 = n * F.col("sxx") - sx * sx
+    den2 = n * F.col("syy") - sy * sy
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.when((den1 == 0) | (den2 == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double")))
+        )
+        .alias("corr_qty_disc"),
+        (num.cast("double") / (n * n).cast("double")).alias("covp_qty_disc"),
+    )

@@ -82,6 +82,7 @@ PRIORITY: list[str] = [
     "q_vec_ann_recall",
     # r8: new keys
     "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
+    "q_graph_triangles", "q_events_transitions", "q_agg_corr",
 ]
 
 
