@@ -104,6 +104,32 @@ def minhash_signatures(
     return tokr.groupBy("_id").agg(*aggs)
 
 
+def band_signatures(sigs: DataFrame) -> DataFrame:
+    """(_id, _band, _bsig) from a wide signature row: band signatures
+    are plain column concats (no second groupBy); band order matches
+    the oracle's ORDER BY i."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("_band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"_h{b * ROWS_PER_BAND + j + 1}").cast("string")
+                    for j in range(ROWS_PER_BAND)
+                ],
+            ).alias("_bsig"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    return sigs.select(
+        "_id", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select(
+        "_id",
+        F.col("_bs._band").alias("_band"),
+        F.col("_bs._bsig").alias("_bsig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -125,24 +151,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, with_rank_arrays=True, tokens_col=tokens_col
     )
-    # Band signatures are plain column concats over the wide signature row
-    # (no second groupBy); band order matches the oracle's ORDER BY i.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("_band"),
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"_h{b * ROWS_PER_BAND + j + 1}").cast("string")
-                    for j in range(ROWS_PER_BAND)
-                ],
-            ).alias("_bsig"),
-        )
-        for b in range(NUM_BANDS)
-    ]
-    bands = sigs.select(
-        "_id", F.explode(F.array(*band_structs)).alias("_bs")
-    ).select("_id", F.col("_bs._band").alias("_band"), F.col("_bs._bsig").alias("_bsig"))
+    bands = band_signatures(sigs)
     # The band join's INPUT is tiny (docs x bands rows) while its OUTPUT
     # is the candidate-pair blowup — AQE sizes post-shuffle partitions by
     # map output and would coalesce the join (and the verify behind it)

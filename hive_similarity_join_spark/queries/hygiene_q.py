@@ -1013,3 +1013,141 @@ def q_mixture_drift(spark, sf_dir):
             (src_share / corpus_share).alias("share_ratio"),
         )
     )
+
+
+# ------------------------- fuzzy (MinHash-LSH) decontamination
+
+
+FUZZY_DECON_T = 0.8
+
+
+def _fuzzy_decon_oracle() -> str:
+    from hive_similarity_join_spark.operators.dedup import (
+        NUM_PERM,
+        P_MOD,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+    )
+
+    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
+tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
+perms AS (
+  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
+  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
+),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
+  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
+         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id % {_DECON_MOD} <> 0 AND b.doc_id % {_DECON_MOD} = 0
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.tid, c.eid, count(*) AS i
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.tid
+  JOIN tok y ON y.doc_id = c.eid AND y.tok = x.tok
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT c.tid, c.eid,
+         CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (s1.n + s2.n - coalesce(i.i, 0)) AS sim
+  FROM cand c
+  LEFT JOIN inter i ON i.tid = c.tid AND i.eid = c.eid
+  JOIN sz s1 ON s1.doc_id = c.tid
+  JOIN sz s2 ON s2.doc_id = c.eid
+)
+SELECT tid AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(sim) AS max_sim
+FROM hits WHERE sim >= {FUZZY_DECON_T}
+GROUP BY tid
+"""
+
+
+@query("q_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination: training documents that NEAR-match an
+    eval-set document (MinHash-LSH candidates, exact-Jaccard verified
+    at FUZZY_DECON_T=0.8) — the screen that catches paraphrased or
+    lightly-edited benchmark leakage the exact n-gram checks
+    (q_decontaminate / _hashed / _bloom) miss. This is the
+    "fuzzy dedup against eval" stage of public LLM-corpus pipelines
+    (Dolma / RedPajama-style), run train-vs-eval instead of
+    train-vs-train. Emits, per contaminated training doc, how many
+    eval docs it matches and the strongest match similarity.
+
+    Shares EVERYTHING with the dedup family: the signature relation
+    (operators/dedup.py minhash_signatures — one shuffle, NUM_PERM
+    parallel mins) is computed over the union corpus so train and eval
+    tokens rank against one shared dictionary, then the band join is
+    typed train x eval ONLY — candidates never form inside the train
+    side, so the blowup is bounded by the EVAL side's band buckets
+    (eval sets are tiny; at 100 TB the eval band relation broadcasts).
+    Deterministic end to end (fixed permutation constants), hence
+    hash-checkable like q_dedup_minhash_lsh.
+
+    max(sim) is a SELECTION over per-pair single-division doubles, not
+    an accumulation — order-independent, bit-exact (CLAUDE.md rule)."""
+    from hive_similarity_join_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+    )
+    from hive_similarity_join_spark.operators.partitions import parallelism
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", with_rank_arrays=True)
+    bands = band_signatures(sigs)
+    is_eval = F.col("_id") % _DECON_MOD == 0
+    n_part = parallelism(spark)
+    tr = bands.filter(~is_eval).select(
+        F.col("_id").alias("tid"), "_band", "_bsig"
+    ).repartition(n_part, "_band", "_bsig")
+    ev = bands.filter(is_eval).select(
+        F.col("_id").alias("eid"),
+        F.col("_band").alias("_eband"),
+        F.col("_bsig").alias("_ebsig"),
+    )
+    cand = (
+        tr.join(
+            F.broadcast(ev),
+            (F.col("_band") == F.col("_eband"))
+            & (F.col("_bsig") == F.col("_ebsig")),
+        )
+        .select("tid", "eid")
+        .distinct()
+    )
+    t1 = sigs.select(F.col("_id").alias("tid"), F.col("_rks").alias("_rks1"))
+    t2 = sigs.select(F.col("_id").alias("eid"), F.col("_rks").alias("_rks2"))
+    inter = F.size(F.array_intersect("_rks1", "_rks2")).cast("double")
+    union = (F.size("_rks1") + F.size("_rks2")).cast("double") - inter
+    return (
+        cand.join(t1, "tid")
+        .join(t2, "eid")
+        .select("tid", "eid", (inter / union).alias("sim"))
+        .filter(F.col("sim") >= FUZZY_DECON_T)
+        .groupBy(F.col("tid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
