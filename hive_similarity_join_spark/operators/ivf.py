@@ -260,3 +260,145 @@ def ivf_topk_indexed(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+# ------------------- distributed Lloyd k-means, exact fixed-point
+
+KM_SHIFT = 1.0         # offset making every coordinate non-negative
+KM_SCALE = 1_000_000   # fixed-point unit: 1e-6 of embedding space
+
+
+def fixedpoint_vectors(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, xi): embeddings as NON-NEGATIVE fixed-point bigint
+    arrays — floor((x + KM_SHIFT) * KM_SCALE). The double add/multiply
+    and floor are IEEE-identical across engines, and non-negativity
+    makes integer division agree everywhere (Spark ``div`` truncates
+    toward zero, DuckDB ``//`` floors — identical for non-negative
+    operands, the zorder key's portability rule). L2 argmin is
+    translation-invariant, so the shift changes no assignment."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor((x.cast("double") + KM_SHIFT) * KM_SCALE).cast(
+                "bigint"
+            ),
+        ).alias("xi"),
+    )
+
+
+def _centroid_relation(spark, centroids: list[tuple[int, list[int]]]):
+    """The round's centroids as a ONE-ROW broadcast relation holding
+    array<struct<cell,c>> — the PQ codebook-as-relation trick: literal
+    centroid arrays re-compile a fresh codegen unit per round/run
+    (measured ~6.5 s cold at k=8 x dim=64 x 3 assignments), while an
+    attribute-typed centroid array keeps the assignment expression
+    STRUCTURALLY IDENTICAL across rounds, so whole-stage codegen
+    caches it. ``centroids`` carries (cell_id, vector) pairs: ids
+    SURVIVE empty cells dropping out of an update, keeping cluster
+    labels aligned with the SQL mirror (which never re-indexes)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField(
+            "_cents",
+            ArrayType(
+                StructType([
+                    StructField("cell", LongType()),
+                    StructField("c", ArrayType(LongType())),
+                ])
+            ),
+        )
+    ])
+    row = [([(int(cid), [int(x) for x in c]) for cid, c in centroids],)]
+    return spark.createDataFrame(row, schema)
+
+
+def _nearest_centroid(vec):
+    """(d, cell) struct of the argmin centroid from the joined
+    ``_cents`` attribute — exact bigint arithmetic; array_min's
+    lexicographic struct order tie-breaks on cell, matching the SQL
+    mirror's ORDER BY dist, cell."""
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(d2(s["c"]).alias("d"), s["cell"].alias("cell")),
+        )
+    )
+
+
+def lloyd_kmeans_fixedpoint(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist2): distributed Lloyd k-means whose every
+    step is exact integer arithmetic — hence bit-reproducible across
+    engines AND across cluster sizes / partitionings (float-sum Lloyd
+    is neither: its per-dimension mean depends on reduction order).
+
+    init: the hash-sampled pivots (k-means' random-init step, md5
+    order — the same SQL-mirrorable trick as hash_sampled_centroids);
+    assign: argmin of exact squared L2 against the broadcast one-row
+    centroid relation (one narrow projection, codegen'd once for all
+    rounds, no shuffle);
+    update: posexplode to (cell, dim) -> partial-aggregated SUM/COUNT
+    shuffle -> centroid dim = sum div count (floor division — a <1
+    fixed-point-unit quantization of the mean, applied identically on
+    both engines).
+
+    Scale: each round is ONE shuffle keyed by (cell, dim) — k*dim
+    groups — plus a bounded k*dim collect to inline the next round's
+    centroids (the ivf.py bounded-collect pattern; at 100 TB the
+    per-round reduction is the classic map-side-combined tree
+    aggregate). Empty cells drop out, matching the SQL mirror."""
+    v = fixedpoint_vectors(corpus, id_col, vec_col).persist()
+    init_rows = (
+        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select("xi")
+        .collect()
+    )
+    spark = corpus.sparkSession
+    centroids = [(i, [int(x) for x in r.xi]) for i, r in enumerate(init_rows)]
+    nearest = _nearest_centroid(F.col("xi"))
+    for _ in range(rounds):
+        asg = v.crossJoin(
+            F.broadcast(_centroid_relation(spark, centroids))
+        ).select("vec_id", "xi", nearest["cell"].alias("cluster"))
+        cent_rows = (
+            asg.select("cluster", F.posexplode("xi").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("c"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s"))
+            .select("cluster", F.transform("_s", lambda s: s["c"]).alias("c"))
+            .orderBy("cluster")
+            .collect()
+        )
+        centroids = [(int(r.cluster), [int(x) for x in r.c]) for r in cent_rows]
+    # final assignment against the last refined centroids
+    return v.crossJoin(
+        F.broadcast(_centroid_relation(spark, centroids))
+    ).select(
+        "vec_id",
+        nearest["cell"].alias("cluster"),
+        nearest["d"].alias("dist2"),
+    )

@@ -581,3 +581,108 @@ def q_vec_label_outliers(spark, sf_dir):
         .select("vec_id", F.col("label").cast("bigint").alias("label"),
                 "centroid_sim", "rank")
     )
+
+
+# --------------------- distributed Lloyd k-means (exact fixed-point)
+
+KM_K = 8
+KM_ROUNDS = 2
+KM_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+def _kmeans_oracle() -> str:
+    from hive_similarity_join_spark.operators.ivf import KM_SCALE
+
+    def d2(xi: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {KM_DIM + 1}), "
+            f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))"
+        )
+
+    def assign(src: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, {cents}.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', f'{cents}.c')}, {cents}.cell
+           ) AS rn
+    FROM {src} v CROSS JOIN {cents}
+  ) WHERE rn = 1"""
+
+    def update(asg: str) -> str:
+        return f"""
+  SELECT cell, list(c ORDER BY dim) AS c FROM (
+    SELECT a.cell, r.range AS dim,
+           sum(v.xi[r.range]) // count(*) AS c
+    FROM {asg} a JOIN v USING (vec_id) CROSS JOIN range(1, {KM_DIM + 1}) r
+    GROUP BY a.cell, r.range
+  ) GROUP BY cell"""
+
+    rounds = []
+    for t in range(KM_ROUNDS):
+        rounds.append(f"a{t} AS ({assign('v', f'c{t}')})")
+        rounds.append(f"c{t + 1} AS ({update(f'a{t}')})")
+    body = ",\n".join(rounds)
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
+                       AS BIGINT)) AS xi
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS BIGINT) - 1 AS cell, xi AS c
+  FROM (
+    SELECT vec_id, xi FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {KM_K}
+  )
+),
+{body}
+SELECT vec_id, CAST(cell AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (
+  SELECT v.vec_id, cf.cell, {d2('v.xi', 'cf.c')} AS d2,
+         row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+         ) AS rn
+  FROM v CROSS JOIN c{KM_ROUNDS} cf
+) WHERE rn = 1
+"""
+
+
+@query("q_vec_kmeans", oracle=_kmeans_oracle())
+def q_vec_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding corpus, EXACT:
+    every step is integer arithmetic on non-negative fixed-point
+    coordinates (operators/ivf.py lloyd_kmeans_fixedpoint), so the
+    clustering is bit-reproducible across engines, cluster sizes and
+    partitionings — float-sum Lloyd is none of these (its means depend
+    on reduction order; CLAUDE.md FMA/association rule). This is the
+    in-engine training path for the IVF coarse quantizer family
+    (q_vec_knn_ivf/_ivfadc consume hash-sampled pivots = this key's
+    init step; 2 Lloyd rounds refine them) and the semantic-clustering
+    primitive (topic bucketing, stratified embedding sampling).
+
+    Scale shape per round: one codegen'd argmin projection over k*dim
+    literal centroids (no join, no shuffle — the _cell_dists pattern),
+    then ONE partial-aggregated shuffle keyed (cluster, dim) — k*dim
+    groups — and a k*dim-bounded collect to inline the next round's
+    centroids (ivf.py's deliberately-bounded single-node subproblem).
+    At 100 TB each round therefore costs one map pass + one tree
+    reduction, the canonical distributed-Lloyd layout."""
+    from hive_similarity_join_spark.operators.ivf import (
+        lloyd_kmeans_fixedpoint,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = lloyd_kmeans_fixedpoint(e, k=KM_K, rounds=KM_ROUNDS)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("dist2").cast("bigint").alias("dist2"),
+    )

@@ -83,7 +83,7 @@ PRIORITY: list[str] = [
     # r8: new keys
     "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
     "q_graph_triangles", "q_events_transitions", "q_agg_corr",
-    "q_decontaminate_fuzzy",
+    "q_decontaminate_fuzzy", "q_vec_kmeans",
 ]
 
 

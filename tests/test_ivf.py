@@ -100,3 +100,22 @@ def test_indexed_search_equals_inmemory_and_prunes(spark, tmp_path):
         assert "PartitionFilters" in plan and "cell" in plan
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_lloyd_kmeans_fixedpoint_partition_invariant(spark):
+    """The exactness claim: integer Lloyd must produce IDENTICAL
+    assignments regardless of physical partitioning (float-sum Lloyd
+    would not — reduction order changes the means)."""
+    from hive_similarity_join_spark.operators.ivf import (
+        lloyd_kmeans_fixedpoint,
+    )
+    from hive_similarity_join_spark.sources.loader import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = lloyd_kmeans_fixedpoint(e.repartition(3), k=4, rounds=2)
+    b = lloyd_kmeans_fixedpoint(e.repartition(17), k=4, rounds=2)
+    ra = sorted((r.vec_id, r.cluster, r.dist2) for r in a.collect())
+    rb = sorted((r.vec_id, r.cluster, r.dist2) for r in b.collect())
+    assert ra == rb
+    assert len({c for _, c, _ in ra}) > 1  # non-degenerate clustering
