@@ -827,3 +827,49 @@ def q_sample_stratified(spark, sf_dir):
         .filter(F.col("rn") <= STRATA_N)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+# ----------------------- deterministic fixed-size reservoir sample
+
+
+RESERVOIR_K = 40
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {RESERVOIR_K}
+""",
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Fixed-SIZE per-source sample — reservoir sampling,
+    derandomized: rank every document by (md5(doc_id), doc_id) within
+    its source and keep the first K. Completes the deterministic
+    sampling family (q_sample_temperature resizes by RATE,
+    q_sample_stratified by fraction, this one by COUNT — the shape an
+    eval-set builder or per-domain inspection queue needs), and unlike
+    a true reservoir it is reproducible and oracle-checkable.
+
+    Scale: hash-rank top-k per group is one partitioned window (one
+    shuffle on source); Spark pushes the rank filter into the sort as
+    a per-partition top-K (WindowGroupLimit), so state per group is
+    O(K), which is exactly the reservoir-sampling guarantee."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )

@@ -1340,3 +1340,70 @@ def q_agg_corr(spark, sf_dir):
         .alias("corr_qty_disc"),
         (num.cast("double") / (n * n).cast("double")).alias("covp_qty_disc"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price, wt,
+         sum(wt) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY price, wt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM v
+)
+SELECT l_returnflag,
+       CAST(min(price) AS DOUBLE) AS weighted_median,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Weighted median (lower weighted-median convention): the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total — the robust central-price statistic an unweighted
+    median (q_agg_median) can't give when rows carry volumes.
+
+    Mechanics: one window pass per group — running weight sum over the
+    (price, weight) total order, total via an unbounded frame on the
+    same partitioning (one shuffle, two window specs sharing it), then
+    min(price) over the qualifying suffix. All comparisons and sums
+    are exact (decimal prices, bigint weights; 2*cw stays in bigint);
+    the only double is the final decimal->double cast of one selected
+    value — a selection, not an accumulation.
+
+    Scale: the window shuffle is keyed by the group column — the same
+    cost class as any grouped aggregate; no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    wcum = wp.orderBy("price", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = v.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )

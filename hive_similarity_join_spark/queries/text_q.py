@@ -561,3 +561,101 @@ def q_dedup_containment(spark, sf_dir):
     )
     contained = pairs.select(F.col("id1").alias("doc_id")).distinct()
     return d.join(contained, "doc_id", "left_anti").select("doc_id", "source")
+
+
+# ------------------------------- skyline (Pareto frontier) operator
+
+
+@query(
+    "q_skyline_docs",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct({TX.duck_bag()})) AS BIGINT) AS n_vocab
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_chars, n_vocab,
+         max(n_vocab) OVER (
+             ORDER BY n_chars DESC
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_gtx,
+         max(n_vocab) OVER (PARTITION BY n_chars) AS best_eqx
+  FROM m
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_vocab
+FROM w
+WHERE (best_gtx IS NULL OR best_gtx < n_vocab) AND n_vocab = best_eqx
+""",
+)
+def q_skyline_docs(spark, sf_dir):
+    """Skyline (Pareto-frontier) query over documents on
+    (n_chars, distinct-vocabulary size): the docs no other doc beats
+    on BOTH length and vocabulary richness — the multi-criteria
+    shortlist operator (Borzsony/Kossmann/Stocker ICDE 2001, published
+    method) a curation pipeline uses to pick exemplar documents
+    without collapsing criteria into one weighted score.
+
+    Plan shape — the 2-D staircase, distributed: a point is dominated
+    iff some point with strictly larger x has y >= its y. A GLOBAL
+    "max y over larger x" window would serialize the relation through
+    one task (the unpartitioned-window scale killer this suite gates
+    against), so the staircase splits on x-buckets (x div W):
+      - within a bucket, a PARTITIONED range-frame running max gives
+        "best y at strictly larger x in MY bucket";
+      - across buckets, the per-bucket max-y relation (tiny — one row
+        per bucket) suffix-maxes via a broadcast theta self-join, and
+        any point in a higher bucket has strictly larger x by
+        construction.
+    greatest() of the two bounds is the exact global dominance bound.
+    Cost: one partial-aggregated shuffle + one partitioned window on
+    the bucket key — no global sort, no single-partition exchange; the
+    bucket relation is bounded by x-domain/W, never by corpus size.
+    The equal-x tie rule (keep only the best y at the same x) is a
+    window partitioned by x. Dominance is integer comparisons only —
+    nothing to round, bit-exact by construction. The DuckDB mirror
+    uses the plain single-node staircase; results are identical."""
+    BUCKET_W = 256
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(TX.bag_tokens("text")))
+        .cast("bigint")
+        .alias("n_vocab"),
+        (F.col("n_chars") / BUCKET_W).cast("bigint").alias("_b"),
+    )
+    w_gtx = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eqx = Window.partitionBy("n_chars")
+    w = m.select(
+        "doc_id",
+        "n_chars",
+        "n_vocab",
+        "_b",
+        F.max("n_vocab").over(w_gtx).alias("_in_bkt"),
+        F.max("n_vocab").over(w_eqx).alias("best_eqx"),
+    )
+    bm = m.groupBy("_b").agg(F.max("n_vocab").alias("_ymax"))
+    hi = bm.select(F.col("_b").alias("_hb"), F.col("_ymax").alias("_hy"))
+    suff = (
+        bm.join(F.broadcast(hi), F.col("_hb") > F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.max("_hy").alias("_suff"))
+    )
+    best_gtx = F.greatest(F.col("_in_bkt"), F.col("_suff"))
+    return (
+        w.join(suff, "_b", "left")
+        .filter(
+            (best_gtx.isNull() | (best_gtx < F.col("n_vocab")))
+            & (F.col("n_vocab") == F.col("best_eqx"))
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "n_vocab",
+        )
+    )
