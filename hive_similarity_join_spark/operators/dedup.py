@@ -194,6 +194,171 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_screen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    threshold: float,
+) -> DataFrame:
+    """Ingestion-time dedup: screen a NEW batch against the standing
+    corpus (and against earlier rows of the same batch) with
+    MinHash-LSH, WITHOUT ever pairing corpus-vs-corpus.
+
+    Returns one row per new-batch doc:
+    (doc_id, n_corpus_dups, n_prior_dups, admitted) where admitted = 1
+    iff the doc matches nothing in the corpus and no smaller-id batch
+    doc at exact Jaccard >= threshold (the deterministic one-pass
+    admission rule: a batch doc is charged against every smaller-id
+    near-dup in the same batch, independent of that doc's own verdict —
+    parallel-safe, no sequential greedy chain).
+
+    100 TB posture: this is THE daily-ingest shape. The band join's
+    build side is only the NEW batch's bands; the corpus side streams
+    against it, so cost scales with |batch| x collision rate, never
+    |corpus|^2 (a production system persists the corpus band index and
+    this probe reads it as-is). Signatures here are computed over the
+    union dictionary in one pass so the DuckDB oracle can mirror the
+    permutations hash-exactly; an online system would freeze the rank
+    dictionary — documented, not a semantics change at fixed input.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
+    flags = df.select(
+        F.col(id_col).alias("_id"), is_new.cast("boolean").alias("_new")
+    )
+    sigs = sigs.join(flags, "_id")
+    bands = band_signatures(sigs.select("_id", *[f"_h{i+1}" for i in range(NUM_PERM)]))
+    bands = bands.join(flags, "_id")
+    n_part = parallelism(df)
+    a = (
+        bands.filter("_new")
+        .select(
+            F.col("_id").alias("id1"),
+            F.col("_band").alias("_band1"),
+            F.col("_bsig").alias("_bsig1"),
+        )
+        .repartition(n_part, "_band1", "_bsig1")
+    )
+    b = bands.select(
+        F.col("_id").alias("id2"),
+        F.col("_new").alias("_new2"),
+        F.col("_band").alias("_band2"),
+        F.col("_bsig").alias("_bsig2"),
+    ).repartition(n_part, "_band2", "_bsig2")
+    cand = (
+        a.join(
+            b,
+            (F.col("_band1") == F.col("_band2"))
+            & (F.col("_bsig1") == F.col("_bsig2"))
+            & (F.col("id1") != F.col("id2"))
+            & (~F.col("_new2") | (F.col("id2") < F.col("id1"))),
+        )
+        .select("id1", "id2", "_new2")
+        .repartition(n_part, "id1", "id2")
+        .distinct()
+    )
+    t1 = sigs.select(F.col("_id").alias("id1"), F.col("_rks").alias("_rks1"))
+    t2 = sigs.select(F.col("_id").alias("id2"), F.col("_rks").alias("_rks2"))
+    inter = F.size(F.array_intersect("_rks1", "_rks2")).cast("double")
+    union = (F.size("_rks1") + F.size("_rks2")).cast("double") - inter
+    dups = (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .filter((inter / union) >= threshold)
+        .groupBy("id1")
+        .agg(
+            F.sum(F.when(~F.col("_new2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corpus_dups"),
+            F.sum(F.when(F.col("_new2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_prior_dups"),
+        )
+    )
+    newdocs = flags.filter("_new").select(F.col("_id").alias("id1"))
+    return (
+        newdocs.join(dups, "id1", "left")
+        .select(
+            F.col("id1").alias("doc_id"),
+            F.coalesce("n_corpus_dups", F.lit(0)).cast("bigint").alias("n_corpus_dups"),
+            F.coalesce("n_prior_dups", F.lit(0)).cast("bigint").alias("n_prior_dups"),
+            (
+                (F.coalesce("n_corpus_dups", F.lit(0)) == 0)
+                & (F.coalesce("n_prior_dups", F.lit(0)) == 0)
+            )
+            .cast("bigint")
+            .alias("admitted"),
+        )
+    )
+
+
+def duck_incremental_oracle(threshold: float, new_mod: int, new_rem: int) -> str:
+    """DuckDB mirror of incremental_minhash_screen on documents, with
+    the new batch defined as doc_id % new_mod = new_rem."""
+    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
+tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
+perms AS (
+  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
+  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
+),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
+  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
+         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         (b.doc_id % {new_mod} = {new_rem}) AS new2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {new_mod} = {new_rem}
+    AND (b.doc_id % {new_mod} <> {new_rem} OR b.doc_id < a.doc_id)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS i
+  FROM cand c JOIN tok x ON x.doc_id = c.id1 JOIN tok y
+    ON y.doc_id = c.id2 AND y.tok = x.tok
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT c.id1,
+         CAST(sum(CASE WHEN c.new2 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_corpus_dups,
+         CAST(sum(CASE WHEN c.new2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_prior_dups
+  FROM cand c
+  LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+  JOIN sz s1 ON s1.doc_id = c.id1
+  JOIN sz s2 ON s2.doc_id = c.id2
+  WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+        / (s1.n + s2.n - coalesce(i.i, 0)) >= {threshold}
+  GROUP BY c.id1
+)
+SELECT d.doc_id,
+       coalesce(n_corpus_dups, 0) AS n_corpus_dups,
+       coalesce(n_prior_dups, 0) AS n_prior_dups,
+       CAST(coalesce(n_corpus_dups, 0) = 0
+            AND coalesce(n_prior_dups, 0) = 0 AS BIGINT) AS admitted
+FROM documents d
+LEFT JOIN dup ON dup.id1 = d.doc_id
+WHERE d.doc_id % {new_mod} = {new_rem}
+"""
+
+
 def duck_minhash_oracle(threshold: float) -> str:
     """DuckDB mirror of minhash_lsh_pairs on the documents table."""
     a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"

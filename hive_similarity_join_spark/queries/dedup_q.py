@@ -10,8 +10,10 @@ from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
 from hive_similarity_join_spark.operators.dedup import (
     connected_components,
     connected_components_alternating,
+    duck_incremental_oracle,
     duck_minhash_oracle,
     duck_simhash_oracle,
+    incremental_minhash_screen,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -73,6 +75,33 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+
+
+NEW_MOD, NEW_REM = 10, 7
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=duck_incremental_oracle(MINHASH_T, NEW_MOD, NEW_REM),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Ingestion-time (incremental) dedup: the docs with
+    doc_id % 10 = 7 play the incoming daily batch; everything else is
+    the standing corpus. Each batch doc is screened with MinHash-LSH
+    against the corpus AND against smaller-id batch docs, and admitted
+    iff it matches neither at exact Jaccard >= MINHASH_T. This is the
+    production shape q_dedup_minhash_lsh's full self-join never runs at
+    100 TB: the corpus is pre-indexed by band signature and only the
+    batch probes it — cost scales with |batch|, never |corpus|^2.
+    Mechanics in operators/dedup.py:incremental_minhash_screen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_screen(
+        docs,
+        "doc_id",
+        "text",
+        is_new=(F.col("doc_id") % NEW_MOD) == NEW_REM,
+        threshold=MINHASH_T,
+    )
 
 
 @query("q_text_simhash", oracle=duck_simhash_oracle(max_hamming=3))

@@ -1407,3 +1407,150 @@ def q_agg_weighted_median(spark, sf_dir):
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# --------------------------- gaps-and-islands interval consolidation
+
+
+@query(
+    "q_intervals_merge",
+    oracle="""
+WITH v AS (
+  SELECT o.o_custkey, o.o_orderkey, o.o_orderdate AS start_d,
+         greatest(max(l.l_shipdate), o.o_orderdate) AS end_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+),
+b AS (
+  SELECT o_custkey, o_orderkey, start_d, end_d,
+         CASE WHEN start_d > max(end_d) OVER (
+             PARTITION BY o_custkey
+             ORDER BY start_d, end_d, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) THEN 1 ELSE 0 END AS new_island
+  FROM v
+),
+i AS (
+  SELECT o_custkey, start_d, end_d,
+         sum(new_island) OVER (
+             PARTITION BY o_custkey
+             ORDER BY start_d, end_d, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM b
+)
+SELECT o_custkey, CAST(island_id AS BIGINT) AS island_id,
+       CAST(min(start_d) AS VARCHAR) AS start_date,
+       CAST(max(end_d) AS VARCHAR) AS end_date,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM i GROUP BY o_custkey, island_id
+""",
+)
+def q_intervals_merge(spark, sf_dir):
+    """Gaps-and-islands interval consolidation: each order spans
+    [o_orderdate, max lineitem shipdate] (its fulfillment window); the
+    key merges every customer's overlapping windows into maximal
+    engagement periods — the classic interval-merge operator
+    (coverage/occupancy analysis; for a data pipeline, the shape that
+    consolidates crawl windows or retention spans before range joins).
+    Orders with no lineitems have no window and are excluded by
+    definition (inner join), deterministic on both engines.
+
+    Mechanics: one total order per customer (start, end, orderkey —
+    orderkey is unique, so both engines see the identical sequence); a
+    row opens a NEW island iff its start exceeds the running max end
+    over all preceding rows (rows-frame max excluding current); the
+    island id is the running sum of those boundary flags; then one
+    rollup per (customer, island). The per-order aggregate shuffles on
+    orderkey; the two windows and the final rollup share one hash
+    partitioning on custkey — two shuffles total, no global sort. All
+    comparisons are DATE-exact; dates are emitted as strings for
+    engine-portable hashing.
+
+    Scale: state per group is one running max — a linear scan per
+    customer; skewed keys parallelize no worse than any grouped window
+    (two-level split — islands-in-chunk then chunk-merge — is the
+    escape hatch if one key dominates)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("_maxship"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("start_d"),
+            F.greatest("_maxship", "o_orderdate").alias("end_d"),
+        )
+    )
+    order = [F.col("start_d"), F.col("end_d"), F.col("o_orderkey")]
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("end_d").over(w_prev)
+    boundary = F.when(F.col("start_d") > prev_end, 1).otherwise(0)
+    i = v.select(
+        "o_custkey",
+        "start_d",
+        "end_d",
+        F.sum(boundary).over(w_run).cast("bigint").alias("island_id"),
+    )
+    return i.groupBy("o_custkey", "island_id").agg(
+        F.min("start_d").cast("string").alias("start_date"),
+        F.max("end_d").cast("string").alias("end_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+# ------------------------------------ deterministic mode aggregate
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+SELECT user_id, event_type AS mode_event_type, mode_count FROM (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS mode_count,
+         row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY count(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
+)
+def q_agg_mode(spark, sf_dir):
+    """Statistical mode per group (each user's most frequent event
+    type) with a DETERMINISTIC tie rule — the lexicographically
+    smallest value among the maximally frequent. Engines' built-in
+    mode() tie-breaks arbitrarily, which an oracle-checked suite
+    cannot tolerate, so this composes the portable form: grouped
+    count, then row_number over (count DESC, value ASC) per group.
+
+    Scale: the count aggregate is map-side partial; the window runs on
+    the (user, type)-count relation — bounded by users x type-domain,
+    not by the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mode_count")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("mode_count"), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            "mode_count",
+        )
+    )

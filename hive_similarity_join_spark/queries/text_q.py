@@ -659,3 +659,58 @@ def q_skyline_docs(spark, sf_dir):
             "n_vocab",
         )
     )
+
+
+# ------------------------- corpus diversity: per-source token entropy
+
+
+@query(
+    "q_text_entropy",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t.tok
+  FROM documents, unnest({TX.duck_bag()}) AS t(tok)
+),
+c AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       round(ln(CAST(sum(cnt) AS DOUBLE))
+             - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+               / CAST(sum(cnt) AS DOUBLE), 6) AS entropy_nats
+FROM c GROUP BY source
+""",
+)
+def q_text_entropy(spark, sf_dir):
+    """Per-source Shannon entropy (nats) of the term-frequency
+    distribution — the corpus-diversity statistic mixture tuning reads
+    before upsampling a source (low entropy = templated/repetitive
+    text; high = diverse vocabulary). Identity used:
+    H = ln(N) - (sum c*ln c)/N over exact BIGINT counts, so the only
+    floats are one ln per distinct term and the final combination.
+
+    Exactness: each c*ln(c) term associates identically on both
+    engines (cast->ln->multiply); only the SUM of those doubles is
+    order-dependent, absorbed by round(...,6) on both sides (the
+    FIXTURES.md rule for order-dependent float sums; observed
+    cross-engine drift is ~1e-12, six orders below the rounding).
+
+    Scale: grouped count is map-side partial; the entropy rollup runs
+    on the (source, term) relation — vocabulary-sized, not
+    corpus-sized; no window, no sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.bag_tokens("text")).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n = F.sum("cnt").cast("bigint")
+    nd = n.cast("double")
+    s = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+    return c.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.round(F.log(nd) - s / nd, 6).alias("entropy_nats"),
+    )

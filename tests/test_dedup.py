@@ -193,3 +193,47 @@ def test_representatives_quality_dominates_cluster(spark):
         assert rep.rep_quality >= q or rep.rep_id != doc_id
     for c, rep in reps.items():
         assert qual[rep.rep_id] == rep.rep_quality
+
+
+def test_incremental_screen_matches_full_lsh_restriction(spark):
+    """incremental_minhash_screen must agree EXACTLY with the full LSH
+    self-join restricted to batch-involving pairs: same signatures,
+    same bands, same verify — so for every new doc x,
+    n_corpus_dups(x) = |{(x,o) pairs, o in corpus}| and
+    n_prior_dups(x) = |{(a,x) pairs, a new, a < x}| (the smaller-id
+    charging rule). Also pins the admission rule itself."""
+    from pyspark.sql import functions as F
+
+    from hive_similarity_join_spark.operators.dedup import (
+        incremental_minhash_screen,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    t = 0.8
+    is_new = (F.col("doc_id") % 5) == 2
+    new_ids = {
+        r.doc_id for r in docs.filter(is_new).select("doc_id").collect()
+    }
+    got = {
+        r.doc_id: (r.n_corpus_dups, r.n_prior_dups, r.admitted)
+        for r in incremental_minhash_screen(
+            docs, "doc_id", "text", is_new, t
+        ).collect()
+    }
+    assert set(got) == new_ids
+    full = [
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", t).collect()
+    ]
+    want = {x: [0, 0] for x in new_ids}
+    for a, b in full:  # a < b by construction
+        if a in new_ids and b in new_ids:
+            want[b][1] += 1
+        elif b in new_ids and a not in new_ids:
+            want[b][0] += 1
+        elif a in new_ids and b not in new_ids:
+            want[a][0] += 1
+    assert got == {
+        x: (c, p, int(c == 0 and p == 0)) for x, (c, p) in want.items()
+    }
+    assert any(c or p for c, p in want.values())  # non-vacuous
