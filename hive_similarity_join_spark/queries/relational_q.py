@@ -1554,3 +1554,220 @@ def q_agg_mode(spark, sf_dir):
             "mode_count",
         )
     )
+
+
+# ------------------------------- table diff / reconciliation report
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+WITH old_t AS (SELECT * FROM orders),
+new_t AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 97 = 5 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 5 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 3
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 7
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         list_filter([
+           CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                THEN 'o_custkey' END,
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                THEN 'o_orderdate' END,
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END
+         ], x -> x IS NOT NULL) AS diffs
+  FROM old_t o FULL OUTER JOIN new_t n ON n.o_orderkey = o.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN in_old AND in_new
+            THEN array_to_string(diffs, ',') ELSE '' END AS changed_cols,
+       CAST(CASE WHEN in_old AND in_new THEN len(diffs) ELSE 0 END
+            AS BIGINT) AS n_changed
+FROM j
+WHERE NOT in_old OR NOT in_new OR len(diffs) > 0
+""",
+)
+def q_table_diff(spark, sf_dir):
+    """Table reconciliation (diff) between two versions of a relation:
+    row-level added / removed / changed verdicts plus the exact set of
+    changed columns — the anti-entropy audit run after a backfill,
+    migration, or replication pass (the operator behind tools like
+    Delta CDF readers and table-diff services). The "new" version is
+    derived deterministically from orders so both engines diff the
+    identical pair: keys %89=3 deleted, keys %97=5 mutated (status,
+    price+1.0 — exact double arithmetic), keys %101=7 cloned under a
+    +1e9 key offset (inserts; offset documented safe for tested SFs).
+
+    Mechanics: ONE full-outer join on the primary key; per-column
+    null-safe comparisons fold into a changed-column list serialized
+    as a comma-joined string (driver-hashable, no array output).
+    Unchanged rows are dropped in-plan.
+
+    Scale: the join shuffles both sides once on the key — the same
+    cost class as MERGE INTO (operators/merge.py); with both versions
+    bucketed by key it degrades to a zero-shuffle zip. Column compares
+    are codegen'd expressions — no UDFs."""
+    o = load_table(spark, sf_dir, "orders")
+    upd = (F.col("o_orderkey") % 97) == 5
+    new_t = (
+        o.filter((F.col("o_orderkey") % 89) != 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(upd, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(upd, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .union(
+            o.filter((F.col("o_orderkey") % 101) == 7).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    )
+    lhs = o.select([F.col(c).alias(f"_l_{c}") for c in o.columns])
+    rhs = new_t.select([F.col(c).alias(f"_r_{c}") for c in new_t.columns])
+    j = lhs.join(
+        rhs, lhs["_l_o_orderkey"] == rhs["_r_o_orderkey"], "full_outer"
+    )
+    cmp_cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}")), F.lit(c)
+                )
+                for c in cmp_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    in_old = F.col("_l_o_orderkey").isNotNull()
+    in_new = F.col("_r_o_orderkey").isNotNull()
+    both = in_old & in_new
+    return (
+        j.select(
+            F.coalesce("_l_o_orderkey", "_r_o_orderkey").alias("o_orderkey"),
+            F.when(~in_old, F.lit("added"))
+            .when(~in_new, F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.when(both, F.array_join(diffs, ","))
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+            F.when(both, F.size(diffs))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            both.alias("_both"),
+            F.size(diffs).alias("_nd"),
+        )
+        .filter(~F.col("_both") | (F.col("_nd") > 0))
+        .drop("_both", "_nd")
+    )
+
+
+# --------------------------- range-partition split-point planner
+
+
+N_SPLITS = 32
+
+
+@query(
+    "q_range_splits",
+    oracle=f"""
+WITH v AS (
+  SELECT l_extendedprice AS p, l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+),
+rk AS (SELECT p, row_number() OVER (ORDER BY p, ok, ln) AS r FROM v),
+n AS (SELECT count(*) AS n FROM v),
+t AS (
+  SELECT g.k AS split_no, (g.k * n.n) // {N_SPLITS} AS target_rank
+  FROM unnest(generate_series(1, {N_SPLITS - 1})) AS g(k), n
+)
+SELECT t.split_no, CAST(t.target_rank AS BIGINT) AS target_rank,
+       rk.p AS split_price
+FROM t JOIN rk ON rk.r = t.target_rank
+""",
+)
+def q_range_splits(spark, sf_dir):
+    """Range-partition split planner: the {N_SPLITS-1} exact
+    equi-depth boundary values of l_extendedprice — what a 100 TB
+    writer computes before a rangepartition / sort / Z-order layout
+    pass so every output file holds ~1/N of the rows (the physical
+    prerequisite for the min/max file-skipping q_zorder_layout audits).
+
+    Exactness: boundaries are SELECTED order statistics, not
+    interpolated — rank k*N div N_SPLITS in the strict total order
+    (price, orderkey, linenumber), all integer arithmetic; the emitted
+    price is a single double value, bit-identical on both engines.
+
+    Scale: the global rank comes from operators/rank.py's two-pass
+    range-partitioned ranking (NO single-partition window — the exact
+    trap tests/test_plans.py gates); the target-rank relation is
+    N_SPLITS-1 rows built from a broadcast 1-row count, and the final
+    equi-join touches each rank partition once."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    rk = ranked_by(v, ["p", "ok", "ln"], "_r")
+    n = v.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    targets = (
+        spark.range(1, N_SPLITS)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("split_no"),
+            F.expr(f"(id * _n) DIV {N_SPLITS}").alias("target_rank"),
+        )
+    )
+    return (
+        rk.join(
+            F.broadcast(targets),
+            rk["_r"].cast("bigint") == targets["target_rank"],
+        )
+        .select(
+            "split_no",
+            F.col("target_rank").cast("bigint").alias("target_rank"),
+            F.col("p").alias("split_price"),
+        )
+    )

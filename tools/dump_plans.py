@@ -219,6 +219,30 @@ HEADLINERS: dict[str, str] = {
         "and the final corpus-sized LEFT join attaching cluster + keep "
         "flag with singletons defaulting to their own id."
     ),
+    "q_dedup_incremental": (
+        "Ingestion-time dedup (the daily-batch shape). Look for: the "
+        "band join's BUILD side filtered to the new batch's bands only "
+        "(never corpus-vs-corpus), REPARTITION_BY_NUM on (band, bsig) "
+        "opting the candidate shuffle out of AQE coalescing, the "
+        "signature relation's exchange REUSED across the band explode "
+        "and both verify sides, and int-array-intersect verification "
+        "in whole-stage codegen."
+    ),
+    "q_skyline_docs": (
+        "Pareto frontier via the distributed two-level staircase. Look "
+        "for: BOTH window operators carrying PARTITION BY (_b resp. "
+        "n_chars) — no Exchange SinglePartition anywhere — and the "
+        "cross-bucket suffix-max joining as a BroadcastHashJoin/NLJ on "
+        "the bucket-count-sized relation, never on the corpus."
+    ),
+    "q_range_splits": (
+        "Equi-depth split planner. Look for: the two-pass distributed "
+        "rank (RangePartitioning exchange + per-partition Window with "
+        "PARTITION BY _rk_pid — the single-partition global sort is "
+        "exactly what this plan must NOT contain), the 1-row count "
+        "broadcast into the 31-row target relation, and the final "
+        "broadcast equi-join probing each rank partition once."
+    ),
 }
 
 
