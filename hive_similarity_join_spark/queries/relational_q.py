@@ -1423,7 +1423,11 @@ WITH v AS (
 ),
 b AS (
   SELECT o_custkey, o_orderkey, start_d, end_d,
-         CASE WHEN start_d > max(end_d) OVER (
+         CASE WHEN max(end_d) OVER (
+             PARTITION BY o_custkey
+             ORDER BY start_d, end_d, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) IS NULL OR start_d > max(end_d) OVER (
              PARTITION BY o_custkey
              ORDER BY start_d, end_d, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -1496,7 +1500,10 @@ def q_intervals_merge(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_end = F.max("end_d").over(w_prev)
-    boundary = F.when(F.col("start_d") > prev_end, 1).otherwise(0)
+    # first row per customer has a NULL running max -> opens island 1
+    boundary = F.when(
+        prev_end.isNull() | (F.col("start_d") > prev_end), 1
+    ).otherwise(0)
     i = v.select(
         "o_custkey",
         "start_d",
