@@ -86,6 +86,8 @@ def main() -> None:
         "q_search_bm25",
         "q_simjoin_containment",
         "q_vec_knn_quantized",
+        "q_dedup_incremental",
+        "q_graph_pagerank",
     ]
     print(
         json.dumps(
