@@ -45,6 +45,41 @@ PERM_B = (
 assert len(PERM_A) == len(PERM_B) == NUM_PERM
 
 
+def _minhash_sig_ctes() -> str:
+    """The shared DuckDB CTE pipeline every MinHash oracle opens with
+    (tokenize -> rarest-first rank -> permutations -> signatures ->
+    band signatures) — ONE definition so a change to the permutation
+    scheme, tie-break, or band layout cannot silently diverge between
+    the four consuming oracles (minhash pairs, incremental screen,
+    estimate audit, fuzzy decontamination)."""
+    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+    return f"""WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
+tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
+perms AS (
+  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
+  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
+),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
+  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
+         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
+  FROM sig GROUP BY 1, 2
+)"""
+
+
+MINHASH_SIG_CTES = _minhash_sig_ctes()
+
+
 def _ranked_tokens(
     df: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
 ) -> DataFrame:
@@ -295,30 +330,8 @@ def incremental_minhash_screen(
 def duck_incremental_oracle(threshold: float, new_mod: int, new_rem: int) -> str:
     """DuckDB mirror of incremental_minhash_screen on documents, with
     the new batch defined as doc_id % new_mod = new_rem."""
-    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
-    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
     return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, t.tok
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
-  WHERE t.tok <> ''
-),
-freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
-tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
-perms AS (
-  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
-  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
-),
-sig AS (
-  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
-  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
-),
-bands AS (
-  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
-         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
-  FROM sig GROUP BY 1, 2
-),
+{MINHASH_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          (b.doc_id % {new_mod} = {new_rem}) AS new2
@@ -361,30 +374,8 @@ WHERE d.doc_id % {new_mod} = {new_rem}
 
 def duck_minhash_oracle(threshold: float) -> str:
     """DuckDB mirror of minhash_lsh_pairs on the documents table."""
-    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
-    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
     return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, t.tok
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
-  WHERE t.tok <> ''
-),
-freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
-tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
-perms AS (
-  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
-  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
-),
-sig AS (
-  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
-  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
-),
-bands AS (
-  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
-         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
-  FROM sig GROUP BY 1, 2
-),
+{MINHASH_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b

@@ -277,15 +277,34 @@ def fixedpoint_vectors(
     makes integer division agree everywhere (Spark ``div`` truncates
     toward zero, DuckDB ``//`` floors — identical for non-negative
     operands, the zorder key's portability rule). L2 argmin is
-    translation-invariant, so the shift changes no assignment."""
+    translation-invariant, so the shift changes no assignment.
+
+    The non-negativity PRECONDITION (every coordinate >= -KM_SHIFT) is
+    asserted IN-PLAN: a coordinate below the shift would silently
+    desynchronize the two engines' integer divisions, so the encode
+    expression raises instead — a conditional ``assert_true`` branch,
+    zero extra passes, loud on the first offending element (the
+    testdata regenerates every round; today's range is (-0.58, 0.52)
+    but the operator must not trust that)."""
+
+    def _enc(x):
+        xd = x.cast("double")
+        ok = xd >= F.lit(float(-KM_SHIFT))
+        return F.when(
+            ok, F.floor((xd + KM_SHIFT) * KM_SCALE).cast("bigint")
+        ).otherwise(
+            F.assert_true(
+                ok,
+                F.lit(
+                    "fixedpoint_vectors: coordinate < -KM_SHIFT would "
+                    "break div/floor cross-engine portability"
+                ),
+            ).cast("bigint")
+        )
+
     return corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor((x.cast("double") + KM_SHIFT) * KM_SCALE).cast(
-                "bigint"
-            ),
-        ).alias("xi"),
+        F.transform(F.col(vec_col), _enc).alias("xi"),
     )
 
 

@@ -58,9 +58,12 @@ def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> D
         offsets.append(acc)
         acc += counts.get(pid, 0)
     w = Window.partitionBy("_rk_pid").orderBy(*cols)
+    # bigint throughout: a 100 TB fact table exceeds 2^31 rows, and the
+    # per-partition offsets are sums over the whole relation
     off = F.element_at(
-        F.array(*[F.lit(o).cast("int") for o in offsets]), F.col("_rk_pid") + 1
+        F.array(*[F.lit(o).cast("bigint") for o in offsets]),
+        F.col("_rk_pid") + 1,
     )
     return ranged.withColumn(
-        rank_col, (F.row_number().over(w) + off).cast("int")
+        rank_col, (F.row_number().over(w) + off).cast("bigint")
     ).drop("_rk_pid")

@@ -500,7 +500,7 @@ WITH seq AS (
              PARTITION BY user_id
              ORDER BY CAST(ts AS TIMESTAMP), event_id
          ) AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 c AS (
   SELECT cur_type, next_type, count(*) AS n
@@ -537,7 +537,10 @@ def q_events_transitions(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
+    # NULL ts excluded BEFORE the lead on both sides (the
+    # q_events_gaps rule): Spark sorts NULLs first, DuckDB last, so an
+    # unfiltered NULL would pair different adjacencies per engine
+    seq = e.filter(F.col("ts").isNotNull()).select(
         F.col("event_type").alias("cur_type"),
         F.lead("event_type").over(w).alias("next_type"),
     )

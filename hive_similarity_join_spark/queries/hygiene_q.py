@@ -1023,37 +1023,11 @@ FUZZY_DECON_T = 0.8
 
 def _fuzzy_decon_oracle() -> str:
     from hive_similarity_join_spark.operators.dedup import (
-        NUM_PERM,
-        P_MOD,
-        PERM_A,
-        PERM_B,
-        ROWS_PER_BAND,
+        MINHASH_SIG_CTES,
     )
 
-    a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
-    b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
     return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, t.tok
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
-  WHERE t.tok <> ''
-),
-freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-rk AS (SELECT tok, row_number() OVER (ORDER BY c, tok) AS r FROM freq),
-tokr AS (SELECT doc_id, r FROM tok JOIN rk USING (tok)),
-perms AS (
-  SELECT t.i AS i, ({a_list})[t.i] AS a, ({b_list})[t.i] AS b
-  FROM unnest(generate_series(1, {NUM_PERM})) AS t(i)
-),
-sig AS (
-  SELECT doc_id, p.i, min((p.a * t.r + p.b) % {P_MOD}) AS h
-  FROM tokr t CROSS JOIN perms p GROUP BY doc_id, p.i
-),
-bands AS (
-  SELECT doc_id, CAST((i - 1) // {ROWS_PER_BAND} AS INTEGER) AS band,
-         string_agg(CAST(h AS VARCHAR), '-' ORDER BY i) AS bsig
-  FROM sig GROUP BY 1, 2
-),
+{MINHASH_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
   FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig

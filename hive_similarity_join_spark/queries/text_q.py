@@ -617,6 +617,9 @@ def q_skyline_docs(spark, sf_dir):
     uses the plain single-node staircase; results are identical."""
     BUCKET_W = 256
     d = load_table(spark, sf_dir, "documents")
+    # persisted: m feeds both the windowed relation and the per-bucket
+    # max — without it the corpus tokenization runs twice (the
+    # q_graph_* shared-subtree rule)
     m = d.select(
         "doc_id",
         "n_chars",
@@ -624,7 +627,7 @@ def q_skyline_docs(spark, sf_dir):
         .cast("bigint")
         .alias("n_vocab"),
         (F.col("n_chars") / BUCKET_W).cast("bigint").alias("_b"),
-    )
+    ).persist()
     w_gtx = (
         Window.partitionBy("_b")
         .orderBy(F.desc("n_chars"))
@@ -679,7 +682,9 @@ SELECT source,
        CAST(sum(cnt) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_vocab,
        round(ln(CAST(sum(cnt) AS DOUBLE))
-             - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+             - CAST(sum(CAST(round(
+                   CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 6
+               ) AS DECIMAL(28,6))) AS DOUBLE)
                / CAST(sum(cnt) AS DOUBLE), 6) AS entropy_nats
 FROM c GROUP BY source
 """,
@@ -693,10 +698,14 @@ def q_text_entropy(spark, sf_dir):
     floats are one ln per distinct term and the final combination.
 
     Exactness: each c*ln(c) term associates identically on both
-    engines (cast->ln->multiply); only the SUM of those doubles is
-    order-dependent, absorbed by round(...,6) on both sides (the
-    FIXTURES.md rule for order-dependent float sums; observed
-    cross-engine drift is ~1e-12, six orders below the rounding).
+    engines (cast->ln->multiply — deterministic per row); the SUM of
+    those doubles would be order-dependent, so each term is rounded to
+    6 decimals and summed as DECIMAL(28,6) — an EXACT accumulation per
+    the CLAUDE.md rule that multiply-accumulate chains stay in
+    decimals (round-then-decimal-sum is order-independent, unlike a
+    rounded double sum); the double tail is one divide and one
+    subtract on already-deterministic scalars, plus the outer
+    presentation round.
 
     Scale: grouped count is map-side partial; the entropy rollup runs
     on the (source, term) relation — vocabulary-sized, not
@@ -708,7 +717,10 @@ def q_text_entropy(spark, sf_dir):
     )
     n = F.sum("cnt").cast("bigint")
     nd = n.cast("double")
-    s = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+    term = F.round(
+        F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")), 6
+    ).cast("decimal(28,6)")
+    s = F.sum(term).cast("double")
     return c.groupBy("source").agg(
         n.alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),

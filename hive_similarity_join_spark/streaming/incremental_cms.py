@@ -6,9 +6,12 @@ counters(B) cell-wise, and a micro-batch updates the standing sketch
 with one vocab-sized aggregation + one <= D*W-cell merge.
 
 ``foreachBatch`` composition like the other incremental operators: the
-counter table lives as parquet at ``counters_dir`` (at most
-CMS_D x CMS_W rows — kilobytes); per epoch the batch's token counts
-fold in and the table is atomically replaced. The bounded
+counter table lives as VERSIONED parquet carries under
+``counters_dir`` (at most CMS_D x CMS_W rows — kilobytes); per epoch
+the batch's token counts fold into the newest version strictly below
+the current epoch id and the next version is written
+(streaming/state.py contract — a retried epoch never double-folds its
+batch). The bounded
 driver-side collect of the OLD counter table is the sketch's whole
 point — state is O(D*W) regardless of stream volume (contrast the
 exact seen-shingle store in incremental_novelty.py, which grows with
@@ -22,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_similarity_join_spark.operators import cms
+from hive_similarity_join_spark.streaming.state import (
+    carry_versions,
+    prune_carries,
+)
 
 _COUNTER_SCHEMA = T.StructType(
     [
@@ -32,12 +39,21 @@ _COUNTER_SCHEMA = T.StructType(
 )
 
 
-def _read_counters(spark: SparkSession, counters_dir: str) -> list[Row]:
-    """Standing counter cells (bounded by D*W rows), or [] before the
-    first epoch. Collected driver-side so the overwrite below has no
-    lazy read-from-what-we-overwrite dependency."""
+def _read_counters(
+    spark: SparkSession, counters_dir: str, below_epoch: int | None = None
+) -> list[Row]:
+    """Standing counter cells (bounded by D*W rows) from the newest
+    carry version (strictly below ``below_epoch`` when given — the
+    retry-safe read of the streaming/state.py contract), or [] before
+    the first epoch. Collected driver-side: state is O(D*W) by
+    construction, the sketch's whole point."""
+    versions = carry_versions(counters_dir, below_epoch=below_epoch)
+    if not versions:
+        return []
     try:
-        return spark.read.schema(_COUNTER_SCHEMA).parquet(counters_dir).collect()
+        return (
+            spark.read.schema(_COUNTER_SCHEMA).parquet(versions[-1]).collect()
+        )
     except Exception:
         return []
 
@@ -82,9 +98,14 @@ def incremental_cms(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        old = _read_counters(spark, counters_dir)
+        old = _read_counters(spark, counters_dir, below_epoch=epoch_id)
         merged = update_counters(batch, old, tokens_col)
-        merged.coalesce(1).write.mode("overwrite").parquet(counters_dir)
+        # versioned carry dirs (streaming/state.py): a retried epoch
+        # re-reads the PRIOR version, so the batch never double-folds
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{counters_dir}/carry_v{epoch_id}"
+        )
+        prune_carries(counters_dir)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -122,8 +122,13 @@ def incremental_decontaminate(
             clean, contaminated = screen_batch(
                 batch, ev_shingles, id_col, text_col, n, hits=hits
             )
-            clean.write.mode("append").parquet(clean_dir)
-            contaminated.write.mode("append").parquet(quarantine_dir)
+            # epoch-named overwrite: retry-idempotent on both sinks
+            clean.write.mode("overwrite").parquet(
+                f"{clean_dir}/epoch_{epoch_id}"
+            )
+            contaminated.write.mode("overwrite").parquet(
+                f"{quarantine_dir}/epoch_{epoch_id}"
+            )
         finally:
             hits.unpersist()
 

@@ -37,7 +37,9 @@ def _read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     hdfs://-style dir would silently report 'cold' every epoch and
     admit every duplicate)."""
     try:
-        return spark.read.parquet(corpus_dir)
+        return spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(corpus_dir)
     except Exception:
         return None
 
@@ -91,7 +93,12 @@ def incremental_near_dedup(
         novel = dedup_batch_against_corpus(
             batch, corpus, threshold, id_col, text_col
         )
-        novel.write.mode("append").parquet(corpus_dir)
+        # epoch-named overwrite (streaming/state.py contract): a
+        # retried epoch rewrites its own admissions instead of
+        # appending duplicates into the corpus
+        novel.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch_{epoch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

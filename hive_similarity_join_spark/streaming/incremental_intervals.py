@@ -23,17 +23,24 @@ key on the full relation — pytest-asserted in
 tests/test_incremental_intervals.py against q_intervals_merge itself.
 
 State is O(keys) rows — bounded by the entity population, not the
-stream. Like the other incremental mirrors, foreachBatch + versioned
-parquet carry dirs (read version N, write N+1, prune <= N-1) keep the
-state distributed, restart-durable, and never round-tripped through
-the driver.
+stream. Like the other incremental mirrors, foreachBatch + the
+versioned parquet carry contract (streaming/state.py: read the newest
+version below the current epoch id, write this epoch's, prune) keeps
+the state distributed, restart-durable, and retry-safe; closed
+islands land in per-epoch overwrite dirs so a retried epoch rewrites
+rather than duplicates its output.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from hive_similarity_join_spark.streaming.state import (
+    prune_carries,
+    read_latest_carry,
+)
 
 _CARRY_SCHEMA = T.StructType(
     [
@@ -46,21 +53,18 @@ _CARRY_SCHEMA = T.StructType(
 )
 
 
-def _read(spark: SparkSession, path: str, schema) -> DataFrame | None:
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return None
-
-
 def process_epoch(
     batch: DataFrame, carry: DataFrame | None
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Pure per-epoch core. ``batch`` is (key, start, end, uid) with a
-    unique uid per interval; returns (closed islands, new carry), both
-    (key, island_id, start, end, n). With ``carry=None`` this IS the
-    batch islands computation (island ids 1-based), which the
-    equivalence test exploits."""
+    unique uid per interval; returns (closed islands, new carry,
+    shared), the first two (key, island_id, start, end, n). ``shared``
+    is the persisted grouped-islands relation both outputs slice —
+    consume both, then ``shared.unpersist()`` (without the persist the
+    carry read + union + both window passes would run twice, once per
+    output action). With ``carry=None`` this IS the batch islands
+    computation (island ids 1-based), which the equivalence test
+    exploits."""
     rows = batch.select(
         "key",
         "start",
@@ -119,21 +123,12 @@ def process_epoch(
         F.sum("n").cast("bigint").alias("n"),
     )
     last = F.max("island_id").over(Window.partitionBy("key"))
-    flagged = grouped.withColumn("_last", last)
+    flagged = grouped.withColumn("_last", last).persist()
     closed = flagged.filter(F.col("island_id") < F.col("_last")).drop("_last")
     new_carry = flagged.filter(F.col("island_id") == F.col("_last")).drop(
         "_last"
     )
-    return closed, new_carry
-
-
-def _carry_versions(state_dir: str) -> list[str]:
-    import glob
-
-    return sorted(
-        glob.glob(f"{state_dir}/carry_v*"),
-        key=lambda p: int(p.rsplit("_v", 1)[1]),
-    )
+    return closed, new_carry, flagged
 
 
 def incremental_intervals(
@@ -144,25 +139,28 @@ def incremental_intervals(
     """Start the streaming query over a (key, start, end, uid) interval
     stream. Closed islands accumulate append-only at
     ``{state_dir}/islands``; the open island per key lives in versioned
-    dirs ``{state_dir}/carry_v{epoch}`` (read latest, write next, prune
-    older — the incremental_pattern layout: bounded at 2x carry size,
-    retry-safe, no driver round-trip)."""
+    dirs ``{state_dir}/carry_v{epoch}`` per the streaming/state.py
+    contract: read the newest version BELOW this epoch id (a retried
+    epoch never consumes its own failed attempt's carry), write this
+    epoch's version, prune to the last two — bounded at 2x carry size,
+    retry-safe, no driver round-trip."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        versions = _carry_versions(state_dir)
-        carry = (
-            _read(spark, versions[-1], _CARRY_SCHEMA) if versions else None
+        carry = read_latest_carry(
+            spark, state_dir, _CARRY_SCHEMA, below_epoch=epoch_id
         )
-        closed, new_carry = process_epoch(batch, carry)
-        closed.write.mode("append").parquet(f"{state_dir}/islands")
+        closed, new_carry, shared = process_epoch(batch, carry)
+        # epoch-named overwrite, not blind append: a retried epoch
+        # rewrites its own output dir instead of duplicating rows
+        closed.write.mode("overwrite").parquet(
+            f"{state_dir}/islands/epoch_{epoch_id}"
+        )
         new_carry.write.mode("overwrite").parquet(
             f"{state_dir}/carry_v{epoch_id}"
         )
-        import shutil
-
-        for old in _carry_versions(state_dir)[:-2]:
-            shutil.rmtree(old, ignore_errors=True)
+        shared.unpersist()
+        prune_carries(state_dir)
 
     writer = stream.writeStream.foreachBatch(process).trigger(
         availableNow=True

@@ -42,7 +42,9 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     epoch and novelty would score against an empty store with no
     error)."""
     try:
-        return spark.read.parquet(store_dir)
+        return spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(store_dir)
     except Exception:
         return None
 
@@ -118,13 +120,15 @@ def incremental_novelty(
         # per-batch pipeline.
         fresh = fresh.persist()
         try:
-            # Scores first: if the writer dies between the two appends,
-            # the re-run re-emits scores (at-least-once, reconcilable)
-            # rather than silently marking re-sent shingles as stale.
+            # Epoch-named overwrite dirs (streaming/state.py
+            # contract): a retried epoch rewrites its own scores and
+            # its own store shard instead of duplicating either.
             scores.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(scores_dir)
-            fresh.write.mode("append").parquet(store_dir)
+                "overwrite"
+            ).parquet(f"{scores_dir}/epoch_{epoch_id}")
+            fresh.write.mode("overwrite").parquet(
+                f"{store_dir}/epoch_{epoch_id}"
+            )
         finally:
             fresh.unpersist()
 

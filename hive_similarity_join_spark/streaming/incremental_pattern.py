@@ -30,11 +30,15 @@ streaming/stateful.py note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hive_similarity_join_spark.queries.events_q import PATTERN
+from hive_similarity_join_spark.streaming.state import (
+    prune_carries,
+    read_latest_carry,
+)
 
 _CARRY_SCHEMA = T.StructType(
     [
@@ -44,13 +48,6 @@ _CARRY_SCHEMA = T.StructType(
         T.StructField("us", T.LongType()),
     ]
 )
-
-
-def _read(spark: SparkSession, path: str, schema) -> DataFrame | None:
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return None
 
 
 def match_patterns(events: DataFrame) -> DataFrame:
@@ -83,11 +80,14 @@ def match_patterns(events: DataFrame) -> DataFrame:
 
 def process_epoch(
     batch: DataFrame, carry: DataFrame | None
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The per-epoch core (pure batch function): returns (new matches,
-    new carry). Matches are those whose END event arrived this epoch —
-    with a <= 2-row carry a triple's end is always in the batch, so
-    emitting every match of (carry ∪ batch) double-counts nothing."""
+    new carry, shared). Matches are those whose END event arrived this
+    epoch — with a <= 2-row carry a triple's end is always in the
+    batch, so emitting every match of (carry ∪ batch) double-counts
+    nothing. ``shared`` is the persisted combined slice both outputs
+    derive from — consume both, then ``shared.unpersist()`` (otherwise
+    the carry read + union runs once per output action)."""
     from pyspark.sql import Window
 
     ev = batch.filter(F.col("ts").isNotNull()).select(
@@ -95,6 +95,7 @@ def process_epoch(
         F.unix_micros("ts").alias("us"),
     )
     combined = ev if carry is None else carry.unionByName(ev)
+    combined = combined.persist()
     matches = match_patterns(combined)
     w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
     new_carry = (
@@ -102,19 +103,7 @@ def process_epoch(
         .filter(F.col("_rn") <= 2)
         .drop("_rn")
     )
-    return matches, new_carry
-
-
-def _carry_versions(state_dir: str) -> list[str]:
-    """Existing carry version dirs, oldest first. Driver-side local
-    listing (glob); on a cluster filesystem the same contract runs on
-    the Hadoop FileSystem API — list, not read."""
-    import glob
-
-    return sorted(
-        glob.glob(f"{state_dir}/carry_v*"),
-        key=lambda p: int(p.rsplit("_v", 1)[1]),
-    )
+    return matches, new_carry, combined
 
 
 def incremental_pattern(
@@ -122,34 +111,33 @@ def incremental_pattern(
     state_dir: str,
     checkpoint_dir: str | None = None,
 ):
-    """Start the streaming query; matches accumulate append-only at
-    ``{state_dir}/matches``, the per-user tail lives in VERSIONED dirs
-    ``{state_dir}/carry_v{epoch}``: each epoch reads the latest
-    version and writes the next one — never read-then-overwrite on one
-    path, and never a driver round-trip of the carry rows (the r7
+    """Start the streaming query; per-epoch matches land in overwrite
+    dirs ``{state_dir}/matches/epoch_{N}`` (a retried epoch rewrites
+    rather than duplicates its output), the per-user tail lives in
+    VERSIONED dirs ``{state_dir}/carry_v{epoch}`` per the
+    streaming/state.py contract: read the newest version strictly
+    BELOW this epoch id — a retried epoch never consumes the carry its
+    failed attempt wrote — write this epoch's version, prune to the
+    last two. No driver round-trip of the carry rows (the r7
     ``carry.collect()`` materialization is gone; at 100 TB the carry is
-    the user population and must stay distributed). Old versions beyond
-    the previous one are pruned each epoch, so storage is bounded at
-    2 x carry size; keeping the previous version makes an epoch retry
-    after a mid-write failure re-readable."""
+    the user population and must stay distributed)."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        versions = _carry_versions(state_dir)
-        carry = (
-            _read(spark, versions[-1], _CARRY_SCHEMA) if versions else None
+        carry = read_latest_carry(
+            spark, state_dir, _CARRY_SCHEMA, below_epoch=epoch_id
         )
-        matches, new_carry = process_epoch(batch, carry)
-        matches.write.mode("append").parquet(f"{state_dir}/matches")
+        matches, new_carry, shared = process_epoch(batch, carry)
+        matches.write.mode("overwrite").parquet(
+            f"{state_dir}/matches/epoch_{epoch_id}"
+        )
         # distinct dir per epoch: the lazy read of the old version and
         # the write of the new one never touch the same path
         new_carry.write.mode("overwrite").parquet(
             f"{state_dir}/carry_v{epoch_id}"
         )
-        import shutil
-
-        for old in _carry_versions(state_dir)[:-2]:
-            shutil.rmtree(old, ignore_errors=True)
+        shared.unpersist()
+        prune_carries(state_dir)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -47,7 +47,9 @@ def _read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
     through Spark so any Hadoop-compatible FS works — same rationale
     as incremental_dedup._read_corpus)."""
     try:
-        return spark.read.parquet(corpus_dir)
+        return spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(corpus_dir)
     except Exception:
         return None
 
@@ -107,7 +109,10 @@ def incremental_weighted_screen(
         novel = screen_batch_against_corpus(
             batch, corpus, threshold, id_col, text_col, in_batch_screen
         )
-        novel.write.mode("append").parquet(corpus_dir)
+        # epoch-named overwrite: retry-idempotent (state.py contract)
+        novel.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch_{epoch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

@@ -91,7 +91,9 @@ def test_streaming_counters_equal_batch_build(spark, dirs):
     )
     q.awaitTermination(180)
 
-    got = spark.read.parquet(f"{dirs}/counters")
+    from hive_similarity_join_spark.streaming.state import carry_versions
+
+    got = spark.read.parquet(carry_versions(f"{dirs}/counters")[-1])
     assert _cells(got) == _cells(_batch_counters(docs))
     # state stays sketch-sized
     assert got.count() <= cms.CMS_D * cms.CMS_W

@@ -101,7 +101,9 @@ def test_streamed_split_equals_batch_split(spark, dirs):
     q.awaitTermination(300)
     got = {
         r.doc_id: r.n_shared_ngrams
-        for r in spark.read.parquet(f"{dirs}/quarantine").collect()
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{dirs}/quarantine")
+        .collect()
     }
     want = {
         r.doc_id: r.n_shared_ngrams
@@ -110,7 +112,10 @@ def test_streamed_split_equals_batch_split(spark, dirs):
     assert got == want
     clean_ids = {
         r.doc_id
-        for r in spark.read.parquet(f"{dirs}/clean").select("doc_id").collect()
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{dirs}/clean")
+        .select("doc_id")
+        .collect()
     }
     assert clean_ids.isdisjoint(got)
     assert len(clean_ids) + len(got) == train.count()

@@ -60,7 +60,9 @@ def test_streaming_corpus_ends_up_dup_free(spark, dirs):
     )
     q.awaitTermination(180)
 
-    corpus = spark.read.parquet(corpus_dir)
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(
+        corpus_dir
+    )
     # no surviving near-dup pair inside the admitted corpus
     leftover = similarity_join(corpus, "doc_id", "text", threshold=T, persist=False)
     assert leftover.count() == 0

@@ -66,7 +66,7 @@ def _batch_key_set(spark):
 def test_single_shot_core_equals_batch_key(spark):
     """process_epoch with no carry IS the batch islands computation —
     closed + carry must reproduce q_intervals_merge exactly."""
-    closed, carry = process_epoch(_intervals(spark), None)
+    closed, carry, _sh = process_epoch(_intervals(spark), None)
     got = sorted(_island_set(closed) + _island_set(carry))
     assert got == _batch_key_set(spark) and got
 
@@ -80,9 +80,9 @@ def test_epoch_core_merges_across_boundary(spark):
     ).collect()[0][0]
     first = iv.filter(F.unix_micros(F.col("start").cast("timestamp")) <= cut)
     second = iv.filter(F.unix_micros(F.col("start").cast("timestamp")) > cut)
-    c1, carry = process_epoch(first, None)
+    c1, carry, _sh1 = process_epoch(first, None)
     carry = spark.createDataFrame(carry.collect(), _CARRY_SCHEMA)
-    c2, open_final = process_epoch(second, carry)
+    c2, open_final, _sh2 = process_epoch(second, carry)
     got = sorted(
         _island_set(c1) + _island_set(c2) + _island_set(open_final)
     )
@@ -117,15 +117,14 @@ def test_streaming_islands_equal_batch_key(spark, dirs):
     )
     q.awaitTermination(180)
 
-    closed = spark.read.schema(_CARRY_SCHEMA).parquet(
-        f"{dirs}/state/islands"
+    closed = (
+        spark.read.schema(_CARRY_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{dirs}/state/islands")
     )
-    import glob
+    from hive_similarity_join_spark.streaming.state import carry_versions
 
-    carry_dirs = sorted(
-        glob.glob(f"{dirs}/state/carry_v*"),
-        key=lambda p: int(p.rsplit("_v", 1)[1]),
-    )
+    carry_dirs = carry_versions(f"{dirs}/state")
     carry = spark.read.schema(_CARRY_SCHEMA).parquet(carry_dirs[-1])
     got = sorted(_island_set(closed) + _island_set(carry))
     assert got == _batch_key_set(spark)

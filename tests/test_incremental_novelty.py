@@ -90,7 +90,11 @@ def test_streaming_scores_accumulate(spark, dirs):
     )
     q.awaitTermination(180)
 
-    got = _rows(spark.read.parquet(f"{dirs}/scores").drop("epoch"))
+    got = _rows(
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{dirs}/scores")
+        .drop("epoch")
+    )
     whole, _ = novelty_batch_against_seen(docs, None)
     assert got == _rows(whole)
 

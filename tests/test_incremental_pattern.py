@@ -47,9 +47,9 @@ def test_epoch_core_completes_boundary_triples(spark):
     ts_cut = e.limit(n // 2).agg(F.max("ts")).collect()[0][0]
     first = e.filter(F.col("ts") <= ts_cut)
     second = e.filter(F.col("ts") > ts_cut)
-    m1, carry = process_epoch(first, None)
+    m1, carry, _sh1 = process_epoch(first, None)
     carry = spark.createDataFrame(carry.collect(), carry.schema)
-    m2, _ = process_epoch(second, carry)
+    m2, _, _sh2 = process_epoch(second, carry)
     got = sorted(_match_set(m1) + _match_set(m2))
     assert got == want
 
@@ -78,14 +78,18 @@ def test_streaming_matches_equal_batch_key(spark, dirs):
     )
     q.awaitTermination(180)
 
-    got = _match_set(spark.read.parquet(f"{dirs}/state/matches"))
+    got = _match_set(
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{dirs}/state/matches"
+        )
+    )
     want = _match_set(q_events_pattern(spark, SF_SMOKE))
     assert got == want
-    from hive_similarity_join_spark.streaming.incremental_pattern import (
-        _carry_versions,
+    from hive_similarity_join_spark.streaming.state import (
+        carry_versions,
     )
 
-    versions = _carry_versions(f"{dirs}/state")
+    versions = carry_versions(f"{dirs}/state")
     # versioned carry dirs: storage bounded at <= 2 versions, and the
     # LATEST version holds the per-user tail
     assert 1 <= len(versions) <= 2

@@ -68,7 +68,9 @@ def test_streaming_accumulates_and_screens(spark, dirs):
     )
     q.awaitTermination(180)
 
-    corpus = spark.read.parquet(corpus_dir)
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(
+        corpus_dir
+    )
     # re-sent ids admitted at most once
     assert corpus.select("doc_id").distinct().count() == corpus.count()
     # nothing in the admitted corpus is still screenable against the

@@ -119,3 +119,26 @@ def test_lloyd_kmeans_fixedpoint_partition_invariant(spark):
     rb = sorted((r.vec_id, r.cluster, r.dist2) for r in b.collect())
     assert ra == rb
     assert len({c for _, c, _ in ra}) > 1  # non-degenerate clustering
+
+
+def test_fixedpoint_vectors_guards_shift_precondition(spark):
+    """A coordinate below -KM_SHIFT would silently desynchronize
+    Spark's truncating div from DuckDB's flooring // — the encode
+    must raise in-plan instead (and pass clean data through)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from hive_similarity_join_spark.operators.ivf import (
+        KM_SHIFT,
+        fixedpoint_vectors,
+    )
+
+    ok = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.5, -KM_SHIFT])]
+    )
+    assert fixedpoint_vectors(ok).collect()[0].xi == [1500000, 0]
+    bad = spark.createDataFrame(
+        [Row(vec_id=2, embedding=[0.0, -KM_SHIFT - 0.25])]
+    )
+    with pytest.raises(Exception, match="KM_SHIFT"):
+        fixedpoint_vectors(bad).collect()
