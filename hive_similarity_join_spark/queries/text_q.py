@@ -726,3 +726,91 @@ def q_text_entropy(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
         F.round(F.log(nd) - s / nd, 6).alias("entropy_nats"),
     )
+
+
+# ---------------- bigram language-model scoring (perplexity filter)
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+occ AS (
+  SELECT doc_id, t.i AS pos, bag[t.i] AS tok
+  FROM bags, unnest(generate_series(1, len(bag))) AS t(i)
+),
+bg AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM occ
+),
+b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+cnt2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+cnt1 AS (SELECT w1, sum(c12) AS c1 FROM cnt2 GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM b JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob,
+       round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 6) AS ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model scoring of every document against the
+    corpus's own bigram statistics — the perplexity-style quality
+    filter an LLM-data pipeline runs to drop gibberish and boilerplate
+    (low average log-prob = improbable token transitions). Per doc:
+    mean ln P(w2|w1) under the MLE bigram model c(w1,w2)/c(w1), and
+    the corresponding perplexity. No smoothing needed: every scored
+    bigram is counted from the same corpus, so P > 0 by construction.
+    Docs with fewer than two tokens have no bigrams and are excluded
+    by definition on both sides.
+
+    Exactness: each term's ratio divides two exact bigints before the
+    single ln (deterministic per term); terms are rounded to 6
+    decimals and summed as DECIMAL(28,6) — the order-independent
+    accumulation rule (q_text_entropy) — and the two output floats are
+    rounds of one divide / one exp over deterministic scalars.
+
+    Scale shape: ordered bigrams come from ONE lead-window per doc
+    (shuffle on doc_id); the count relations aggregate map-side; the
+    probability join rides (w1, w2) / (w1) equi-keys — bigram-type
+    cardinality, broadcastable only when the vocabulary is small, so
+    it is left as a shuffle join that AQE can downgrade to broadcast
+    when stats allow. At 100 TB this is the inverted shape of the BPE
+    pair counter, and the heavy relation is touched twice (count +
+    score), both times as pure codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(TX.bag_tokens("text")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    b = (
+        occ.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cnt2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lp = F.round(
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(28,6)")
+    scored = (
+        b.join(cnt2, ["w1", "w2"]).join(cnt1, "w1").select("doc_id", lp.alias("lp"))
+    )
+    avg = F.sum("lp").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )

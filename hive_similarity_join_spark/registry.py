@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "q_agg_weighted_median", "q_sample_reservoir", "q_dedup_incremental",
     "q_intervals_merge", "q_agg_mode", "q_text_entropy", "q_table_diff",
     "q_range_splits", "q_events_rollup", "q_report_concentration",
+    "q_text_bigram_lm",
 ]
 
 
