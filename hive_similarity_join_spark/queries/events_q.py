@@ -15,6 +15,7 @@ emitted as formatted strings — identical text on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.registry import query
@@ -631,3 +632,362 @@ def q_events_rollup(spark, sf_dir):
         )
         .select("event_type", "y", "m", "d", "grain", "cnt", "sum_value")
     )
+
+
+# ---------------- CUSUM changepoint detection per event stream
+
+
+@query(
+    "q_events_cusum",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(28,6)) AS s
+  FROM e GROUP BY event_type
+),
+pre AS (
+  SELECT e.event_type, e.tsu, e.event_id, t.n,
+         CAST(SUM(x) OVER w AS DECIMAL(28,6)) * t.n
+           - (ROW_NUMBER() OVER w) * t.s AS pp
+  FROM e JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.tsu, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT event_type, tsu, event_id, n,
+         pp - least(min(pp) OVER w, CAST(0 AS DECIMAL(38,6))) AS s_pos,
+         greatest(max(pp) OVER w, CAST(0 AS DECIMAL(38,6))) - pp AS s_neg
+  FROM pre
+  WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT event_type, any_value(n) AS n,
+         round(CAST(max(s_pos) AS DOUBLE) / any_value(n), 6) AS cusum_pos,
+         round(CAST(max(s_neg) AS DOUBLE) / any_value(n), 6) AS cusum_neg
+  FROM st GROUP BY event_type
+),
+cp AS (
+  SELECT event_type, tsu,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s_pos DESC, tsu, event_id) AS rn
+  FROM st
+)
+SELECT a.event_type, a.n, a.cusum_pos, a.cusum_neg,
+       strftime(c.tsu, '{_FMT}') AS changepoint_ts
+FROM agg a JOIN cp c ON a.event_type = c.event_type AND c.rn = 1
+""",
+)
+def q_events_cusum(spark, sf_dir):
+    """Two-sided CUSUM changepoint scan per event-type stream — the
+    mean-shift detector a metrics pipeline runs over each series to
+    flag when a level change happened (deploy regressions, traffic
+    shifts). Reports, per type, the maximum positive and negative
+    CUSUM excursions around the series mean and the timestamp of the
+    positive peak (the estimated changepoint).
+
+    The textbook recursion S_k = max(0, S_{{k-1}} + (x_k - mu)) is not
+    a window function, but it has a closed form over prefix sums:
+    S_k = P_k - min(0, min_{{j<=k}} P_j) with P_k = sum_{{i<=k}}
+    (x_i - mu). Multiplying through by n removes the mean division:
+    n*P_k = n*prefix_k - k*total — every term an EXACT decimal
+    (decimal(28,6) prefix x bigint -> decimal(38,6), verified
+    saturating-not-rounding on both engines), so the running min/max
+    and subtraction stay exact; the only doubles are the final
+    divide-by-n and presentation round (the CLAUDE.md decimal rule).
+    The negative excursion uses the mirrored identity with the
+    running max. (tsu, event_id) gives a total order, so ranks and
+    prefix sums are reproducible under any partitioning.
+
+    Scale: one shuffle on event_type for the windows (the series key —
+    at 100 TB each series sorts independently; a per-(type, day)
+    pre-aggregation would bound partition width if single series
+    exceed executor memory); the totals join is a 5-row broadcast.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").alias("tsu"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("tsu", "event_id")
+    pre = (
+        e.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "pp",
+            F.sum("x").over(w).cast("decimal(28,6)") * F.col("n")
+            - F.row_number().over(wr) * F.col("s"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    st = pre.select(
+        "event_type",
+        "tsu",
+        "event_id",
+        "n",
+        (F.col("pp") - F.least(F.min("pp").over(w), zero)).alias("s_pos"),
+        (F.greatest(F.max("pp").over(w), zero) - F.col("pp")).alias("s_neg"),
+    )
+    agg = st.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.round(
+            F.max("s_pos").cast("double") / F.any_value("n"), 6
+        ).alias("cusum_pos"),
+        F.round(
+            F.max("s_neg").cast("double") / F.any_value("n"), 6
+        ).alias("cusum_neg"),
+    )
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.col("s_pos").desc(), "tsu", "event_id"
+    )
+    cp = (
+        st.withColumn("rn", F.row_number().over(wcp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("tsu", "yyyy-MM-dd HH:mm:ss").alias("changepoint_ts"),
+        )
+    )
+    return agg.join(cp, "event_type").select(
+        "event_type", "n", "cusum_pos", "cusum_neg", "changepoint_ts"
+    )
+
+
+# ---------------- time-grid resample with forward fill (gap-fill)
+
+
+@query(
+    "q_time_gapfill",
+    oracle=f"""
+WITH slotted AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                      AS BIGINT)) AS slot,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT event_type, slot, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS DECIMAL(28,6)) AS slot_sum
+  FROM slotted GROUP BY event_type, slot
+),
+span AS (
+  SELECT event_type, min(slot) AS s0, max(slot) AS s1 FROM agg GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(s0, s1, INTERVAL 15 MINUTE)) AS slot
+  FROM span
+),
+joined AS (
+  SELECT g.event_type, g.slot, a.cnt, a.slot_sum
+  FROM grid g LEFT JOIN agg a USING (event_type, slot)
+)
+SELECT event_type,
+       strftime(slot, '{_FMT}') AS slot_start,
+       COALESCE(cnt, 0) AS cnt,
+       CAST(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap_filled,
+       CAST(last_value(slot_sum IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY slot
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS filled_sum
+FROM joined
+""",
+)
+def q_time_gapfill(spark, sf_dir):
+    """Fixed-grid resampling with forward fill — the hypertable
+    `time_bucket_gapfill + locf` operation: every event-type series is
+    projected onto a dense 15-minute grid spanning its observed range;
+    empty slots appear explicitly (cnt=0, gap_filled=1) carrying the
+    last observed slot aggregate forward. This is what turns an
+    irregular event stream into the regular series a forecasting or
+    anomaly model trains on.
+
+    Exactness: slot assignment is integer epoch math (the
+    q_stream_sliding floor rule); per-slot sums stay decimal through
+    the LOCF window (``last(ignorenulls)`` over a total order — slots
+    are unique per type) and cast to double only at emission; grid
+    timestamps come from the same sequence arithmetic on both engines
+    and are emitted as formatted strings. The first grid slot per type
+    is an observed slot (span minimum), so LOCF never emits NULL.
+
+    Scale: the slot aggregation is a map-side-combined shuffle on
+    (type, slot) — grid density is slots-per-span, INDEPENDENT of the
+    event count, so the gap-fill join and window run on the tiny grid
+    relation; at 100 TB the heavy table is touched once, everything
+    downstream is O(grid). The sequence explode generates each type's
+    grid in its span row — no driver loop."""
+    e = load_table(spark, sf_dir, "events")
+    slotted = e.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.window("ts", "15 minutes")["start"].alias("slot"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+    )
+    agg = slotted.groupBy("event_type", "slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("decimal(28,6)").alias("slot_sum"),
+    )
+    span = agg.groupBy("event_type").agg(
+        F.min("slot").alias("s0"), F.max("slot").alias("s1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("s0", "s1", F.expr("interval 15 minutes"))
+        ).alias("slot"),
+    )
+    joined = grid.join(agg, ["event_type", "slot"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+        F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
+        F.when(F.col("cnt").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("gap_filled"),
+        F.last("slot_sum", ignorenulls=True).over(w).cast("double").alias(
+            "filled_sum"
+        ),
+    )
+
+
+# ---------------- conversion attribution (first / last touch)
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS seg_id
+  FROM e
+),
+touched AS (
+  SELECT *,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id, seg_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id, seg_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM seg
+),
+conv AS (
+  SELECT COALESCE(ft, 'direct') AS ft, COALESCE(lt, 'direct') AS lt, x
+  FROM touched WHERE event_type = 'purchase'
+)
+SELECT 'first_touch' AS model, ft AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(x) AS DOUBLE) AS revenue
+FROM conv GROUP BY ft
+UNION ALL
+SELECT 'last_touch' AS model, lt AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(x) AS DOUBLE) AS revenue
+FROM conv GROUP BY lt
+""",
+)
+def q_events_attribution(spark, sf_dir):
+    """Conversion attribution: every `purchase` credits its value to
+    the user's FIRST and LAST preceding non-purchase touchpoint since
+    the previous purchase (the two classic marketing-attribution
+    models), with purchases that open a journey credited to `direct`.
+    Journeys are gaps-and-islands segments: a running count of prior
+    purchases per user splits the stream, so each conversion sees
+    exactly the touches of its own journey.
+
+    Exactness: segment ids and touch picks ride windows over the
+    (tsu, event_id) total order; credited revenue sums decimal-cast
+    values (the q_stream_* rule); first/last-touch picks are
+    first/last_value IGNORE NULLS over the same frame on both engines.
+
+    Scale: ONE shuffle on user_id sorts each user's history; the
+    segment id, both touch picks, and the conversion filter all reuse
+    that sort (window functions over the same partitioning chain
+    without re-exchange); the final rollup is touch-type-sized. The
+    two models share one scored relation — scanned twice only at the
+    aggregation layer, where the relation is already
+    conversions-only."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").alias("tsu"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    seg = e.withColumn(
+        "seg_id",
+        F.coalesce(
+            F.sum(F.when(is_purchase, 1).otherwise(0)).over(wprev),
+            F.lit(0),
+        ),
+    )
+    wseg = (
+        Window.partitionBy("user_id", "seg_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(~is_purchase, F.col("event_type"))
+    conv = (
+        seg.withColumn("ft", F.first(touch, ignorenulls=True).over(wseg))
+        .withColumn("lt", F.last(touch, ignorenulls=True).over(wseg))
+        .filter(is_purchase)
+        .select(
+            F.coalesce(F.col("ft"), F.lit("direct")).alias("ft"),
+            F.coalesce(F.col("lt"), F.lit("direct")).alias("lt"),
+            "x",
+        )
+    )
+    first = conv.groupBy(F.col("ft").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("x").cast("double").alias("revenue"),
+    ).select(F.lit("first_touch").alias("model"), "touch_type",
+             "n_conversions", "revenue")
+    last = conv.groupBy(F.col("lt").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("x").cast("double").alias("revenue"),
+    ).select(F.lit("last_touch").alias("model"), "touch_type",
+             "n_conversions", "revenue")
+    return first.unionByName(last)

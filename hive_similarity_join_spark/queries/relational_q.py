@@ -1876,3 +1876,81 @@ def q_report_concentration(spark, sf_dir):
             ).alias("cum_share"),
         )
     )
+
+
+# ------------------------- robust dispersion: grouped MAD + outliers
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, median(l_quantity) AS med_qty
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, m.med_qty, abs(l.l_quantity - m.med_qty) AS adev
+  FROM lineitem l JOIN med m USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, any_value(med_qty) AS med_qty,
+         median(adev) AS mad_qty, CAST(count(*) AS BIGINT) AS n
+  FROM dev GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, m.med_qty, m.mad_qty, m.n,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad_qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM mad m JOIN dev d USING (l_returnflag)
+GROUP BY m.l_returnflag, m.med_qty, m.mad_qty, m.n
+""",
+)
+def q_agg_mad(spark, sf_dir):
+    """Grouped median-absolute-deviation — the robust dispersion
+    statistic a data-quality screen uses where q_events_outliers'
+    z-score breaks down (a single corrupt extreme inflates the stddev
+    and masks itself; the MAD is 50%-breakdown robust). Emits, per
+    return flag, the median, the MAD, and how many rows sit outside
+    the 3-MAD robust fence.
+
+    Exactness: l_quantity is integral, so the group median lands on
+    the exact .5 grid (midpoint interpolation, the q_agg_median rule),
+    |x - med| stays on the .5 grid, the deviation median lands on the
+    exact .25 grid, and the 3*MAD fence comparison is exact double
+    arithmetic throughout — no rounding needed anywhere.
+
+    Scale: two aggregation passes and two joins, but both join sides
+    carry ONE ROW PER GROUP (broadcast); the base table is scanned
+    twice — unavoidable for an exact nested median (the second pass
+    needs med_qty) — with each pass a plain map-side-combined shuffle.
+    An approximate production variant would swap ``median`` for
+    ``approx_percentile`` and fuse to one pass; this key is the exact
+    anchor such a variant is audited against."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med_qty",
+        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("med_qty").alias("med_qty"),
+        F.median("adev").alias("mad_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med_qty", "mad_qty", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_qty"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select("l_returnflag", "med_qty", "mad_qty", "n", "n_outliers")
+    )

@@ -814,3 +814,97 @@ def q_text_bigram_lm(spark, sf_dir):
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("ppl"),
     )
+
+
+# -------- collocation mining: skipgram co-occurrence + PMI scoring
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+occ AS (
+  SELECT doc_id, t.i AS pos, bag[t.i] AS tok
+  FROM bags, unnest(generate_series(1, len(bag))) AS t(i)
+),
+led AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER w AS n1,
+         lead(tok, 2) OVER w AS n2
+  FROM occ
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+pairs AS (
+  SELECT w1, u.w2
+  FROM led, unnest([n1, n2]) AS u(w2)
+  WHERE u.w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12)
+SELECT p.w1, p.w2, p.c12,
+       round(ln(CAST(p.c12 * t.n AS DOUBLE)
+                / CAST(m1.c1 * m2.c2 AS DOUBLE)), 6) AS pmi
+FROM c12 p
+JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+""",
+)
+def q_text_collocations(spark, sf_dir):
+    """Collocation mining over the corpus: skipgram co-occurrence
+    counts (context window = the two following tokens, word2vec's
+    one-sided window at size 2) scored by pointwise mutual information
+    — the statistic that separates true collocations ("hash join")
+    from pairs that co-occur only because both words are frequent.
+    The same pair relation is what a word2vec/GloVe training-data
+    extraction emits at corpus scale.
+
+    Exactness: pair and margin counts are exact bigints; PMI is
+    ln((c12*n)/(c1*c2)) with the integer products exact (bigint —
+    fits while total pairs < ~3e9; a 100 TB corpus casts the products
+    to decimal first) and ONE double division before the single ln,
+    then the presentation round (the q_text_bigram_lm ln rule).
+
+    Scale: one lead-window pass per doc (shuffle on doc_id) generates
+    both distances — the explode happens AFTER the window, so the
+    token relation is sorted once; margins derive from the pair-type
+    relation (vocabulary-squared, tiny vs corpus) and the scoring
+    joins ride it; the total is a single-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(TX.bag_tokens("text")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    led = occ.select(
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(wdoc).alias("n1"),
+        F.lead("tok", 2).over(wdoc).alias("n2"),
+    )
+    pairs = led.select(
+        "w1", F.explode(F.array("n1", "n2")).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    m1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    m2 = c12.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("bigint").alias("n"))
+    return (
+        c12.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

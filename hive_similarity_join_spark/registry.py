@@ -88,6 +88,8 @@ PRIORITY: list[str] = [
     "q_intervals_merge", "q_agg_mode", "q_text_entropy", "q_table_diff",
     "q_range_splits", "q_events_rollup", "q_report_concentration",
     "q_text_bigram_lm",
+    # r8 (continued session): new keys
+    "q_events_cusum", "q_time_gapfill", "q_agg_mad",
 ]
 
 
