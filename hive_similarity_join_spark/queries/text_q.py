@@ -908,3 +908,79 @@ def q_text_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ------ corpus composition audit: lang x source mutual information
+
+
+@query(
+    "q_docs_mutual_info",
+    oracle="""
+WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+ml AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS c_lang FROM cell GROUP BY 1),
+ms AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS c_source FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cell)
+SELECT c.lang, c.source, c.n_docs,
+       round(CAST(ml.c_lang * ms.c_source AS DOUBLE) / t.n, 6) AS expected,
+       round(ln(CAST(c.n_docs * t.n AS DOUBLE)
+                / CAST(ml.c_lang * ms.c_source AS DOUBLE)), 6) AS pmi,
+       round(CAST(c.n_docs AS DOUBLE) / t.n
+             * ln(CAST(c.n_docs * t.n AS DOUBLE)
+                  / CAST(ml.c_lang * ms.c_source AS DOUBLE)), 6)
+         AS mi_contrib
+FROM cell c
+JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot t
+""",
+)
+def q_docs_mutual_info(spark, sf_dir):
+    """Corpus-composition association audit: the lang x source
+    contingency table with expected-under-independence counts, cell
+    PMI, and each cell's mutual-information contribution — what a
+    mixture designer checks before stratified sampling (a language
+    concentrated in one source means source-level dedup or filtering
+    will skew language balance; summing mi_contrib gives MI(lang;
+    source) in nats).
+
+    Exactness: all counts and margin products are exact bigints; each
+    float output is a single bigint-ratio division (and one ln for the
+    PMI terms) followed by the presentation round — the
+    q_text_collocations rule. mi_contrib associates ratio -> ln ->
+    multiply identically on both engines.
+
+    Scale: one map-side-combined count over the corpus; margins and
+    scoring live on the contingency relation (|langs| x |sources|),
+    with the total a single-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    ml = cell.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("c_lang"))
+    ms = cell.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("c_source")
+    )
+    tot = cell.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    ratio = (F.col("n_docs") * F.col("n")).cast("double") / (
+        F.col("c_lang") * F.col("c_source")
+    ).cast("double")
+    return (
+        cell.join(ml, "lang")
+        .join(ms, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(
+                (F.col("c_lang") * F.col("c_source")).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("expected"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n") * F.log(ratio), 6
+            ).alias("mi_contrib"),
+        )
+    )
