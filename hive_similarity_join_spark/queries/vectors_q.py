@@ -686,3 +686,153 @@ def q_vec_kmeans(spark, sf_dir):
         F.col("cluster").cast("bigint").alias("cluster"),
         F.col("dist2").cast("bigint").alias("dist2"),
     )
+
+
+# --------------- exact power-iteration PCA (top principal direction)
+
+PCA_SCALE = 100_000       # input fixed-point unit (1e-5 of embedding space)
+PCA_VSCALE = 1_000_000    # direction fixed-point unit
+PCA_ROUNDS = 3
+PCA_DIM = KM_DIM
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    for t in range(PCA_ROUNDS):
+        rounds.append(
+            f"d{t} AS (SELECT vec_id, SUM(y * v) AS dp"
+            f" FROM y JOIN v{t} USING (dim) GROUP BY vec_id)"
+        )
+        rounds.append(
+            f"w{t} AS (SELECT dim, SUM(y * dp) AS w"
+            f" FROM y JOIN d{t} USING (vec_id) GROUP BY dim)"
+        )
+        rounds.append(f"m{t} AS (SELECT max(abs(w)) AS mx FROM w{t})")
+        rounds.append(
+            f"v{t + 1} AS (SELECT dim, (w * {PCA_VSCALE}) // mx AS v"
+            f" FROM w{t} CROSS JOIN m{t})"
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH xi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {PCA_SCALE}.0) AS BIGINT)) AS xi
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, r.range AS dim, xi[r.range] AS x
+  FROM xi CROSS JOIN range(1, {PCA_DIM + 1}) r
+),
+st AS (
+  SELECT dim, CAST(SUM(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY dim
+),
+y AS (
+  SELECT e.vec_id, e.dim, CAST(st.n * e.x - st.s AS HUGEINT) AS y
+  FROM ex e JOIN st USING (dim)
+),
+v0 AS (SELECT dim, CAST({PCA_VSCALE} AS HUGEINT) AS v FROM st),
+{body}
+SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v FROM v{PCA_ROUNDS}
+"""
+
+
+def pca_power_direction(e, rounds: int = PCA_ROUNDS):
+    """PCA_ROUNDS steps of exact fixed-point power iteration over a
+    (vec_id, embedding) relation; returns the (dim, v) integer
+    direction. Factored out of the query key so tests can plant an
+    anisotropic corpus and verify CONVERGENCE (the key's own oracle
+    verifies only the cross-engine arithmetic)."""
+    xi = e.select(
+        "vec_id",
+        F.transform(
+            V.as_double("embedding"),
+            lambda x: F.floor(x * PCA_SCALE).cast("bigint"),
+        ).alias("xi"),
+    )
+    ex = xi.select("vec_id", F.posexplode("xi")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x")
+    )
+    st = ex.groupBy("dim").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    y = (
+        ex.join(F.broadcast(st), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("n") * F.col("x") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        .persist()
+    )
+    v = st.select(
+        "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(rounds):
+        dot = (
+            y.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("y") * F.col("v")).cast("decimal(38,0)").alias("dp"))
+        )
+        w = (
+            y.join(dot, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("y") * F.col("dp")).cast("decimal(38,0)").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.expr(f"CAST((w * {PCA_VSCALE}) DIV mx AS DECIMAL(38,0))").alias(
+                "v"
+            ),
+        )
+    return v.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v").cast("bigint").alias("v"),
+    )
+
+
+@query("q_vec_pca_power", oracle=_pca_oracle())
+def q_vec_pca_power(spark, sf_dir):
+    """PCA_ROUNDS exact power-iteration steps toward the top principal
+    direction of the (exactly centered) embedding corpus — the
+    dimensionality probe an embedding pipeline runs before whitening,
+    compression, or drift checks. Like q_vec_kmeans, the iteration is
+    EXACT fixed-point: inputs quantize to integers (floor(x * 1e5),
+    the identical double multiply + floor on both engines), centering
+    multiplies through by n so deviations stay integers
+    (y = n*x_i - sum), and each step renormalizes by integer division
+    (w * VSCALE) DIV max|w| — both engines truncate integer division
+    toward zero (verified), so every round lands on the IDENTICAL
+    64-component integer direction.
+
+    Honest convergence note: the step count is FIXED, and power
+    iteration converges at rate (lambda2/lambda1)^t — on this table's
+    near-isotropic synthetic embeddings (spectral gap ~1.01) three
+    steps are a deterministic probe, not a converged eigenvector; on
+    anisotropic data the same operator converges, which
+    tests/test_pca_power.py proves with a planted dominant direction
+    (cosine > 0.999 vs numpy's eigendecomposition). What exactness
+    buys in production is REPRODUCIBILITY: two runs over two corpus
+    snapshots differ only where the data differs, so the direction
+    delta is a drift signal, not numerical noise.
+
+    Overflow envelope (documented, not incidental): |y| <= 2n*SCALE,
+    |dot| <= dim*|y|*VSCALE, |w| <= n*|y|*|dot|, and the renorm
+    multiplies by VSCALE — ~4e33 at n=2e4, inside decimal(38,0) /
+    HUGEINT. Larger corpora shrink PCA_SCALE (the direction's
+    precision comes from VSCALE, not the input quantum) or pre-reduce
+    by per-shard Gram-matrix partial sums.
+
+    Scale shape: the heavy relation is (vec_id, dim, y) — corpus x
+    dim, persisted once and streamed twice per round; the direction is
+    a 64-row broadcast; the per-vector dot relation joins back on
+    vec_id (corpus-keyed shuffle, never collected); max|w| is a
+    single-row broadcast. Per round: one broadcast join + two
+    map-side-combined aggregations — the two matrix-vector products of
+    the power method, with nothing driver-side."""
+    return pca_power_direction(load_table(spark, sf_dir, "embeddings"))
