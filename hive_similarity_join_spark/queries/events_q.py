@@ -991,3 +991,71 @@ def q_events_attribution(spark, sf_dir):
     ).select(F.lit("last_touch").alias("model"), "touch_type",
              "n_conversions", "revenue")
     return first.unionByName(last)
+
+
+# ---------------- rolling time-interval window (RANGE frame)
+
+
+@query(
+    "q_events_rolling",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, event_type, strftime(tsu, '{_FMT}') AS ts_str,
+       CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+       CAST(CAST(SUM(x) OVER w AS DECIMAL(28,6)) AS DOUBLE) AS roll_sum
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY tsu
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def q_events_rolling(spark, sf_dir):
+    """Trailing 1-hour rolling aggregate per event stream — the
+    continuous sliding KPI ("errors in the last hour, as of each
+    event") that q_stream_sliding's DISCRETE 15-minute hops
+    approximate. A RANGE frame, not ROWS: every event's window is
+    [ts - 1h, ts] by VALUE, so tied timestamps share one frame and
+    the result is independent of tie order — which is exactly why no
+    uid tie-break is needed (and why a ROWS frame would be wrong).
+    Spark expresses the interval frame as rangeBetween over epoch
+    microseconds — identical inclusive bounds to the oracle's
+    INTERVAL PRECEDING.
+
+    Exactness: frame sums accumulate decimals (the q_stream_* rule);
+    the count is bigint; the anchor timestamp is emitted as a
+    formatted string.
+
+    Scale: one shuffle on event_type, one sort per partition; Spark
+    evaluates the running RANGE frame with a sliding two-pointer over
+    the sorted run (each row enters/leaves once — O(n) per
+    partition, no per-row rescan). Per-(type, day) bucketing would
+    bound partition width at 100 TB; the frame never crosses a day
+    boundary by more than the window length, so day partitions
+    overlap-extend by 1 hour — the standard watermark trick."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").alias("tsu"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("tsu"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.date_format("tsu", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_cnt"),
+        F.sum("x").over(w).cast("decimal(28,6)").cast("double").alias(
+            "roll_sum"
+        ),
+    )

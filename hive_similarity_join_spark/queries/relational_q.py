@@ -1954,3 +1954,95 @@ def q_agg_mad(spark, sf_dir):
         )
         .select("l_returnflag", "med_qty", "mad_qty", "n", "n_outliers")
     )
+
+
+# ------------------- market-basket co-occurrence (association rules)
+
+BASKET_MIN_SUP = 2
+
+
+@query(
+    "q_market_basket",
+    oracle=f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS p1, b2.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS support_cnt
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUP}
+)
+SELECT p.p1, p.p2, p.support_cnt,
+       CAST(p.support_cnt AS DOUBLE) / m1.c AS conf_p1_p2,
+       CAST(p.support_cnt AS DOUBLE) / m2.c AS conf_p2_p1,
+       CAST(p.support_cnt * n.n_baskets AS DOUBLE)
+         / CAST(m1.c * m2.c AS DOUBLE) AS lift
+FROM p JOIN m m1 ON m1.l_partkey = p.p1
+       JOIN m m2 ON m2.l_partkey = p.p2
+       CROSS JOIN n
+""",
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket association mining over order line items: every
+    part pair co-ordered in >= BASKET_MIN_SUP baskets, scored with
+    both rule confidences and lift — the relational shape of frequent
+    itemset mining at k=2, and the same count/margin/total algebra as
+    q_text_collocations transplanted from token windows to baskets.
+
+    Exactness: support and margin counts are exact bigints; each
+    output float is ONE division of exact integers (lift multiplies
+    bigints first — products bounded by baskets x parts, cast to
+    double only for the final divide), so no rounding is needed.
+
+    Scale: the basket relation shuffles once on l_orderkey; the
+    self-join is per-basket (baskets are small, so the join output is
+    sum-of-squares of basket sizes, not |lineitem|^2); margins and the
+    basket total are part-sized/single-row broadcasts. Skewed mega
+    baskets would salt the orderkey join (operators/skew.py) before
+    the pair expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    m = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a2 = b.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        b.join(
+            a2,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_cnt"))
+        .filter(F.col("support_cnt") >= BASKET_MIN_SUP)
+    )
+    m1 = m.select(F.col("l_partkey").alias("p1"), F.col("c").alias("_c1"))
+    m2 = m.select(F.col("l_partkey").alias("p2"), F.col("c").alias("_c2"))
+    return (
+        pairs.join(F.broadcast(m1), "p1")
+        .join(F.broadcast(m2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support_cnt",
+            (F.col("support_cnt").cast("double") / F.col("_c1")).alias(
+                "conf_p1_p2"
+            ),
+            (F.col("support_cnt").cast("double") / F.col("_c2")).alias(
+                "conf_p2_p1"
+            ),
+            (
+                (F.col("support_cnt") * F.col("n_baskets")).cast("double")
+                / (F.col("_c1") * F.col("_c2")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -91,7 +91,7 @@ PRIORITY: list[str] = [
     # r8 (continued session): new keys
     "q_events_cusum", "q_time_gapfill", "q_agg_mad",
     "q_text_collocations", "q_events_attribution", "q_docs_mutual_info",
-    "q_vec_pca_power",
+    "q_vec_pca_power", "q_events_rolling", "q_market_basket",
 ]
 
 
