@@ -1059,3 +1059,209 @@ def q_events_rolling(spark, sf_dir):
             "roll_sum"
         ),
     )
+
+
+# ---------------- hour-of-day seasonality profile
+
+
+@query(
+    "q_events_seasonality",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+),
+h AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(SUM(cents) AS BIGINT) AS s_h
+  FROM c GROUP BY event_type, hod
+),
+g AS (
+  SELECT event_type, CAST(SUM(n_h) AS BIGINT) AS n,
+         CAST(SUM(s_h) AS BIGINT) AS s
+  FROM h GROUP BY event_type
+),
+j AS (
+  SELECT h.event_type, h.hod, h.n_h,
+         CAST(h.s_h AS DOUBLE) / (100.0 * h.n_h) AS mean_h,
+         CAST(h.s_h AS DOUBLE) / (100.0 * h.n_h)
+           - CAST(g.s AS DOUBLE) / (100.0 * g.n) AS dev
+  FROM h JOIN g USING (event_type)
+)
+SELECT event_type, hod, n_h, mean_h, dev,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY mean_h DESC, hod) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_peak,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY mean_h ASC, hod) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_trough
+FROM j
+""",
+)
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event stream — the
+    diurnal baseline an anomaly detector subtracts before flagging
+    (q_events_outliers' global z-score fires every rush hour without
+    it). Emits each (type, hour) cell's mean, its deviation from the
+    stream's daily mean, and deterministic peak/trough markers.
+
+    Exactness: moments accumulate in exact integer cents (the
+    q_events_outliers rule); each emitted float is a single division
+    of exact integers (or one subtraction of two such — deterministic
+    IEEE ops in identical association order); peak/trough ranks order
+    by those deterministic doubles with an hod tie-break.
+
+    Scale: one map-side-combined aggregation to the (type, hod)
+    relation — 24 x |types| rows — and everything downstream (global
+    means, ranks) lives on that tiny relation; the event table is
+    scanned exactly once."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    c = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    h = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cents").cast("bigint").alias("s_h"),
+    )
+    g = h.groupBy("event_type").agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.sum("s_h").cast("bigint").alias("s"),
+    )
+    mean_h = F.col("s_h").cast("double") / (F.lit(100.0) * F.col("n_h"))
+    mean_g = F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))
+    j = h.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "hod",
+        "n_h",
+        mean_h.alias("mean_h"),
+        (mean_h - mean_g).alias("dev"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("mean_h").desc(), "hod"
+    )
+    wtr = Window.partitionBy("event_type").orderBy(F.col("mean_h").asc(), "hod")
+    return j.select(
+        "event_type",
+        "hod",
+        "n_h",
+        "mean_h",
+        "dev",
+        F.when(F.row_number().over(wpk) == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_peak"),
+        F.when(F.row_number().over(wtr) == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_trough"),
+    )
+
+
+# ---------------- top session journey paths (clickstream Sankey)
+
+PATHS_TOP_K = 20
+
+
+@query(
+    "q_events_paths",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                   OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+grp AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+  FROM grp GROUP BY user_id, session_id
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+         AS rank
+FROM counted
+ORDER BY n_sessions DESC, path
+LIMIT {PATHS_TOP_K}
+""",
+)
+def q_events_paths(spark, sf_dir):
+    """Top user-journey paths: events sessionize per user (30-minute
+    gap, the q_stream_session islands), each session flattens to its
+    ordered event-type string, and the most common journeys rank out
+    — the clickstream Sankey / funnel-discovery aggregation.
+
+    Determinism: the per-session sequence is assembled by collecting
+    (ts, event_id, type) structs and ARRAY-SORTING them — element
+    order comes from the struct sort, NOT from collect_list's
+    arrival order, so any partitioning yields the same path string;
+    the oracle's ordered string_agg matches by construction. Ranks
+    break count ties on the path string.
+
+    Scale: one shuffle on user_id for sessionization, one on
+    (user, session) for path assembly (bounded by session length —
+    a production run caps it with a slice() before concat); the
+    ranked relation is distinct-path-sized, and the global top-k is
+    a TakeOrdered over it, not a full sort. The struct-sort trick is
+    what keeps the path deterministic without an extra window pass."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("tsu"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.lag("tsu").over(wu).isNull()
+            | (
+                F.unix_micros("tsu") - F.unix_micros(F.lag("tsu").over(wu))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    grp = ordered.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        grp.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tsu", "event_id", "event_type"))
+            ).alias("_seq")
+        )
+        .select(
+            F.array_join(F.col("_seq.event_type"), ">").alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATHS_TOP_K)
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    )

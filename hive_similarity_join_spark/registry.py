@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "q_events_cusum", "q_time_gapfill", "q_agg_mad",
     "q_text_collocations", "q_events_attribution", "q_docs_mutual_info",
     "q_vec_pca_power", "q_events_rolling", "q_market_basket",
+    "q_events_seasonality", "q_events_paths",
 ]
 
 
