@@ -984,3 +984,72 @@ def q_docs_mutual_info(spark, sf_dir):
             ).alias("mi_contrib"),
         )
     )
+
+
+# ---------- feature hashing (signed hashing trick) featurization
+
+HASHTRICK_BUCKETS = 64
+
+
+@query(
+    "q_text_hashing_trick",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.tok FROM (
+    SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+  ), unnest(bag) AS t(tok)
+),
+h AS (
+  SELECT doc_id,
+         {TX.duck_md5_prefix60("tok")} % {HASHTRICK_BUCKETS} AS bucket,
+         CASE WHEN {TX.duck_md5_prefix60("'s:' || tok")} % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS w,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM h GROUP BY doc_id, bucket
+""",
+)
+def q_text_hashing_trick(spark, sf_dir):
+    """Signed feature hashing (the hashing trick, Weinberger et al.
+    ICML 2009): every token maps to one of HASHTRICK_BUCKETS feature
+    slots by hash, with a second independent hash bit choosing the
+    sign so colliding tokens cancel in expectation instead of
+    inflating — the fixed-width, vocabulary-free featurization a
+    linear quality classifier trains on at corpus scale (no vocab
+    build, no second pass, no OOV). Long-form output (doc, bucket,
+    signed weight, raw count) — wide-vector assembly is a pivot away
+    and arrays are banned from oracle-checked outputs (the r1 rule).
+
+    Exactness: both hashes ride the engine-portable md5-prefix bigint
+    (the SimHash/decontamination device); signed sums are exact
+    bigints.
+
+    Scale: tokenize -> hash -> one map-side-combined groupBy on
+    (doc_id, bucket) — zero joins, zero broadcast, one shuffle whose
+    width is bounded by docs x buckets regardless of vocabulary; this
+    is the cheapest featurizer in the repo by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.bag_tokens("text")).alias("tok"))
+    h = tok.select(
+        "doc_id",
+        F.pmod(TX.md5_prefix60(F.col("tok")), F.lit(HASHTRICK_BUCKETS)).alias(
+            "bucket"
+        ),
+        F.when(
+            F.pmod(
+                TX.md5_prefix60(F.concat(F.lit("s:"), F.col("tok"))),
+                F.lit(2),
+            )
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.sum("sgn").cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )

@@ -696,7 +696,7 @@ PCA_ROUNDS = 3
 PCA_DIM = KM_DIM
 
 
-def _pca_oracle() -> str:
+def _pca_oracle(final_select: str | None = None) -> str:
     rounds = []
     for t in range(PCA_ROUNDS):
         rounds.append(
@@ -734,7 +734,7 @@ y AS (
 ),
 v0 AS (SELECT dim, CAST({PCA_VSCALE} AS HUGEINT) AS v FROM st),
 {body}
-SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v FROM v{PCA_ROUNDS}
+{final_select or f"SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v FROM v{PCA_ROUNDS}"}
 """
 
 
@@ -836,3 +836,74 @@ def q_vec_pca_power(spark, sf_dir):
     map-side-combined aggregations — the two matrix-vector products of
     the power method, with nothing driver-side."""
     return pca_power_direction(load_table(spark, sf_dir, "embeddings"))
+
+
+PCA_OUT_K = 10
+
+_PCA_PROJ_SELECT = f"""
+, proj AS (
+  SELECT vec_id, SUM(y * v) AS pr
+  FROM y JOIN v{PCA_ROUNDS} USING (dim) GROUP BY vec_id
+)
+SELECT vec_id, CAST(pr AS BIGINT) AS proj,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, pr,
+         ROW_NUMBER() OVER (ORDER BY abs(pr) DESC, vec_id) AS rnk
+  FROM proj
+) WHERE rnk <= {PCA_OUT_K}
+""".strip()
+
+
+@query(
+    "q_vec_pca_outliers",
+    oracle=_pca_oracle(final_select=_PCA_PROJ_SELECT),
+)
+def q_vec_pca_outliers(spark, sf_dir):
+    """The PCA direction APPLIED: the PCA_OUT_K most extreme vectors
+    along the q_vec_pca_power axis, by |projection| of the exactly
+    centered fixed-point coordinates onto the integer direction — the
+    'what is stretching my embedding space' QA view (batch-effect
+    probes, duplicated clusters, or corrupt encoders all surface here
+    first). Projections are exact integer dot products
+    (sum over dims of y * v — the same decimal(38,0)/HUGEINT algebra
+    as the iteration itself), so ranking and values hash-match.
+
+    Scale: reuses the iteration's (vec_id, dim, y) relation and the
+    64-row direction broadcast; the projection is one more
+    map-side-combined aggregation, and the top-k is a TakeOrdered over
+    the per-vector projection relation (orderBy + limit, not a global
+    window; rank attaches post-limit on PCA_OUT_K rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = pca_power_direction(e)
+    xi = e.select(
+        "vec_id",
+        F.transform(
+            V.as_double("embedding"),
+            lambda x: F.floor(x * PCA_SCALE).cast("bigint"),
+        ).alias("xi"),
+    )
+    ex = xi.select("vec_id", F.posexplode("xi")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x")
+    )
+    st = ex.groupBy("dim").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    y = ex.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("y"),
+    )
+    proj = (
+        y.join(F.broadcast(v.select("dim", F.col("v").cast("decimal(38,0)").alias("v"))), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("y") * F.col("v")).cast("decimal(38,0)").alias("pr"))
+    )
+    wr = Window.orderBy(F.abs(F.col("proj")).desc(), "vec_id")
+    return (
+        proj.select("vec_id", F.col("pr").cast("bigint").alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), "vec_id")
+        .limit(PCA_OUT_K)
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    )

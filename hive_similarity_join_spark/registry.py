@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     "q_text_collocations", "q_events_attribution", "q_docs_mutual_info",
     "q_vec_pca_power", "q_events_rolling", "q_market_basket",
     "q_events_seasonality", "q_events_paths",
+    "q_text_hashing_trick", "q_report_rfm", "q_vec_pca_outliers",
 ]
 
 
