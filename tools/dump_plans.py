@@ -243,6 +243,23 @@ HEADLINERS: dict[str, str] = {
         "broadcast into the 31-row target relation, and the final "
         "broadcast equi-join probing each rank partition once."
     ),
+    "q_events_cusum": (
+        "Exact CUSUM closed form. Look for: ONE Exchange on event_type "
+        "feeding every Window (running sum, row_number, running "
+        "min/max, and the changepoint rank all reuse the same sort — "
+        "no re-exchange between window passes), the 5-row totals "
+        "BroadcastHashJoin, and decimal(38,6) arithmetic end-to-end "
+        "(no double accumulation anywhere in the plan)."
+    ),
+    "q_vec_pca_power": (
+        "Fixed-point power iteration. Look for: the (vec_id, dim, y) "
+        "relation behind InMemoryTableScan (persisted once, streamed "
+        "twice per round), the 64-row direction as BroadcastHashJoin "
+        "per round, partial+final HashAggregate pairs for both "
+        "matrix-vector products, a single-row max broadcast for the "
+        "renorm, and decimal(38,0) expressions with NO floating point "
+        "until the caller's projection."
+    ),
 }
 
 
