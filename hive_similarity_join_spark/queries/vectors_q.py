@@ -738,12 +738,13 @@ v0 AS (SELECT dim, CAST({PCA_VSCALE} AS HUGEINT) AS v FROM st),
 """
 
 
-def pca_power_direction(e, rounds: int = PCA_ROUNDS):
-    """PCA_ROUNDS steps of exact fixed-point power iteration over a
-    (vec_id, embedding) relation; returns the (dim, v) integer
-    direction. Factored out of the query key so tests can plant an
-    anisotropic corpus and verify CONVERGENCE (the key's own oracle
-    verifies only the cross-engine arithmetic)."""
+def _pca_centered(e):
+    """The shared quantize-and-center front of the PCA family: the
+    (vec_id, dim, y) relation of exact n-scaled deviations
+    (y = n*x_i - sum, decimal(38,0)) plus the per-dim stats. ONE
+    definition — pca_power_direction iterates on it and
+    q_vec_pca_outliers projects on it, so an edit to the quantization
+    cannot desync the two."""
     xi = e.select(
         "vec_id",
         F.transform(
@@ -758,17 +759,26 @@ def pca_power_direction(e, rounds: int = PCA_ROUNDS):
         F.sum("x").cast("bigint").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    y = (
-        ex.join(F.broadcast(st), "dim")
-        .select(
-            "vec_id",
-            "dim",
-            (F.col("n") * F.col("x") - F.col("s"))
-            .cast("decimal(38,0)")
-            .alias("y"),
-        )
-        .persist()
+    y = ex.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("y"),
     )
+    return y, st
+
+
+def pca_power_direction(e, rounds: int = PCA_ROUNDS, y=None):
+    """PCA_ROUNDS steps of exact fixed-point power iteration over a
+    (vec_id, embedding) relation; returns the (dim, v) integer
+    direction. Factored out of the query key so tests can plant an
+    anisotropic corpus and verify CONVERGENCE (the key's own oracle
+    verifies only the cross-engine arithmetic). Pass a precomputed
+    ``y`` from ``_pca_centered`` to share the relation with a
+    downstream consumer (q_vec_pca_outliers)."""
+    yc, st = _pca_centered(e)
+    y = (y if y is not None else yc).persist()
     v = st.select(
         "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("v")
     )
@@ -875,26 +885,9 @@ def q_vec_pca_outliers(spark, sf_dir):
     the per-vector projection relation (orderBy + limit, not a global
     window; rank attaches post-limit on PCA_OUT_K rows)."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = pca_power_direction(e)
-    xi = e.select(
-        "vec_id",
-        F.transform(
-            V.as_double("embedding"),
-            lambda x: F.floor(x * PCA_SCALE).cast("bigint"),
-        ).alias("xi"),
-    )
-    ex = xi.select("vec_id", F.posexplode("xi")).select(
-        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x")
-    )
-    st = ex.groupBy("dim").agg(
-        F.sum("x").cast("bigint").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    y = ex.join(F.broadcast(st), "dim").select(
-        "vec_id",
-        "dim",
-        (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("y"),
-    )
+    # one centered relation, shared by the iteration and the projection
+    y, _st = _pca_centered(e)
+    v = pca_power_direction(e, y=y)
     proj = (
         y.join(F.broadcast(v.select("dim", F.col("v").cast("decimal(38,0)").alias("v"))), "dim")
         .groupBy("vec_id")

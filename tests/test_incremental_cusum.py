@@ -108,6 +108,18 @@ def test_streaming_query_matches_single_shot(spark, dirs):
     r.filter(F.unix_micros("tsu") > med).coalesce(1).write.parquet(
         f"{src}/part=1"
     )
+    # FileStreamSource orders files by MODIFICATION TIME; on a
+    # coarse-mtime filesystem both writes can land in one granule and
+    # part=1 could be picked first, breaking the ordered-arrival
+    # contract the CUSUM carry depends on. Force strictly increasing
+    # mtimes so epoch order is deterministic.
+    import os
+    import time
+
+    now = time.time()
+    for i, part in enumerate(("part=0", "part=1")):
+        for f in Path(f"{src}/{part}").glob("*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
     stream = (
         spark.readStream.schema(r.schema)
         .option("maxFilesPerTrigger", 1)

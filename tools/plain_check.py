@@ -56,9 +56,22 @@ def main() -> int:
         if key not in ORACLES:
             print(f"SKIP {key}: no oracle (rows-only key)")
             continue
-        sdf = QUERIES[key](spark, sf_dir).toPandas()
-        spark.catalog.clearCache()
-        ddf = con.execute(ORACLES[key]).fetchdf()
+        # per-key isolation like selfcheck: one raising key (e.g. a
+        # round-boundary schema flip) must not abort the sweep
+        try:
+            sdf = QUERIES[key](spark, sf_dir).toPandas()
+        except Exception as e:
+            fails += 1
+            print(f"FAIL {key}: spark raised {type(e).__name__}: {e}")
+            continue
+        finally:
+            spark.catalog.clearCache()
+        try:
+            ddf = con.execute(ORACLES[key]).fetchdf()
+        except Exception as e:
+            fails += 1
+            print(f"FAIL {key}: duckdb raised {type(e).__name__}: {e}")
+            continue
         problems = compare(sdf, ddf)
         if problems:
             fails += 1
