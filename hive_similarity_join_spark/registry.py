@@ -41,46 +41,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-8 window (positions 1-50) ----
-    # Head: q_vec_cosine (sole remaining r4-verdict key, missed the r7
-    # window) + the 14 keys staged during round 7 — q_vec_knn_ivf
-    # (upgraded rows-only -> hash-checked, hash-sampled quantizer) and
-    # the thirteen round-7 additions. All selfcheck-green; none has a
-    # current-form driver hash verdict yet.
-    "q_vec_cosine", "q_vec_knn_ivf",
-    "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic", "q_agg_cms_topk",
-    "q_decontaminate_bloom", "q_events_pattern", "q_bpe_encode_docs",
-    "q_join_skew_salted", "q_vec_knn_pq", "q_vec_knn_ivfadc",
-    "q_pipeline_llm_corpus", "q_merge_upsert", "q_dq_checks",
-    # q_text_encode ERRORED in its r7 check (ArrayType output, fixed
-    # this round) — the fix needs a hash verdict, which only keys in
-    # the 50-key window get, so it takes position 16 and the
-    # oldest-verdict backfill shrinks to 34 (the r5-era key dropped,
-    # q_dedup_embedding_lsh, rotates in at r9).
-    "q_text_encode",
-    # Backfill (34): the keys with the OLDEST latest driver verdict —
-    # all r5-era — in CORRECTNESS_r05 key order (recomputed r8 start
-    # from CORRECTNESS_r0{1..7}; every other key has an r6/r7 verdict).
-    "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-    "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
-    "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
-    "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
-    "q_text_langid", "q_text_quality", "q_text_tokencount",
-    "q_text_fingerprint", "q_text_repetition", "q_unpivot",
-    "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
-    "q_pack_sequences", "q_shuffle_export", "q_simjoin_jaccard_self",
-    "q_simjoin_jaccard_rs", "q_dedup_exact", "q_dedup_near",
-    "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
-    "q_dedup_connected", "q_dedup_connected_star",
-    "q_dedup_representatives", "q_dedup_embedding",
-    # ---- positions 51+ (round-9 head candidates) ----
-    # displaced r5-era backfill key (first r9 backfill candidate)
-    "q_dedup_embedding_lsh",
-    # Stage round-8 additions here as they land; rotate to head at r9.
-    # r8: ivfadc leg added to the recall grid (5 methods) AFTER its r7
-    # 4-method verdict -> needs a fresh verdict on the new form.
-    "q_vec_ann_recall",
-    # r8: new keys
+    # ---- round-9 window (positions 1-50) ----
+    # The precomputed rotation from the r8 checklist, valid because all
+    # 50 r8 window keys landed full-green verdicts (CORRECTNESS_r08: 50
+    # checked, 0 not green, 0 err — verified r9 start). Head: the 36
+    # keys staged at 51+ during round 8 in their staged order —
+    # q_dedup_embedding_lsh (displaced r5-era key), q_vec_ann_recall
+    # (5-method form since r8: ivfadc leg added AFTER its r7 4-method
+    # verdict), the 20 round-8 additions, and the 14 continued-session
+    # round-8 additions. None has a current-form driver hash verdict.
+    "q_dedup_embedding_lsh", "q_vec_ann_recall",
     "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
     "q_graph_triangles", "q_events_transitions", "q_agg_corr",
     "q_decontaminate_fuzzy", "q_vec_kmeans", "q_skyline_docs",
@@ -88,12 +58,26 @@ PRIORITY: list[str] = [
     "q_intervals_merge", "q_agg_mode", "q_text_entropy", "q_table_diff",
     "q_range_splits", "q_events_rollup", "q_report_concentration",
     "q_text_bigram_lm",
-    # r8 (continued session): new keys
     "q_events_cusum", "q_time_gapfill", "q_agg_mad",
     "q_text_collocations", "q_events_attribution", "q_docs_mutual_info",
     "q_vec_pca_power", "q_events_rolling", "q_market_basket",
     "q_events_seasonality", "q_events_paths",
     "q_text_hashing_trick", "q_report_rfm", "q_vec_pca_outliers",
+    # Backfill (14): the keys with the OLDEST latest driver verdict —
+    # r5/r6-era — oldest first, ties by name (precomputed r8 end from
+    # CORRECTNESS_r0{1..8}; every other key has an r7/r8 verdict).
+    "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
+    "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
+    "q_multimodal_features", "q_multimodal_frames",
+    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
+    "q_vec_knn", "q_vec_knn_ann",
+    # ---- positions 51+ (round-10 head candidates) ----
+    # Stage round-9 additions here as they land; rotate to head at r10.
+    # Next-in-line oldest-verdict backfill if slots open:
+    # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
+    # q_contamination_report q_decontaminate_hashed q_dedup_containment
+    # q_events_outliers q_filter_pred q_join_full q_join_inner
+    # q_join_left q_multimodal_resize q_pii_redact
 ]
 
 

@@ -90,47 +90,48 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round8_correctness_window_composition():
+def test_round9_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-8 contract: q_vec_cosine (sole remaining r4-verdict
-    key) + the 14 round-7-staged keys (q_vec_knn_ivf's rows-only ->
-    hash upgrade and the thirteen round-7 additions) lead the window;
-    q_text_encode (r7 driver ERROR, ArrayType output fixed this round)
-    takes position 16 for its re-verdict; the 34 oldest-verdict keys
-    (all r5-era, in CORRECTNESS_r05 order; the 35th rotated out to make
-    room) backfill; round-8 additions stay at 51+ (verdicts in the
-    round-9 rotation). A PRIORITY edit that accidentally reorders the
-    window fails here, loudly."""
+    order. Round-9 contract (the rotation precomputed at r8 end, valid
+    because CORRECTNESS_r08 was 50/50 full green): the 36 keys staged
+    at 51+ during round 8 lead the window in their staged order —
+    q_dedup_embedding_lsh, the 5-method q_vec_ann_recall, the 20 r8
+    additions, the 14 continued-session r8 additions — then the 14
+    oldest-verdict (r5/r6-era) keys backfill. Round-9 additions stay at
+    51+ (verdicts in the round-10 rotation). A PRIORITY edit that
+    accidentally reorders the window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     head = list(ordered(QUERIES))[:50]
-    assert head[:16] == [
-        "q_vec_cosine", "q_vec_knn_ivf",
-        "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic",
-        "q_agg_cms_topk", "q_decontaminate_bloom", "q_events_pattern",
-        "q_bpe_encode_docs", "q_join_skew_salted", "q_vec_knn_pq",
-        "q_vec_knn_ivfadc", "q_pipeline_llm_corpus", "q_merge_upsert",
-        "q_dq_checks", "q_text_encode",
-    ]
-    # Backfill: all driver verdicts in the tail must be r5-era; spot-pin
-    # the boundary keys so an off-by-one in the window is loud.
-    assert head[16] == "q_decontaminate"
-    assert head[49] == "q_dedup_embedding"
-    r5_stale = {
-        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
-        "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
-        "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
-        "q_text_langid", "q_text_quality", "q_text_tokencount",
-        "q_text_fingerprint", "q_text_repetition", "q_unpivot",
-        "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
-        "q_pack_sequences", "q_shuffle_export", "q_simjoin_jaccard_self",
-        "q_simjoin_jaccard_rs", "q_dedup_exact", "q_dedup_near",
-        "q_dedup_ngram", "q_dedup_minhash_lsh", "q_text_simhash",
-        "q_dedup_connected", "q_dedup_connected_star",
-        "q_dedup_representatives", "q_dedup_embedding",
+    assert head[:2] == ["q_dedup_embedding_lsh", "q_vec_ann_recall"]
+    # Spot-pin the stage boundaries so an off-by-one is loud.
+    assert head[2] == "q_dedup_substring"
+    assert head[35] == "q_vec_pca_outliers"
+    assert head[36] == "q_agg_argmax"
+    assert head[49] == "q_vec_knn_ann"
+    staged_r8 = {
+        "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
+        "q_graph_triangles", "q_events_transitions", "q_agg_corr",
+        "q_decontaminate_fuzzy", "q_vec_kmeans", "q_skyline_docs",
+        "q_agg_weighted_median", "q_sample_reservoir",
+        "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
+        "q_text_entropy", "q_table_diff", "q_range_splits",
+        "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
+        "q_events_cusum", "q_time_gapfill", "q_agg_mad",
+        "q_text_collocations", "q_events_attribution",
+        "q_docs_mutual_info", "q_vec_pca_power", "q_events_rolling",
+        "q_market_basket", "q_events_seasonality", "q_events_paths",
+        "q_text_hashing_trick", "q_report_rfm", "q_vec_pca_outliers",
     }
-    assert set(head[16:]) == r5_stale, set(head[16:]) ^ r5_stale
+    assert set(head[2:36]) == staged_r8, set(head[2:36]) ^ staged_r8
+    backfill = {
+        "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
+        "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
+        "q_multimodal_features", "q_multimodal_frames",
+        "q_pipeline_corpus_clean", "q_report_dup_rate",
+        "q_text_vocab_stats", "q_vec_knn", "q_vec_knn_ann",
+    }
+    assert set(head[36:]) == backfill, set(head[36:]) ^ backfill
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
