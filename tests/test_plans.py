@@ -288,6 +288,13 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_dedup_minhash_lsh": 30,             # measured 21 (non-iterative)
         "q_pipeline_corpus_clean": 45,         # measured 33 (non-iterative)
         "q_dedup_representatives": 61 + slack,  # measured 53
+        # round-8 heavy keys (VERDICT r8 item #3) — measured r9 start
+        "q_graph_pagerank": 71 + slack,        # measured 62 (per-round:
+        #   one edge-rank join + one partial agg + lazy localCheckpoint)
+        "q_dedup_cluster_sizes": 62 + slack,   # measured 54 (CC-based)
+        "q_vec_kmeans": 20 + slack,            # measured 17 (Lloyd rounds)
+        "q_graph_triangles": 35,               # measured 28 (non-iterative)
+        "q_dedup_substring": 9,                # measured 7 (non-iterative)
     }
     over = {}
     for key, bound in bounds.items():
