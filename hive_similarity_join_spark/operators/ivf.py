@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.operators.partitions import parallelism
 
 _SEED = 20260813
@@ -387,7 +388,7 @@ def lloyd_kmeans_fixedpoint(
     centroids (the ivf.py bounded-collect pattern; at 100 TB the
     per-round reduction is the classic map-side-combined tree
     aggregate). Empty cells drop out, matching the SQL mirror."""
-    v = fixedpoint_vectors(corpus, id_col, vec_col).persist()
+    v = pin(fixedpoint_vectors(corpus, id_col, vec_col))
     init_rows = (
         v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")

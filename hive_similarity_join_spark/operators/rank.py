@@ -67,3 +67,29 @@ def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> D
     return ranged.withColumn(
         rank_col, (F.row_number().over(w) + off).cast("bigint")
     ).drop("_rk_pid")
+
+
+def ranked_topk(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-``k`` by ``order_cols`` with a 1-based ``rank_col``.
+
+    Invariant that makes this scale-safe: the unpartitioned window runs
+    AFTER ``limit(k)``, so it only ever sees ``k`` rows — the global
+    ordering itself plans as ``TakeOrderedAndProject`` (per-partition
+    heaps, no full sort, no single-partition exchange over the input).
+    Windowing BEFORE the limit would collapse the whole relation to one
+    task; use :func:`ranked_by` when every row needs a rank.
+
+    ``order_cols`` must form a strict total order over the input for a
+    deterministic result (ties would make row_number nondeterministic).
+    """
+    w = Window.orderBy(*order_cols)
+    return (
+        df.orderBy(*order_cols)
+        .limit(k)
+        .withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+    )

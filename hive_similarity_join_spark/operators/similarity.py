@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.rank import ranked_by
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.operators.partitions import parallelism
 
 MEASURES = ("jaccard", "overlap", "dice", "cosine")
@@ -253,14 +254,14 @@ def similarity_join(
 
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
-        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+        r = pin(r, StorageLevel.MEMORY_AND_DISK)
     rels = [r]
     if other is not None:
         s = _tokenized(
             other, other_id_col or id_col, other_text_col or text_col, tokens_col
         )
         if persist:
-            s = s.persist(StorageLevel.MEMORY_AND_DISK)
+            s = pin(s, StorageLevel.MEMORY_AND_DISK)
         rels.append(s)
 
     # ``token_dict``: a prebuilt (_tok, _rank) dictionary (see
@@ -273,10 +274,10 @@ def similarity_join(
     dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
     if persist:
-        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
     s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
     if persist and other is not None:
-        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
 
     if measure == "overlap":
         c = int(math.ceil(threshold))
@@ -561,22 +562,22 @@ def containment_join(
     """
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
-        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+        r = pin(r, StorageLevel.MEMORY_AND_DISK)
     rels = [r]
     if other is not None:
         s = _tokenized(
             other, other_id_col or id_col, other_text_col or text_col, tokens_col
         )
         if persist:
-            s = s.persist(StorageLevel.MEMORY_AND_DISK)
+            s = pin(s, StorageLevel.MEMORY_AND_DISK)
         rels.append(s)
     dict_df = _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
     if persist:
-        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
     s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
     if persist and other is not None:
-        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
 
     probe = _prefix_exploded(r_sorted, threshold).select(
         F.col("_id").alias("id1"),
@@ -767,14 +768,14 @@ def weighted_containment_join(
     """
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
-        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+        r = pin(r, StorageLevel.MEMORY_AND_DISK)
     s = None
     if other is not None:
         s = _tokenized(
             other, other_id_col or id_col, other_text_col or text_col, tokens_col
         )
         if persist:
-            s = s.persist(StorageLevel.MEMORY_AND_DISK)
+            s = pin(s, StorageLevel.MEMORY_AND_DISK)
 
     dict_df = _rarity_dict(*(rel for rel in (r, s) if rel is not None))
 
@@ -790,10 +791,10 @@ def weighted_containment_join(
     # suffix ride along.
     r_sorted = _weighted_sorted(r, dict_df)
     if persist:
-        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
     s_sorted = r_sorted if s is None else _weighted_sorted(s, dict_df)
     if persist and s is not None:
-        s_sorted = s_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
 
     alpha1 = F.col("_tw1").cast("double") * threshold - 1e-9
     probe = (
@@ -946,11 +947,11 @@ def weighted_jaccard_join(
     """
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
-        r = r.persist(StorageLevel.MEMORY_AND_DISK)
+        r = pin(r, StorageLevel.MEMORY_AND_DISK)
     dict_df = _rarity_dict(r)
     r_sorted = _weighted_sorted(r, dict_df)
     if persist:
-        r_sorted = r_sorted.persist(StorageLevel.MEMORY_AND_DISK)
+        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
 
     tt = threshold / (1.0 + threshold)
     alpha_min = F.col("_tw1").cast("double") * (2.0 * tt) - 1e-9

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.functions.vectors import duck_cosine, duck_l2
 from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
 from hive_similarity_join_spark.operators.dedup import (
@@ -791,11 +792,11 @@ def q_agg_cms_topk(spark, sf_dir):
     from hive_similarity_join_spark.operators import cms
 
     d = load_table(spark, sf_dir, "documents")
-    tc = (
+    tc = pin(
         d.select(F.explode(TX.bag_tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ).persist()
+    )
     counters = cms.counters_from_token_counts(tc)
     top = tc.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP)
     est = cms.estimate(counters, top.select("tok"))
@@ -1331,16 +1332,16 @@ def q_graph_pagerank(spark, sf_dir):
     # persist: the similarity-join pair graph feeds nodes, degrees, and
     # every iteration — without it the trigram join recomputes 5x
     # (selfcheck/bench clear the cache per key)
-    e = pairs.select(
+    e = pin(pairs.select(
         F.col("id1").alias("a"), F.col("id2").alias("b")
     ).unionAll(
         pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
-    ).persist()
+    ))
     nodes = e.select(F.col("a").alias("id")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = e.groupBy(F.col("a").alias("id")).agg(
+    deg = pin(e.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    ).persist()
+    ))
     base = n.select(
         F.expr(
             f"({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM} div {PR_DAMP_DEN})"
@@ -1454,13 +1455,13 @@ def q_graph_triangles(spark, sf_dir):
     """
     from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2").persist()
-    deg = (
+    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    deg = pin(
         pairs.select(F.col("id1").alias("id"))
         .unionAll(pairs.select(F.col("id2").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
-    ).persist()
+    )
     e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     da = deg.select(F.col("id").alias("_ia"), F.col("degree").alias("_da"))
     db = deg.select(F.col("id").alias("_ib"), F.col("degree").alias("_db"))
@@ -1474,7 +1475,8 @@ def q_graph_triangles(spark, sf_dir):
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-    ).persist()
+    )
+    od = pin(od)
     e1 = od.select(F.col("u").alias("_u1"), F.col("v").alias("_v1"))
     e2 = od.select(F.col("u").alias("_u2"), F.col("v").alias("_v2"))
     e3 = od.select(F.col("u").alias("_u3"), F.col("v").alias("_v3"))

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.operators.rank import ranked_topk
 from hive_similarity_join_spark.sources.loader import load_table
 
 _FMT = "%Y-%m-%d %H:%M:%S"
@@ -1259,9 +1260,6 @@ def q_events_paths(spark, sf_dir):
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
-    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
-    return (
-        counted.orderBy(F.col("n_sessions").desc(), "path")
-        .limit(PATHS_TOP_K)
-        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    return ranked_topk(
+        counted, [F.col("n_sessions").desc(), F.col("path")], PATHS_TOP_K
     )

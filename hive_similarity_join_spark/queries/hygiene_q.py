@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 
@@ -568,7 +569,7 @@ def q_bpe_merges(spark, sf_dir):
     from hive_similarity_join_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
-    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    wf = pin(bpe.word_freqs(d, TX.bag_tokens("text")))
     out = None
     for r, best in enumerate(bpe.bpe_merge_rounds_lazy(wf, _BPE_ROUNDS), 1):
         leg = best.select(
@@ -626,7 +627,7 @@ def q_bpe_segment(spark, sf_dir):
     from hive_similarity_join_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
-    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    wf = pin(bpe.word_freqs(d, TX.bag_tokens("text")))
     final = bpe.bpe_apply_rounds_lazy(wf, _BPE_ROUNDS)
     sy = bpe.decode_symbols("w")
     return (
@@ -700,7 +701,7 @@ def q_bpe_encode_docs(spark, sf_dir):
     from hive_similarity_join_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
-    wf = bpe.word_freqs(d, TX.bag_tokens("text")).persist()
+    wf = pin(bpe.word_freqs(d, TX.bag_tokens("text")))
     final = bpe.bpe_apply_rounds_lazy(wf, _BPE_ROUNDS)
     seg = final.select(
         F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),

@@ -31,6 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.sources.loader import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -399,7 +400,7 @@ def _clean_relation(spark, sf_dir):
         (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
     )
     exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(exact_keep, "doc_id", "left_semi").persist()
+    surv = pin(kept.join(exact_keep, "doc_id", "left_semi"))
     pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
     dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return surv.join(dupes, "doc_id", "left_anti")
@@ -510,8 +511,8 @@ def q_pipeline_llm_corpus(spark, sf_dir):
     decon = (
         clean.filter(F.col("doc_id") % _DECON_MOD != 0)
         .join(contaminated, "doc_id", "left_anti")
-        .persist()
     )
+    decon = pin(decon)
 
     rates = (
         decon.groupBy("lang")

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.operators.similarity import similarity_join
 from hive_similarity_join_spark.queries.similarity_q import (
     _containment_oracle,
@@ -620,14 +621,14 @@ def q_skyline_docs(spark, sf_dir):
     # persisted: m feeds both the windowed relation and the per-bucket
     # max — without it the corpus tokenization runs twice (the
     # q_graph_* shared-subtree rule)
-    m = d.select(
+    m = pin(d.select(
         "doc_id",
         "n_chars",
         F.size(F.array_distinct(TX.bag_tokens("text")))
         .cast("bigint")
         .alias("n_vocab"),
         (F.col("n_chars") / BUCKET_W).cast("bigint").alias("_b"),
-    ).persist()
+    ))
     w_gtx = (
         Window.partitionBy("_b")
         .orderBy(F.desc("n_chars"))

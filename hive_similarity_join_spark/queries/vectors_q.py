@@ -16,6 +16,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import vectors as V
+from hive_similarity_join_spark.operators.rank import ranked_topk
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 from hive_similarity_join_spark.operators.partitions import parallelism
@@ -778,7 +780,7 @@ def pca_power_direction(e, rounds: int = PCA_ROUNDS, y=None):
     ``y`` from ``_pca_centered`` to share the relation with a
     downstream consumer (q_vec_pca_outliers)."""
     yc, st = _pca_centered(e)
-    y = (y if y is not None else yc).persist()
+    y = pin(y if y is not None else yc)
     v = st.select(
         "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("v")
     )
@@ -893,10 +895,8 @@ def q_vec_pca_outliers(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.sum(F.col("y") * F.col("v")).cast("decimal(38,0)").alias("pr"))
     )
-    wr = Window.orderBy(F.abs(F.col("proj")).desc(), "vec_id")
-    return (
-        proj.select("vec_id", F.col("pr").cast("bigint").alias("proj"))
-        .orderBy(F.abs(F.col("proj")).desc(), "vec_id")
-        .limit(PCA_OUT_K)
-        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    return ranked_topk(
+        proj.select("vec_id", F.col("pr").cast("bigint").alias("proj")),
+        [F.abs(F.col("proj")).desc(), F.col("vec_id")],
+        PCA_OUT_K,
     )

@@ -27,7 +27,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     non-SQL-expressible op (driver falls back to a rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        # Registry consumers (driver/selfcheck/bench/tests go through
+        # QUERIES[k]) get the pin-release wrapper: entering any builder
+        # frees the PREVIOUS key's tracked persists, so a long-lived
+        # session holds at most one key's pins (r8 VERDICT lifecycle
+        # item). The RAW fn is returned so builder-to-builder calls
+        # inside a module (e.g. cluster_sizes -> q_dedup_ngram) never
+        # release their own caller's pins mid-build.
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hive_similarity_join_spark.operators.cache import release_pins
+
+            release_pins()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
