@@ -361,6 +361,44 @@ def _nearest_centroid(vec):
     )
 
 
+def lloyd_kmeans_centroids(
+    v: DataFrame, k: int = 8, rounds: int = 2
+) -> list[tuple[int, list[int]]]:
+    """Train the exact fixed-point Lloyd quantizer over a
+    ``fixedpoint_vectors`` relation ``(vec_id, xi)`` and return the
+    final ``(cell, centroid)`` pairs — the training loop shared by the
+    standalone clustering key (lloyd_kmeans_fixedpoint) and the
+    kmeans-quantized IVF search (ivf_topk_kmeans), so the two cannot
+    drift. Each round: one codegen'd argmin projection + one
+    partial-aggregated (cell, dim) shuffle + a k*dim-bounded collect."""
+    spark = v.sparkSession
+    init_rows = (
+        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select("xi")
+        .collect()
+    )
+    centroids = [(i, [int(x) for x in r.xi]) for i, r in enumerate(init_rows)]
+    nearest = _nearest_centroid(F.col("xi"))
+    for _ in range(rounds):
+        asg = v.crossJoin(
+            F.broadcast(_centroid_relation(spark, centroids))
+        ).select("vec_id", "xi", nearest["cell"].alias("cluster"))
+        cent_rows = (
+            asg.select("cluster", F.posexplode("xi").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("c"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s"))
+            .select("cluster", F.transform("_s", lambda s: s["c"]).alias("c"))
+            .orderBy("cluster")
+            .collect()
+        )
+        centroids = [(int(r.cluster), [int(x) for x in r.c]) for r in cent_rows]
+    return centroids
+
+
 def lloyd_kmeans_fixedpoint(
     corpus: DataFrame,
     k: int = 8,
@@ -389,36 +427,102 @@ def lloyd_kmeans_fixedpoint(
     per-round reduction is the classic map-side-combined tree
     aggregate). Empty cells drop out, matching the SQL mirror."""
     v = pin(fixedpoint_vectors(corpus, id_col, vec_col))
-    init_rows = (
-        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("_h", "vec_id")
-        .limit(k)
-        .select("xi")
-        .collect()
-    )
-    spark = corpus.sparkSession
-    centroids = [(i, [int(x) for x in r.xi]) for i, r in enumerate(init_rows)]
+    centroids = lloyd_kmeans_centroids(v, k, rounds)
     nearest = _nearest_centroid(F.col("xi"))
-    for _ in range(rounds):
-        asg = v.crossJoin(
-            F.broadcast(_centroid_relation(spark, centroids))
-        ).select("vec_id", "xi", nearest["cell"].alias("cluster"))
-        cent_rows = (
-            asg.select("cluster", F.posexplode("xi").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.expr("sum(val) div count(*)").alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s"))
-            .select("cluster", F.transform("_s", lambda s: s["c"]).alias("c"))
-            .orderBy("cluster")
-            .collect()
-        )
-        centroids = [(int(r.cluster), [int(x) for x in r.c]) for r in cent_rows]
     # final assignment against the last refined centroids
     return v.crossJoin(
-        F.broadcast(_centroid_relation(spark, centroids))
+        F.broadcast(_centroid_relation(corpus.sparkSession, centroids))
     ).select(
         "vec_id",
         nearest["cell"].alias("cluster"),
         nearest["d"].alias("dist2"),
     )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    rounds: int = 2,
+) -> DataFrame:
+    """(probe_id, vec_id, sim, rank): IVF-Flat search whose coarse
+    quantizer is the Lloyd-REFINED fixed-point k-means (the production
+    IVF training path — FAISS trains its quantizer with k-means; the
+    hash-sampled variant in ivf_topk is just its init step). Every
+    training and routing step is exact integer arithmetic, so unlike
+    the numpy train_cells path this leg is SQL-mirrorable and
+    hash-checked end to end (q_vec_knn_ivf_kmeans).
+
+    Shape: train = lloyd_kmeans_centroids (rounds x one shuffle);
+    index = one argmin projection against the one-row broadcast
+    centroid relation; route = top-nprobe cells from the same struct
+    array, sorted and sliced; rescore = exact cosine over routed-cell
+    candidates only. At 100 TB the corpus would be written bucketed by
+    cell id exactly as build_ivf_index does for the numpy quantizer."""
+    spark = corpus.sparkSession
+    v = pin(fixedpoint_vectors(corpus, id_col, vec_col))
+    centroids = lloyd_kmeans_centroids(v, n_cells, rounds)
+    cent_rel = _centroid_relation(spark, centroids)
+
+    nearest = _nearest_centroid(F.col("xi"))
+    asg = v.crossJoin(F.broadcast(cent_rel)).select(
+        "vec_id", nearest["cell"].alias("cell")
+    )
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    top_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(d2(s["c"]).alias("d"), s["cell"].alias("cell")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    pv = fixedpoint_vectors(probes, id_col, vec_col).select(
+        F.col("vec_id").alias("probe_id"), "xi"
+    )
+    routed = (
+        pv.crossJoin(F.broadcast(cent_rel))
+        .select("probe_id", F.explode(top_cells).alias("_tc"))
+        .select("probe_id", F.col("_tc.cell").alias("cell"))
+    )
+
+    # exact cosine rescore on the original doubles (the ADC-free
+    # IVF-Flat shape: candidates bounded by the routed cells' lists)
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), V.as_double(vec_col).alias("_v")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p")
+    )
+    cand = (
+        F.broadcast(routed)
+        .join(asg, "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(p), "probe_id")
+        .join(e, "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            V.cosine(F.col("_p"), F.col("_v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)

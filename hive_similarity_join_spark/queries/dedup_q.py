@@ -245,6 +245,89 @@ def q_vec_knn_ivf(spark, sf_dir):
     )
 
 
+def _ivf_kmeans_oracle() -> str:
+    """IVF search on the Lloyd-REFINED quantizer: the kmeans oracle's
+    training CTEs (imported via kmeans_sql_fragments, so the trainer
+    cannot drift from q_vec_kmeans) + assignment/routing/rescore in
+    the exact shape of _IVF_ORACLE — the only difference is WHICH
+    centroids route (refined vs init pivots)."""
+    from hive_similarity_join_spark.queries.vectors_q import (
+        kmeans_sql_fragments,
+    )
+
+    fr = kmeans_sql_fragments()
+    cf, d2 = fr["final"], fr["d2"]
+    return f"""
+WITH {fr['with_body']},
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf
+  ) WHERE rn = 1
+),
+routed AS (
+  SELECT probe_id, cell FROM (
+    SELECT v.vec_id AS probe_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf WHERE v.vec_id < {N_PROBES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT r.probe_id, a.vec_id,
+         {duck_cosine('p.embedding', 'e.embedding')} AS sim
+  FROM routed r
+  JOIN asg a ON a.cell = r.cell AND a.vec_id <> r.probe_id
+  JOIN embeddings p ON p.vec_id = r.probe_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT * FROM (
+  SELECT probe_id, vec_id, sim,
+         CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY sim DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("q_vec_knn_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def q_vec_knn_ivf_kmeans(spark, sf_dir):
+    """IVF-Flat ANN with the PRODUCTION quantizer: coarse cells trained
+    by the exact fixed-point Lloyd k-means (q_vec_kmeans's trainer,
+    shared via operators/ivf.py lloyd_kmeans_centroids — r8 VERDICT
+    item #7: the clustering key is now the IVF training path, not a
+    standalone artifact). vs q_vec_knn_ivf, the cells are the REFINED
+    centroids instead of raw init pivots, so the inverted lists are
+    better balanced — the recall audit (q_vec_ann_recall, 'ivfk' leg)
+    measures the difference instead of asserting it.
+
+    Deterministic end to end: exact-integer training and routing
+    (fixed-point L2, (d2, cell) tie-break), exact cosine rescoring,
+    (sim desc, id) top-k — hence hash-checked against the composed
+    oracle above. Scale shape: training is KM_ROUNDS x one
+    partial-aggregated (cell, dim) shuffle; search reads nprobe/k_cells
+    of the corpus exactly like q_vec_knn_ivf (bucketed-by-cell layout
+    at 100 TB)."""
+    from hive_similarity_join_spark.operators.ivf import ivf_topk_kmeans
+    from hive_similarity_join_spark.queries.vectors_q import (
+        KM_K,
+        KM_ROUNDS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES)
+    return ivf_topk_kmeans(
+        e, probes, k=5, n_cells=KM_K, nprobe=IVF_NPROBE, rounds=KM_ROUNDS
+    )
+
+
 def _ivfadc_oracle() -> str:
     """IVFADC = the IVF oracle's cent/asg/routed CTEs composed with the
     PQ oracle's cb/enc/ptl fragments (imported, so the two oracles
@@ -912,7 +995,8 @@ def q_agg_kmv_distinct(spark, sf_dir):
 # paths are deterministic (seeded planes, integral-double code dots,
 # md5-ordered centroid sample, (sim desc, id) tie-breaks), so the
 # oracle composes the already-verified oracle queries verbatim as CTEs
-# and the whole audit is hash-checked bit-exact. The numpy-k-means IVF
+# and the whole audit is hash-checked bit-exact (ivfk — the
+# Lloyd-refined kmeans quantizer leg — added r9). The numpy-k-means IVF
 # variant additionally keeps its recall pin in tests/test_ivf.py.
 
 def _ann_recall_oracle() -> str:
@@ -932,6 +1016,7 @@ sq8 AS ({ORACLES["q_vec_knn_quantized"]}),
 ivf AS ({ORACLES["q_vec_knn_ivf"]}),
 pq AS ({ORACLES["q_vec_knn_pq"]}),
 ivfadc AS ({ORACLES["q_vec_knn_ivfadc"]}),
+ivfk AS ({ORACLES["q_vec_knn_ivf_kmeans"]}),
 m AS (
   SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
   UNION ALL
@@ -942,6 +1027,8 @@ m AS (
   SELECT 'pq' AS method, probe_id, vec_id FROM pq
   UNION ALL
   SELECT 'ivfadc' AS method, probe_id, vec_id FROM ivfadc
+  UNION ALL
+  SELECT 'ivfk' AS method, probe_id, vec_id FROM ivfk
 ),
 hits AS (
   SELECT m.method, m.probe_id, count(*) AS hits
@@ -951,7 +1038,7 @@ hits AS (
 grid AS (
   SELECT p.probe_id, t.method
   FROM (SELECT DISTINCT probe_id FROM exact) p,
-       unnest(['lsh', 'sq8', 'ivf', 'pq', 'ivfadc']) AS t(method)
+       unnest(['lsh', 'sq8', 'ivf', 'pq', 'ivfadc', 'ivfk']) AS t(method)
 )
 SELECT g.probe_id, g.method,
        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -963,17 +1050,17 @@ FROM grid g LEFT JOIN hits h
 
 @query("q_vec_ann_recall", oracle=_ann_recall_oracle())
 def q_vec_ann_recall(spark, sf_dir):
-    """Recall@k audit of the five deterministic ANN paths vs exact kNN.
+    """Recall@k audit of the six deterministic ANN paths vs exact kNN.
 
     Emits (probe_id, method, hits, recall) for method in {lsh, sq8,
-    ivf, pq, ivfadc}:
+    ivf, pq, ivfadc, ivfk}:
     hits = |approx top-k ∩ exact top-k| per probe, recall = hits/k in
     double (BIGINT/DOUBLE correctly-rounded divide on both engines —
     exact for these tiny integers). Probes with zero overlap still
     appear (left join from the probe×method grid), so a recall
     collapse is visible as 0.0 rows, not missing rows.
 
-    Scale shape: the five kNN legs keep their own posture (broadcast
+    Scale shape: the six kNN legs keep their own posture (broadcast
     probes, streamed corpus); the audit itself only joins top-k sets —
     |probes| × k rows per method — so at 100 TB this costs the price
     of running the legs, plus a negligible id-pair join. This is the
@@ -993,6 +1080,7 @@ def q_vec_ann_recall(spark, sf_dir):
         ("ivf", q_vec_knn_ivf(spark, sf_dir)),
         ("pq", q_vec_knn_pq(spark, sf_dir)),
         ("ivfadc", q_vec_knn_ivfadc(spark, sf_dir)),
+        ("ivfk", q_vec_knn_ivf_kmeans(spark, sf_dir)),
     ]
     m = None
     for name, df in legs:
@@ -1009,7 +1097,7 @@ def q_vec_ann_recall(spark, sf_dir):
         F.explode(
             F.array(
                 F.lit("lsh"), F.lit("sq8"), F.lit("ivf"), F.lit("pq"),
-                F.lit("ivfadc"),
+                F.lit("ivfadc"), F.lit("ivfk"),
             )
         ).alias("method")
     )

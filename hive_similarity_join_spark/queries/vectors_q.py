@@ -592,14 +592,23 @@ KM_ROUNDS = 2
 KM_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
 
 
-def _kmeans_oracle() -> str:
-    from hive_similarity_join_spark.operators.ivf import KM_SCALE
+def _km_d2(xi: str, c: str) -> str:
+    """Exact fixed-point squared L2 in DuckDB list algebra."""
+    return (
+        f"list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))"
+    )
 
-    def d2(xi: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, {KM_DIM + 1}), "
-            f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))"
-        )
+
+def kmeans_sql_fragments() -> dict:
+    """Shared DuckDB fragments for the exact fixed-point Lloyd trainer
+    (operators/ivf.py lloyd_kmeans_centroids): ``with_body`` defines
+    ``v`` (fixedpoint vectors), ``c0`` (md5-ordered init pivots) and
+    the Lloyd rounds up to the final centroid CTE named ``final``.
+    Composed verbatim by q_vec_kmeans AND q_vec_knn_ivf_kmeans so the
+    clustering key and the kmeans-quantized IVF search share one
+    training definition (the pq_sql_fragments anti-drift pattern)."""
+    from hive_similarity_join_spark.operators.ivf import KM_SCALE
 
     def assign(src: str, cents: str) -> str:
         return f"""
@@ -607,7 +616,7 @@ def _kmeans_oracle() -> str:
     SELECT v.vec_id, {cents}.cell,
            row_number() OVER (
                PARTITION BY v.vec_id
-               ORDER BY {d2('v.xi', f'{cents}.c')}, {cents}.cell
+               ORDER BY {_km_d2('v.xi', f'{cents}.c')}, {cents}.cell
            ) AS rn
     FROM {src} v CROSS JOIN {cents}
   ) WHERE rn = 1"""
@@ -626,8 +635,7 @@ def _kmeans_oracle() -> str:
         rounds.append(f"a{t} AS ({assign('v', f'c{t}')})")
         rounds.append(f"c{t + 1} AS ({update(f'a{t}')})")
     body = ",\n".join(rounds)
-    return f"""
-WITH v AS (
+    with_body = f"""v AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
@@ -644,15 +652,23 @@ c0 AS (
     LIMIT {KM_K}
   )
 ),
-{body}
+{body}"""
+    return {"with_body": with_body, "final": f"c{KM_ROUNDS}", "d2": _km_d2}
+
+
+def _kmeans_oracle() -> str:
+    fr = kmeans_sql_fragments()
+    cf = fr["final"]
+    return f"""
+WITH {fr['with_body']}
 SELECT vec_id, CAST(cell AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
 FROM (
-  SELECT v.vec_id, cf.cell, {d2('v.xi', 'cf.c')} AS d2,
+  SELECT v.vec_id, cf.cell, {_km_d2('v.xi', 'cf.c')} AS d2,
          row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+             ORDER BY {_km_d2('v.xi', 'cf.c')}, cf.cell
          ) AS rn
-  FROM v CROSS JOIN c{KM_ROUNDS} cf
+  FROM v CROSS JOIN {cf} cf
 ) WHERE rn = 1
 """
 

@@ -89,6 +89,7 @@ PRIORITY: list[str] = [
     "q_vec_knn", "q_vec_knn_ann",
     # ---- positions 51+ (round-10 head candidates) ----
     # Stage round-9 additions here as they land; rotate to head at r10.
+    "q_vec_knn_ivf_kmeans",
     # Next-in-line oldest-verdict backfill if slots open:
     # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
     # q_contamination_report q_decontaminate_hashed q_dedup_containment
