@@ -1,0 +1,253 @@
+"""Incremental continuous aggregates — streaming mirrors of
+``q_events_rollup`` (multi-grain hypertable rollup) and
+``q_time_gapfill`` (fixed-grid resample + LOCF), queries/events_q.py.
+
+This is the foreachBatch slot-aggregate upsert (the TimescaleDB
+continuous-aggregate pattern): the carry holds FINEST-GRAIN partials
+only —
+
+  rollup:  (event_type, y, m, d)      -> (cnt, psum)
+  gapfill: (event_type, slot)         -> (cnt, slot_sum)
+
+and every coarser read-side artifact (the ROLLUP grains, the dense
+grid + forward fill) is derived from the carry at emission time. Both
+partial aggregates are decomposable (COUNT and exact DECIMAL SUM are
+associative and commutative), so unlike the CUSUM mirror there is NO
+ordered-arrival contract: epochs may arrive in any order, sliced any
+way, and the merged carry is BIT-IDENTICAL to the single-shot
+aggregation — pytest asserts equality against the batch keys' own
+output, not closeness.
+
+State size: O(observed finest-grain groups) — (types x days) for the
+rollup, (types x slots) for the grid — independent of the event
+count. Per epoch: one map-side-combined shuffle of the batch slice on
+the finest grain plus a carry-sized outer-join merge; emission costs
+O(carry), never O(events). The versioned parquet carry contract
+(streaming/state.py) makes restarts and epoch retries safe: read the
+newest version strictly below the current epoch id, write this
+epoch's version, prune to two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_similarity_join_spark.streaming.state import (
+    prune_carries,
+    read_latest_carry,
+)
+
+_DEC = "decimal(38,6)"
+
+ROLLUP_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("m", T.LongType()),
+        T.StructField("d", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("psum", T.DecimalType(38, 6)),
+    ]
+)
+
+GAPFILL_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("slot", T.TimestampType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("slot_sum", T.DecimalType(38, 6)),
+    ]
+)
+
+
+def rollup_partials(batch: DataFrame) -> DataFrame:
+    """Day-grain partials of a raw events slice (event_type, ts, value)."""
+    return (
+        batch.filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+        .groupBy("event_type", "y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("x").cast(_DEC).alias("psum"),
+        )
+    )
+
+
+def gapfill_partials(batch: DataFrame) -> DataFrame:
+    """15-minute slot partials of a raw events slice."""
+    return (
+        batch.filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.window("ts", "15 minutes")["start"].alias("slot"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+        .groupBy("event_type", "slot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("x").cast(_DEC).alias("slot_sum"),
+        )
+    )
+
+
+def merge_partials(
+    carry: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str],
+) -> DataFrame:
+    """Upsert ``delta`` partials into ``carry`` by summing the partial
+    columns per key — exact for COUNT and DECIMAL SUM in any epoch
+    order (associative + commutative), which is what makes the mirror
+    bit-identical to single-shot."""
+    if carry is None:
+        return delta
+    c = carry.select(keys + [F.col(s).alias(f"_c_{s}") for s in sums])
+    d = delta.select(keys + [F.col(s).alias(f"_d_{s}") for s in sums])
+    j = c.join(d, keys, "full")
+    merged = [
+        (
+            F.coalesce(F.col(f"_c_{s}"), F.lit(0))
+            + F.coalesce(F.col(f"_d_{s}"), F.lit(0))
+        )
+        .cast("bigint" if s == "cnt" else _DEC)
+        .alias(s)
+        for s in sums
+    ]
+    return j.select(*keys, *merged)
+
+
+def emit_rollup(carry: DataFrame) -> DataFrame:
+    """q_events_rollup's exact output from the day-grain carry: one
+    ROLLUP over O(types x days) partials — cnt re-sums the partial
+    counts, sum_value re-sums the exact decimals (same value as the
+    batch key's decimal(18,6) event sum) and casts to double at the
+    edge, the identical emission shape."""
+    grain = (
+        F.when(F.grouping("d") == 0, F.lit("day"))
+        .when(F.grouping("m") == 0, F.lit("month"))
+        .when(F.grouping("y") == 0, F.lit("year"))
+        .when(F.grouping("event_type") == 0, F.lit("type"))
+        .otherwise(F.lit("all"))
+    )
+    return (
+        carry.rollup("event_type", "y", "m", "d")
+        .agg(
+            grain.alias("grain"),
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .select("event_type", "y", "m", "d", "grain", "cnt", "sum_value")
+    )
+
+
+def emit_gapfill(carry: DataFrame) -> DataFrame:
+    """q_time_gapfill's exact output from the slot carry: dense grid
+    over each type's observed span, LOCF over the slot sums — all
+    O(grid), the batch key's own read-side shape."""
+    span = carry.groupBy("event_type").agg(
+        F.min("slot").alias("s0"), F.max("slot").alias("s1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("s0", "s1", F.expr("interval 15 minutes"))
+        ).alias("slot"),
+    )
+    joined = grid.join(carry, ["event_type", "slot"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+        F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
+        F.when(F.col("cnt").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("gap_filled"),
+        F.last("slot_sum", ignorenulls=True).over(w).cast("double").alias(
+            "filled_sum"
+        ),
+    )
+
+
+def _make_query(
+    stream: DataFrame,
+    state_dir: str,
+    partials,
+    carry_schema,
+    keys: list[str],
+    checkpoint_dir: str | None = None,
+):
+    """Shared foreachBatch wiring: partials -> versioned-carry merge ->
+    epoch-named summary snapshot (overwrite, so a retried epoch
+    rewrites rather than duplicates)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        carry = read_latest_carry(
+            spark, state_dir, carry_schema, below_epoch=epoch_id
+        )
+        new_carry = merge_partials(
+            carry, partials(batch), keys, ["cnt", carry_schema[-1].name]
+        )
+        new_carry.write.mode("overwrite").parquet(
+            f"{state_dir}/carry_v{epoch_id}"
+        )
+        spark.read.schema(carry_schema).parquet(
+            f"{state_dir}/carry_v{epoch_id}"
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/summary/epoch_{epoch_id:06d}"
+        )
+        prune_carries(state_dir)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def incremental_rollup(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous multi-grain rollup over a raw events stream
+    (event_type, ts, value, ...). The latest summary snapshot IS the
+    day-grain carry; read it and call emit_rollup for the serving
+    grains."""
+    return _make_query(
+        stream,
+        state_dir,
+        rollup_partials,
+        ROLLUP_CARRY_SCHEMA,
+        ["event_type", "y", "m", "d"],
+        checkpoint_dir,
+    )
+
+
+def incremental_gapfill(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous slot aggregate for the gap-filled grid; read the
+    latest summary snapshot and call emit_gapfill for the dense
+    forward-filled series."""
+    return _make_query(
+        stream,
+        state_dir,
+        gapfill_partials,
+        GAPFILL_CARRY_SCHEMA,
+        ["event_type", "slot"],
+        checkpoint_dir,
+    )

@@ -1,0 +1,126 @@
+"""Incremental continuous aggregates: the merged multi-epoch carry
+must reproduce the batch keys' output BIT-identically (exact decimal
+partials), in ANY epoch order — rollup and gapfill partials are
+decomposable, unlike the ordered-arrival CUSUM carry."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.queries.events_q import (
+    q_events_rollup,
+    q_time_gapfill,
+)
+from hive_similarity_join_spark.sources.loader import load_table
+from hive_similarity_join_spark.streaming.incremental_rollup import (
+    GAPFILL_CARRY_SCHEMA,
+    ROLLUP_CARRY_SCHEMA,
+    emit_gapfill,
+    emit_rollup,
+    gapfill_partials,
+    incremental_rollup,
+    merge_partials,
+    rollup_partials,
+)
+from tests.conftest import SF_SMOKE
+
+REPO_TMP = Path(__file__).resolve().parent / "_incrollup_tmp"
+
+
+@pytest.fixture()
+def dirs(spark):
+    REPO_TMP.mkdir(exist_ok=True)
+    d = tempfile.mkdtemp(dir=REPO_TMP)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _tuples(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _epoch_slices(e, n=3):
+    # id-hash slicing, deliberately NOT time-ordered: decomposable
+    # partials must merge exactly in any arrival order
+    return [e.filter(F.col("event_id") % n == i) for i in range(n)]
+
+
+def test_rollup_epoch_chain_equals_batch_key(spark):
+    e = _events(spark)
+    carry = None
+    for sl in _epoch_slices(e):
+        assert sl.count()
+        carry = merge_partials(
+            carry, rollup_partials(sl), ["event_type", "y", "m", "d"],
+            ["cnt", "psum"],
+        )
+    got = emit_rollup(carry)
+    want = q_events_rollup(spark, SF_SMOKE)
+    assert _tuples(got) == _tuples(want)
+
+
+def test_gapfill_epoch_chain_equals_batch_key(spark):
+    e = _events(spark)
+    carry = None
+    for sl in _epoch_slices(e):
+        carry = merge_partials(
+            carry, gapfill_partials(sl), ["event_type", "slot"],
+            ["cnt", "slot_sum"],
+        )
+    got = emit_gapfill(carry)
+    want = q_time_gapfill(spark, SF_SMOKE)
+    assert _tuples(got) == _tuples(want)
+
+
+def test_streaming_rollup_matches_batch_key(spark, dirs):
+    """End-to-end foreachBatch + versioned carry: files arrive one per
+    micro-batch (arbitrary order is fine here); the final summary
+    snapshot, passed through emit_rollup, equals the batch key."""
+    src = f"{dirs}/src"
+    e = _events(spark).select("event_type", "ts", "value")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_rollup(stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt")
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(ROLLUP_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_rollup(carry)) == _tuples(
+        q_events_rollup(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_gapfill_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        incremental_gapfill,
+    )
+
+    src = f"{dirs}/src"
+    e = _events(spark).select("event_type", "ts", "value")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_gapfill(stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt")
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(GAPFILL_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_gapfill(carry)) == _tuples(
+        q_time_gapfill(spark, SF_SMOKE)
+    )
