@@ -1597,3 +1597,349 @@ def q_graph_triangles(spark, sf_dir):
         )
         .alias("clustering"),
     )
+
+
+# ---------------- degree distribution of the near-dup pair graph
+
+
+def _degree_dist_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs
+  ) GROUP BY id
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT degree,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / CAST((SELECT n_nodes FROM t) AS DOUBLE)
+         AS frac
+FROM deg GROUP BY degree
+"""
+
+
+@query("q_graph_degree_dist", oracle=_degree_dist_oracle())
+def q_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the near-duplicate pair graph — the
+    graph-health profile read BEFORE running the iterative operators
+    on it: a heavy right tail means hub documents (boilerplate
+    templates) that will blow up connected components and pair joins,
+    and is exactly what the SPAN_CAP / salting guards exist for.
+    Emits (degree, node count, fraction).
+
+    Plan shape: pairs once (the q_dedup_ngram candidate join), one
+    partial-aggregated shuffle for degrees, one for the histogram —
+    output cardinality is |distinct degrees|, so everything after the
+    pair join is negligible. The node total is a 1-row broadcast (the
+    q_search_bm25 scalar-stats pattern). Exactness: counts are
+    bigints; frac is one division."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    deg = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionAll(pairs.select(F.col("id2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    t = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "degree",
+            "n",
+            (F.col("n").cast("double") / F.col("n_nodes").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+# ---------------- IVF quantizer cell-balance audit
+
+
+def _ivf_balance_oracle() -> str:
+    """Both quantizers' assignments from the shared kmeans fragments:
+    'init' reuses the fragments' own round-0 assignment CTE (a0 IS the
+    assignment to the c0 pivots), 'kmeans' assigns against the final
+    refined centroids."""
+    from hive_similarity_join_spark.queries.vectors_q import (
+        kmeans_sql_fragments,
+    )
+
+    fr = kmeans_sql_fragments()
+    cf, d2 = fr["final"], fr["d2"]
+    return f"""
+WITH {fr['with_body']},
+afin AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf
+  ) WHERE rn = 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+lists AS (
+  SELECT 'init' AS quantizer, cell FROM a0
+  UNION ALL
+  SELECT 'kmeans' AS quantizer, cell FROM afin
+)
+SELECT quantizer, CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM t) AS DOUBLE) AS share
+FROM lists GROUP BY quantizer, cell
+"""
+
+
+@query("q_vec_ivf_balance", oracle=_ivf_balance_oracle())
+def q_vec_ivf_balance(spark, sf_dir):
+    """Inverted-list balance audit for the two SQL-mirrorable IVF
+    quantizers: per-cell corpus counts and shares for the raw init
+    pivots ('init', q_vec_knn_ivf's cells) vs the Lloyd-refined
+    centroids ('kmeans', q_vec_knn_ivf_kmeans's cells). Recall
+    (q_vec_ann_recall) is one half of ANN quality; list balance is the
+    other — at 100 TB the LARGEST cell bounds per-probe tail latency
+    and the whole point of Lloyd refinement is flattening it. This key
+    turns that claim into a measured, hash-checked table.
+
+    Plan shape: one fixedpoint projection of the corpus feeds both
+    assignments (each a codegen'd argmin against a one-row broadcast
+    centroid relation — no join, no shuffle); the union aggregates to
+    2 x n_cells rows in one partial-agg shuffle; the corpus total is a
+    1-row broadcast."""
+    from hive_similarity_join_spark.operators.ivf import (
+        _centroid_relation,
+        _nearest_centroid,
+        fixedpoint_vectors,
+        lloyd_kmeans_centroids,
+    )
+    from hive_similarity_join_spark.queries.vectors_q import KM_K, KM_ROUNDS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = pin(fixedpoint_vectors(e))
+    init = lloyd_kmeans_centroids(v, KM_K, rounds=0)
+    refined = lloyd_kmeans_centroids(v, KM_K, rounds=KM_ROUNDS)
+    nearest = _nearest_centroid(F.col("xi"))
+
+    def _assigned(cents, label):
+        return v.crossJoin(
+            F.broadcast(_centroid_relation(spark, cents))
+        ).select(
+            F.lit(label).alias("quantizer"), nearest["cell"].alias("cell")
+        )
+
+    lists = _assigned(init, "init").unionAll(_assigned(refined, "kmeans"))
+    t = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        lists.groupBy("quantizer", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "quantizer",
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------- recall@k vs nprobe curve (the IVF tuning dial)
+
+CURVE_NPROBES = (1, 2, 4, 8)
+
+
+def _recall_curve_oracle() -> str:
+    from hive_similarity_join_spark.queries import vectors_q
+    from hive_similarity_join_spark.queries.vectors_q import (
+        kmeans_sql_fragments,
+    )
+    from hive_similarity_join_spark.registry import ORACLES
+
+    fr = kmeans_sql_fragments()
+    cf, d2 = fr["final"], fr["d2"]
+    k = vectors_q.KNN_K
+    nps = ", ".join(str(n) for n in CURVE_NPROBES)
+    return f"""
+WITH {fr['with_body']},
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf
+  ) WHERE rn = 1
+),
+routed AS (
+  SELECT probe_id, cell, rn FROM (
+    SELECT v.vec_id AS probe_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf WHERE v.vec_id < {N_PROBES}
+  )
+),
+nps AS (SELECT unnest([{nps}]) AS np),
+scored AS (
+  SELECT n.np, r.probe_id, a.vec_id,
+         {duck_cosine('p.embedding', 'e.embedding')} AS sim
+  FROM nps n
+  JOIN routed r ON r.rn <= n.np
+  JOIN asg a ON a.cell = r.cell AND a.vec_id <> r.probe_id
+  JOIN embeddings p ON p.vec_id = r.probe_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+approx AS (
+  SELECT np, probe_id, vec_id FROM (
+    SELECT np, probe_id, vec_id,
+           row_number() OVER (
+               PARTITION BY np, probe_id ORDER BY sim DESC, vec_id
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+exact AS ({ORACLES["q_vec_knn"]}),
+probes AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS np_total
+           FROM exact),
+hits AS (
+  SELECT a.np, CAST(count(*) AS BIGINT) AS hits
+  FROM approx a JOIN exact e
+    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+  GROUP BY a.np
+)
+SELECT CAST(n.np AS BIGINT) AS nprobe,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE)
+         / CAST((SELECT np_total FROM probes) * {k} AS DOUBLE) AS recall
+FROM nps n LEFT JOIN hits h ON h.np = n.np
+"""
+
+
+@query("q_vec_recall_curve", oracle=_recall_curve_oracle())
+def q_vec_recall_curve(spark, sf_dir):
+    """Recall@k as a function of nprobe for the kmeans-quantized IVF —
+    the tuning curve an ANN deployment reads to pick its
+    latency/recall operating point (nprobe is THE dial: cost grows
+    linearly in it, recall saturates). One training + one routing pass
+    serve every nprobe: cells are ranked once per probe and each curve
+    point just filters rank <= nprobe — at 100 TB you measure the
+    whole curve for the price of the largest point, not the sum.
+
+    Exactness: training/routing are the exact fixed-point kmeans
+    CTEs (shared via kmeans_sql_fragments, so the curve cannot drift
+    from the search keys); rescoring is exact cosine; hits are integer
+    intersections against the already-verified q_vec_knn oracle;
+    recall is one division by the exact probes x k denominator."""
+    from hive_similarity_join_spark.operators.ivf import (
+        _centroid_relation,
+        fixedpoint_vectors,
+        lloyd_kmeans_centroids,
+    )
+    from hive_similarity_join_spark.queries.vectors_q import (
+        KM_K,
+        KM_ROUNDS,
+        KNN_K,
+        q_vec_knn,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = pin(fixedpoint_vectors(e))
+    cents = lloyd_kmeans_centroids(v, KM_K, KM_ROUNDS)
+    cent_rel = _centroid_relation(spark, cents)
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    dists_sorted = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(d2(s["c"]).alias("d"), s["cell"].alias("cell")),
+        )
+    )
+    from hive_similarity_join_spark.operators.ivf import _nearest_centroid
+
+    nearest = _nearest_centroid(F.col("xi"))
+    asg = v.crossJoin(F.broadcast(cent_rel)).select(
+        "vec_id", nearest["cell"].alias("cell")
+    )
+    routed = (
+        v.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(F.broadcast(cent_rel))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.posexplode(dists_sorted).alias("_pos", "_tc"),
+        )
+        .select(
+            "probe_id",
+            F.col("_tc.cell").alias("cell"),
+            (F.col("_pos") + 1).alias("rn"),
+        )
+    )
+    nps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in CURVE_NPROBES])).alias("np")
+    )
+    emb = e.select("vec_id", F.col("embedding").alias("_emb"))
+    p = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pemb")
+    )
+    from hive_similarity_join_spark.functions import vectors as V
+
+    cand = (
+        F.broadcast(routed.crossJoin(F.broadcast(nps)).filter(F.col("rn") <= F.col("np")))
+        .join(asg, "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("np", "probe_id", "vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(p), "probe_id")
+        .join(emb, "vec_id")
+        .select(
+            "np",
+            "probe_id",
+            "vec_id",
+            V.cosine(V.as_double("_pemb"), V.as_double("_emb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("np", "probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("np", "probe_id", "vec_id")
+    )
+    exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
+    probes_total = exact.agg(
+        F.countDistinct("probe_id").cast("bigint").alias("np_total")
+    )
+    hits = approx.join(exact, ["probe_id", "vec_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    n_hits = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (
+        nps.join(hits, "np", "left")
+        .crossJoin(F.broadcast(probes_total))
+        .select(
+            F.col("np").cast("bigint").alias("nprobe"),
+            n_hits.alias("hits"),
+            (
+                n_hits.cast("double")
+                / (F.col("np_total") * KNN_K).cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -1263,3 +1263,361 @@ def q_events_paths(spark, sf_dir):
     return ranked_topk(
         counted, [F.col("n_sessions").desc(), F.col("path")], PATHS_TOP_K
     )
+
+
+# ---------------- ordered funnel conversion (view -> click -> purchase)
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE ts IS NOT NULL
+),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM e),
+v AS (
+  SELECT user_id, min(tsu) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(tsu) AS t1
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND tsu > v.t0 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(tsu) AS t2
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND tsu > c.t1 GROUP BY 1
+),
+steps AS (
+  SELECT 1 AS step, 'all_users' AS step_name, (SELECT n FROM u) AS users
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM v)
+  UNION ALL SELECT 3, 'click_after_view', (SELECT count(*) FROM c)
+  UNION ALL SELECT 4, 'purchase_after_click', (SELECT count(*) FROM p)
+)
+SELECT CAST(step AS BIGINT) AS step, step_name,
+       CAST(users AS BIGINT) AS users,
+       CAST(users AS DOUBLE)
+         / CAST(lag(users, 1, users) OVER (ORDER BY step) AS DOUBLE)
+         AS conv_from_prev,
+       CAST(users AS DOUBLE)
+         / CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE)
+         AS conv_from_start
+FROM steps
+""",
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis — the product-analytics staple: how many
+    users complete view -> click -> purchase IN ORDER (each step's
+    first occurrence must be strictly after the previous step's), with
+    per-step and cumulative conversion rates. The ordered-sequence
+    constraint is what distinguishes a funnel from three independent
+    counts: a purchase before any click does not convert.
+
+    Plan shape: three aggregations over the events scan, each with its
+    event_type filter PUSHED to the parquet read (one type is ~1/5 of
+    rows) and each shuffling only (user_id, min ts) — the classic
+    min-timestamp chaining; step N joins step N-1's per-user firsts (a
+    relation bounded by |users|, broadcastable at any scale). The
+    4-row step table is driver-trivial; rates are single divisions of
+    exact bigints (the q_events_transitions rule).
+
+    The final 4-row ranking window is bounded by construction (the
+    ranked_topk invariant); at 100 TB nothing here exceeds
+    O(users) state."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    # one lazy plan, no driver-side .count() actions and NO window:
+    # the four step counts crossJoin into ONE row (each leg a 1-row
+    # global aggregate), then stack() unpivots to the 4 step rows with
+    # prev/first denominators as explicit columns — the lag/first_value
+    # the oracle uses, resolved statically
+    def _cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    one = (
+        _cnt(e.select("user_id").distinct(), "n_all")
+        .crossJoin(_cnt(v, "n_v"))
+        .crossJoin(_cnt(c, "n_c"))
+        .crossJoin(_cnt(p, "n_p"))
+    )
+    steps = one.select(
+        F.expr(
+            "stack(4,"
+            " CAST(1 AS BIGINT), 'all_users',            n_all, n_all,"
+            " CAST(2 AS BIGINT), 'view',                 n_v,   n_all,"
+            " CAST(3 AS BIGINT), 'click_after_view',     n_c,   n_v,"
+            " CAST(4 AS BIGINT), 'purchase_after_click', n_p,   n_c"
+            ") AS (step, step_name, users, prev)"
+        ),
+        F.col("n_all").alias("first"),
+    )
+    return steps.select(
+        "step",
+        "step_name",
+        "users",
+        (F.col("users").cast("double") / F.col("prev").cast("double")).alias(
+            "conv_from_prev"
+        ),
+        (F.col("users").cast("double") / F.col("first").cast("double")).alias(
+            "conv_from_start"
+        ),
+    )
+
+
+# ---------------- weekly cohort retention matrix
+
+
+@query(
+    "q_events_retention",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+  FROM events WHERE ts IS NOT NULL
+),
+cohort AS (SELECT user_id, min(wk) AS c0 FROM e GROUP BY 1),
+active AS (
+  SELECT DISTINCT c.user_id, c.c0,
+         CAST((epoch(e.wk) - epoch(c.c0)) AS BIGINT) // 604800 AS offset_w
+  FROM e JOIN cohort c USING (user_id)
+),
+size AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1)
+SELECT strftime(a.c0, '{_FMT}') AS cohort_week,
+       a.offset_w,
+       CAST(count(*) AS BIGINT) AS active_users,
+       any_value(s.cohort_size) AS cohort_size,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(s.cohort_size) AS DOUBLE)
+         AS retention
+FROM active a JOIN size s USING (c0)
+GROUP BY a.c0, a.offset_w
+""",
+)
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted as retained in each subsequent week they were active
+    — the (cohort_week x week_offset) grid every growth/engagement
+    dashboard is built on, and the panel-construction step for
+    longitudinal training data.
+
+    Exactness: week buckets via date_trunc('week') (ISO Monday on both
+    engines, UTC-pinned by the loader); the offset is integer epoch
+    arithmetic (both truncated timestamps are whole seconds, and the
+    difference is a nonnegative multiple of 604800, so Spark's `div`
+    and DuckDB's `//` agree); retention is one bigint/bigint division.
+
+    Plan shape: cohort = one groupBy(user); the activity grid
+    de-dups (user, week) BEFORE counting (DISTINCT on a relation
+    bounded by users x weeks); the cohort-size join is broadcastable
+    (|cohorts| rows). The events table is scanned once."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    cohort = wk.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    active = (
+        wk.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "c0",
+            F.expr(
+                "(unix_seconds(wk) - unix_seconds(c0)) div 604800"
+            ).alias("offset_w"),
+        )
+        .distinct()
+    )
+    size = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(size), "c0")
+        .groupBy("c0", "offset_w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.any_value("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.date_format("c0", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+            "offset_w",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+# ---------------- OHLC time-bucket resample (candlesticks)
+
+
+@query(
+    "q_time_ohlc",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+         CAST(value AS DECIMAL(18,6)) AS x,
+         to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600
+                      AS BIGINT)) AS slot
+  FROM events WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, slot
+                            ORDER BY tsu, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, slot
+                            ORDER BY tsu DESC, event_id DESC) AS rn_close
+  FROM e
+)
+SELECT event_type, strftime(slot, '{_FMT}') AS slot_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CASE WHEN rn_open = 1 THEN x END) AS DOUBLE) AS open,
+       CAST(max(x) AS DOUBLE) AS high,
+       CAST(min(x) AS DOUBLE) AS low,
+       CAST(min(CASE WHEN rn_close = 1 THEN x END) AS DOUBLE) AS close,
+       CAST(SUM(x) AS DOUBLE) AS volume
+FROM r GROUP BY event_type, slot
+""",
+)
+def q_time_ohlc(spark, sf_dir):
+    """OHLC candlestick resample: per (event_type, 1h bucket) the
+    opening/high/low/closing values plus count and summed volume — the
+    downsampling shape every time-series store serves charts from, and
+    the feature-windows a forecasting pipeline trains on.
+
+    Determinism: open/close are defined by the (ts, event_id) TOTAL
+    order (row_number, not first_value-with-implicit-frame, so engine
+    frame defaults can't differ); high/low are comparisons; the only
+    accumulation is the volume sum, which uses the decimal(18,6) trick.
+    Each emitted value is a single decimal cast to double — no float
+    arithmetic at all.
+
+    Plan shape: ONE shuffle on (event_type, slot) shared by both
+    row_number windows and the final aggregate (same partition keys;
+    the sort differs only in direction, which Spark serves from the
+    same sorted run). Buckets are integer epoch floors (the
+    q_stream_sliding rule)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("tsu"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.window("ts", "1 hour")["start"].alias("slot"),
+    )
+    w_open = Window.partitionBy("event_type", "slot").orderBy("tsu", "event_id")
+    w_close = Window.partitionBy("event_type", "slot").orderBy(
+        F.desc("tsu"), F.desc("event_id")
+    )
+    r = base.select(
+        "*",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        r.groupBy("event_type", "slot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.when(F.col("rn_open") == 1, F.col("x")))
+            .cast("double")
+            .alias("open"),
+            F.max("x").cast("double").alias("high"),
+            F.min("x").cast("double").alias("low"),
+            F.min(F.when(F.col("rn_close") == 1, F.col("x")))
+            .cast("double")
+            .alias("close"),
+            F.sum("x").cast("double").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+# ---------------- per-event lag/rolling training features
+
+
+@query(
+    "q_events_lag_features",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_id, user_id,
+       CAST(lag(x) OVER w AS DOUBLE) AS prev_value,
+       CAST(x - lag(x) OVER w AS DOUBLE) AS delta_value,
+       CAST(epoch_us(tsu) - epoch_us(lag(tsu) OVER w) AS BIGINT)
+         AS micros_since_prev,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            AS BIGINT) AS n_prev3,
+       CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            AS DOUBLE) AS sum_prev3
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+""",
+)
+def q_events_lag_features(spark, sf_dir):
+    """Per-event lag/rolling feature extraction — the feature-
+    engineering pass that turns a raw event log into model-ready rows:
+    previous value, delta, inter-arrival time, and a trailing 3-event
+    count/sum per user, each LEAKAGE-SAFE (frames end at 1 PRECEDING,
+    never the current row — the cardinal sin of temporal features is
+    including the label's own row).
+
+    Exactness: deltas and rolling sums stay in decimal(18,6) until the
+    final cast (sums of <=3 decimals are exact in any order);
+    inter-arrival is integer microseconds; the (ts, event_id) total
+    order fixes every frame deterministically.
+
+    Plan shape: ONE shuffle on user_id serves all five windows (same
+    partitioning and sort — Spark stacks them over a single Exchange +
+    Sort, the q_scd2_history rule). Output is one row per event, so
+    this pipelines into a feature-store write at scan parallelism."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("tsu"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    w3 = w.rowsBetween(-3, -1)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.lag("x").over(w).cast("double").alias("prev_value"),
+        (F.col("x") - F.lag("x").over(w)).cast("double").alias("delta_value"),
+        (
+            F.unix_micros("tsu") - F.unix_micros(F.lag("tsu").over(w))
+        ).cast("bigint").alias("micros_since_prev"),
+        F.count(F.lit(1)).over(w3).cast("bigint").alias("n_prev3"),
+        F.sum("x").over(w3).cast("double").alias("sum_prev3"),
+    )

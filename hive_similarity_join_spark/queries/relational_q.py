@@ -2147,3 +2147,82 @@ def q_report_rfm(spark, sf_dir):
             qr.cast("string"), qf.cast("string"), qm.cast("string")
         ).alias("segment"),
     )
+
+
+# ---------------- equi-width value histogram per event type
+
+HIST_W_CENTS = 2_000  # bin width 20.00 in exact cents
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // {HIST_W_CENTS} AS bin
+  FROM events
+),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(c.bin AS BIGINT) AS bin,
+       CAST(c.bin * {HIST_W_CENTS} AS DOUBLE) / 100.0 AS bin_lo,
+       CAST((c.bin + 1) * {HIST_W_CENTS} AS DOUBLE) / 100.0 AS bin_hi,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(t.total) AS DOUBLE) AS frac
+FROM c JOIN t USING (event_type)
+GROUP BY c.event_type, c.bin
+""",
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram of `value` per event_type (bin width 20.00)
+    — the distribution profile an optimizer keeps as column statistics
+    and a data-quality report plots before trusting a numeric feature.
+    Emits bin id, bounds, count, and within-type fraction.
+
+    Exactness: binning happens in EXACT integer cents (floor(v*100 +
+    0.5), the engine-portable rounding from q_events_outliers) with
+    floor division by the cent-width — values are nonnegative so
+    Spark's `div` and DuckDB's `//` agree; bounds are exact small
+    integers divided once; frac is one bigint/bigint division.
+
+    Plan shape: one map-side-combined shuffle on (type, bin) — output
+    cardinality is types x bins regardless of event count; the
+    per-type total joins back on the aggregated relation (broadcast
+    size |types|). At 100 TB this is a single pass, like any stats
+    collection should be."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr(
+            f"CAST(floor(value * 100 + 0.5) AS BIGINT) div {HIST_W_CENTS}"
+        ).alias("bin"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.any_value("total").alias("_total"),
+        )
+        .select(
+            "event_type",
+            F.col("bin").cast("bigint").alias("bin"),
+            (F.col("bin") * HIST_W_CENTS).cast("double").alias("_lo_c"),
+            ((F.col("bin") + 1) * HIST_W_CENTS).cast("double").alias("_hi_c"),
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
+                "frac"
+            ),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("_lo_c") / F.lit(100.0)).alias("bin_lo"),
+            (F.col("_hi_c") / F.lit(100.0)).alias("bin_hi"),
+            "cnt",
+            "frac",
+        )
+    )

@@ -1054,3 +1054,70 @@ def q_text_hashing_trick(spark, sf_dir):
         F.sum("sgn").cast("bigint").alias("w"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------- fixed-point TF-IDF top terms per source
+
+TFIDF_TOP_K = 5
+TFIDF_FP = 1_000_000  # fixed-point unit for the tf/df ratio
+
+
+@query(
+    "q_docs_tfidf_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t.tok
+  FROM documents, unnest({TX.duck_bag()}) AS t(tok)
+),
+tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY source, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+SELECT * FROM (
+  SELECT tf.source, tf.tok, tf.tf, df.df,
+         tf.tf * {TFIDF_FP} // df.df AS score_fp,
+         CAST(row_number() OVER (
+             PARTITION BY tf.source
+             ORDER BY tf.tf * {TFIDF_FP} // df.df DESC, tf.tok
+         ) AS BIGINT) AS rank
+  FROM tf JOIN df USING (tok)
+) WHERE rank <= {TFIDF_TOP_K}
+""",
+)
+def q_docs_tfidf_terms(spark, sf_dir):
+    """Top characteristic terms per source by a FIXED-POINT tf-idf
+    surrogate — the keyword-extraction / corpus-drift probe a data
+    pipeline runs per domain (what distinguishes this source's
+    vocabulary). Score = tf * 1e6 div df: monotone in the classic
+    tf/df ratio but computed as ONE exact integer division, because a
+    float idf (ln((N+1)/(df+1))) is correctly-rounded per-engine yet
+    its PRODUCT with tf is not — a 1-ulp ln difference flips ranks
+    nondeterministically (the q_events_outliers FMA lesson applied to
+    ranking). tf and df are emitted alongside so a consumer can apply
+    any idf curve downstream.
+
+    Plan shape: one explode + (source, tok) partial-agg shuffle for
+    tf; df aggregates the ALREADY-AGGREGATED tf relation (rows bounded
+    by vocab x sources, not token occurrences); the per-source top-k
+    window runs on the scored join of those two bounded relations. At
+    100 TB the raw corpus is touched exactly once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(TX.bag_tokens("text")).alias("tok"))
+    tf = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    score = F.expr(f"tf * {TFIDF_FP} div df")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_fp"), F.asc("tok")
+    )
+    return (
+        tf.join(df, "tok")
+        .select("source", "tok", "tf", "df", score.alias("score_fp"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("source", "tok", "tf", "df", "score_fp", "rank")
+    )

@@ -90,6 +90,9 @@ PRIORITY: list[str] = [
     # ---- positions 51+ (round-10 head candidates) ----
     # Stage round-9 additions here as they land; rotate to head at r10.
     "q_vec_knn_ivf_kmeans",
+    "q_events_funnel", "q_events_retention", "q_time_ohlc",
+    "q_events_lag_features", "q_agg_histogram", "q_graph_degree_dist",
+    "q_docs_tfidf_terms", "q_vec_ivf_balance", "q_vec_recall_curve",
     # Next-in-line oldest-verdict backfill if slots open:
     # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
     # q_contamination_report q_decontaminate_hashed q_dedup_containment
