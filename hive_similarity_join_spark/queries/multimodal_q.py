@@ -162,3 +162,56 @@ def q_multimodal_resize(spark, sf_dir):
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_hash"),
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS p
+  FROM documents
+)
+SELECT md5(p) AS payload_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(min(octet_length(encode(p))) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM m GROUP BY p
+""",
+)
+def q_multimodal_dedup(spark, sf_dir):
+    """Exact dedup over BINARY payloads — the first gate of any media
+    pipeline (byte-identical images/audio recur constantly in web
+    crawls): group by content hash, keep the smallest id as the
+    canonical copy, report group size and bytes. The same
+    hash-groupBy shape as q_dedup_exact, applied to the binary column
+    family; at 100 TB the md5 streams with the scan and the shuffle
+    carries (hash, id, length) — never payload bytes.
+
+    Payloads are the deterministic synthesize_media bytes (real media
+    is environment-blocked, documented in operators/multimodal.py);
+    the operator is payload-agnostic."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "media_id",
+            F.md5("payload").alias("payload_hash"),
+            F.octet_length("payload").cast("bigint").alias("_len"),
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+            F.min("_len").alias("n_bytes"),
+        )
+        .select(
+            "payload_hash",
+            "n_copies",
+            "keep_id",
+            "n_bytes",
+            F.when(F.col("n_copies") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dup"),
+        )
+    )

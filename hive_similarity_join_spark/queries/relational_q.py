@@ -2226,3 +2226,165 @@ def q_agg_histogram(spark, sf_dir):
             "frac",
         )
     )
+
+
+# ---------------- exact higher-moment profile (skewness / kurtosis)
+
+
+@query(
+    "q_agg_skew_kurtosis",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mu AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         SUM(cents) // count(*) AS mu0
+  FROM c GROUP BY 1
+),
+d AS (
+  SELECT c.event_type, m.n, c.cents - m.mu0 AS d
+  FROM c JOIN mu m USING (event_type)
+),
+s AS (
+  SELECT event_type, any_value(n) AS n,
+         SUM(CAST(d AS HUGEINT)) AS d1,
+         SUM(CAST(d AS HUGEINT) * d) AS d2,
+         SUM(CAST(d AS HUGEINT) * d * d) AS d3,
+         SUM(CAST(d AS HUGEINT) * d * d * d) AS d4
+  FROM d GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         CAST(n * d2 - d1 * d1 AS DOUBLE) AS m2d,
+         CAST(n * n * d3 - 3 * n * d1 * d2 + 2 * d1 * d1 * d1 AS DOUBLE)
+           AS m3d,
+         CAST(n * n * n * d4 - 4 * n * n * d1 * d3
+              + 6 * n * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1 AS DOUBLE)
+           AS m4d
+  FROM s
+)
+SELECT event_type, n,
+       m3d / (m2d * sqrt(m2d)) AS skewness,
+       m4d / (m2d * m2d) - 3.0 AS excess_kurtosis
+FROM m
+""",
+)
+def q_agg_skew_kurtosis(spark, sf_dir):
+    """Exact skewness and excess kurtosis of `value` per event_type —
+    the higher-moment distribution profile a feature-quality gate
+    reads (heavy tails and asymmetry break normality assumptions that
+    z-score screens like q_events_outliers rely on).
+
+    Exactness strategy (the q_events_outliers integer-moment rule,
+    extended to 3rd/4th powers): values become exact cents, then are
+    CENTERED on the per-group integer floor-mean mu0 = sum div n
+    (nonnegative operands, so Spark `div` = DuckDB `//`) before the
+    power sums — centering is what keeps the scale-free moment
+    numerators inside 38 digits: M2 = n*d2 - d1^2, M3 = n^2*d3 -
+    3n*d1*d2 + 2*d1^3, M4 = n^3*d4 - 4n^2*d1*d3 + 6n*d1^2*d2 -
+    3*d1^4 are the shift-invariant central-moment numerators (d1 =
+    residual mean mass, 0 <= d1 < n). n cancels between numerator and
+    denominator powers, so skew = M3/M2^1.5 and kurt = M4/M2^2 - 3
+    directly. Envelope: |M4| <= n^3 * d4 — with per-group n ~ 2e4
+    (sf0.1) it peaks ~1e36 < 1e38; the wall is n ~ 4e5 per group, past
+    which this key's carrier would move to a two-level scaled-decimal
+    fold (documented, not hit by any test SF).
+
+    The double tail is division/sqrt/multiply/subtract single ops with
+    identical association on both sides — M2^1.5 is spelled
+    m2d * sqrt(m2d), NOT pow(x, 1.5), because pow is not required to
+    be correctly rounded while sqrt is (IEEE 754).
+
+    Plan shape: two passes over events (mean, then centered power
+    sums), the second joining the |types|-row mean relation broadcast;
+    both aggregations are map-side combined."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    mu = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(cents) div count(*)").alias("mu0"),
+    )
+    d = c.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("cents") - F.col("mu0")).alias("d"),
+    )
+    dec = "decimal(38,0)"
+    s = d.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.sum(F.col("d").cast(dec)).alias("d1"),
+        F.sum((F.col("d").cast(dec) * F.col("d"))).alias("d2"),
+        F.sum((F.col("d").cast(dec) * F.col("d") * F.col("d"))).alias("d3"),
+        F.sum(
+            (F.col("d").cast(dec) * F.col("d") * F.col("d") * F.col("d"))
+        ).alias("d4"),
+    )
+    n_ = F.col("n").cast(dec)
+    d1, d2, d3, d4 = (F.col(x) for x in ("d1", "d2", "d3", "d4"))
+    m2d = (n_ * d2 - d1 * d1).cast("double")
+    m3d = (n_ * n_ * d3 - F.lit(3) * n_ * d1 * d2 + F.lit(2) * d1 * d1 * d1).cast(
+        "double"
+    )
+    m4d = (
+        n_ * n_ * n_ * d4
+        - F.lit(4) * n_ * n_ * d1 * d3
+        + F.lit(6) * n_ * d1 * d1 * d2
+        - F.lit(3) * d1 * d1 * d1 * d1
+    ).cast("double")
+    m = s.select("event_type", "n", m2d.alias("m2d"), m3d.alias("m3d"), m4d.alias("m4d"))
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("m3d") / (F.col("m2d") * F.sqrt("m2d"))).alias("skewness"),
+        (F.col("m4d") / (F.col("m2d") * F.col("m2d")) - F.lit(3.0)).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+# ---------------- distribution-position window functions (§2.5 ext)
+
+
+@query(
+    "q_win_percentiles",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, value FROM events
+)
+SELECT event_id, event_type, value,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def q_win_percentiles(spark, sf_dir):
+    """Distribution-position window functions per event_type: ntile
+    quartile bucket, percent_rank, cume_dist — the §2.5 window family
+    extended with the rank-normalizing trio every feature pipeline
+    uses for quantile transforms and outlier trimming.
+
+    Determinism: the (value, event_id) total order makes every rank
+    unique, so percent_rank = (rank-1)/(n-1) and cume_dist = rank/n
+    are single divisions of exact integers (identical on both
+    engines), and ntile's bucket arithmetic is integer division of
+    unique row numbers. ONE shuffle on event_type serves all three
+    (shared partition + sort)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
