@@ -187,21 +187,21 @@ def _make_query(
     state_dir: str,
     partials,
     carry_schema,
-    keys: list[str],
+    merge,
     checkpoint_dir: str | None = None,
 ):
     """Shared foreachBatch wiring: partials -> versioned-carry merge ->
     epoch-named summary snapshot (overwrite, so a retried epoch
-    rewrites rather than duplicates)."""
+    rewrites rather than duplicates). ``merge(carry_or_None, delta)``
+    must be associative/commutative for the any-order exactness
+    guarantee."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         carry = read_latest_carry(
             spark, state_dir, carry_schema, below_epoch=epoch_id
         )
-        new_carry = merge_partials(
-            carry, partials(batch), keys, ["cnt", carry_schema[-1].name]
-        )
+        new_carry = merge(carry, partials(batch))
         new_carry.write.mode("overwrite").parquet(
             f"{state_dir}/carry_v{epoch_id}"
         )
@@ -232,7 +232,9 @@ def incremental_rollup(
         state_dir,
         rollup_partials,
         ROLLUP_CARRY_SCHEMA,
-        ["event_type", "y", "m", "d"],
+        lambda c, d: merge_partials(
+            c, d, ["event_type", "y", "m", "d"], ["cnt", "psum"]
+        ),
         checkpoint_dir,
     )
 
@@ -248,6 +250,115 @@ def incremental_gapfill(
         state_dir,
         gapfill_partials,
         GAPFILL_CARRY_SCHEMA,
-        ["event_type", "slot"],
+        lambda c, d: merge_partials(
+            c, d, ["event_type", "slot"], ["cnt", "slot_sum"]
+        ),
+        checkpoint_dir,
+    )
+
+
+# ---- OHLC candles: decomposable via struct-min/max open/close ----
+
+_OHLC_PT = T.StructType(
+    [
+        T.StructField("tsu", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("x", T.DecimalType(18, 6)),
+    ]
+)
+
+OHLC_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("slot", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("volume", T.DecimalType(38, 6)),
+        T.StructField("high", T.DecimalType(18, 6)),
+        T.StructField("low", T.DecimalType(18, 6)),
+        T.StructField("o", _OHLC_PT),
+        T.StructField("c", _OHLC_PT),
+    ]
+)
+
+
+def ohlc_partials(batch: DataFrame) -> DataFrame:
+    """Per-(type, 1h slot) candle partials of a raw events slice. The
+    open/close carriers are MIN/MAX over (tsu, event_id, x) structs —
+    lexicographic struct order on the (ts, id) total order, so merging
+    two epochs' carriers with least/greatest lands on exactly the
+    q_time_ohlc row_number winner."""
+    return (
+        batch.filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.window("ts", "1 hour")["start"].alias("slot"),
+            F.col("ts").alias("tsu"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("value").cast("decimal(18,6)").alias("x"),
+        )
+        .groupBy("event_type", "slot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast(_DEC).alias("volume"),
+            F.max("x").alias("high"),
+            F.min("x").alias("low"),
+            F.min(F.struct("tsu", "event_id", "x")).alias("o"),
+            F.max(F.struct("tsu", "event_id", "x")).alias("c"),
+        )
+    )
+
+
+def merge_ohlc(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    if carry is None:
+        return delta
+    keys = ["event_type", "slot"]
+    cols = ["n", "volume", "high", "low", "o", "c"]
+    c = carry.select(keys + [F.col(x).alias(f"_c_{x}") for x in cols])
+    d = delta.select(keys + [F.col(x).alias(f"_d_{x}") for x in cols])
+    j = c.join(d, keys, "full")
+    # least/greatest skip NULLs (a slot present in only one side keeps
+    # that side's value), which is exactly the upsert semantics
+    return j.select(
+        *keys,
+        (
+            F.coalesce(F.col("_c_n"), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        (
+            F.coalesce(F.col("_c_volume"), F.lit(0))
+            + F.coalesce(F.col("_d_volume"), F.lit(0))
+        ).cast(_DEC).alias("volume"),
+        F.greatest("_c_high", "_d_high").alias("high"),
+        F.least("_c_low", "_d_low").alias("low"),
+        F.least("_c_o", "_d_o").alias("o"),
+        F.greatest("_c_c", "_d_c").alias("c"),
+    )
+
+
+def emit_ohlc(carry: DataFrame) -> DataFrame:
+    """q_time_ohlc's exact output from the candle carry."""
+    return carry.select(
+        "event_type",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot_start"),
+        "n",
+        F.col("o")["x"].cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("c")["x"].cast("double").alias("close"),
+        F.col("volume").cast("double").alias("volume"),
+    )
+
+
+def incremental_ohlc(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous OHLC candle maintenance; read the latest summary
+    snapshot and call emit_ohlc for the serving candles."""
+    return _make_query(
+        stream,
+        state_dir,
+        ohlc_partials,
+        OHLC_CARRY_SCHEMA,
+        merge_ohlc,
         checkpoint_dir,
     )

@@ -124,3 +124,44 @@ def test_streaming_gapfill_matches_batch_key(spark, dirs):
     assert _tuples(emit_gapfill(carry)) == _tuples(
         q_time_gapfill(spark, SF_SMOKE)
     )
+
+
+def test_ohlc_epoch_chain_equals_batch_key(spark):
+    from hive_similarity_join_spark.queries.events_q import q_time_ohlc
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_ohlc,
+        merge_ohlc,
+        ohlc_partials,
+    )
+
+    e = _events(spark)
+    carry = None
+    for sl in _epoch_slices(e):
+        carry = merge_ohlc(carry, ohlc_partials(sl))
+    got = emit_ohlc(carry)
+    want = q_time_ohlc(spark, SF_SMOKE)
+    assert _tuples(got) == _tuples(want)
+
+
+def test_streaming_ohlc_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.events_q import q_time_ohlc
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        OHLC_CARRY_SCHEMA,
+        emit_ohlc,
+        incremental_ohlc,
+    )
+
+    src = f"{dirs}/src"
+    e = _events(spark).select("event_type", "event_id", "ts", "value")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_ohlc(stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt")
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(OHLC_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_ohlc(carry)) == _tuples(q_time_ohlc(spark, SF_SMOKE))
