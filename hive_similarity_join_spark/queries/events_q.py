@@ -1621,3 +1621,71 @@ def q_events_lag_features(spark, sf_dir):
         F.count(F.lit(1)).over(w3).cast("bigint").alias("n_prev3"),
         F.sum("x").over(w3).cast("double").alias("sum_prev3"),
     )
+
+
+# ---------------- daily / rolling-7-day active users (DAU / WAU)
+
+
+@query(
+    "q_events_dau_wau",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u
+    ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT strftime(d.day, '{_FMT}') AS day,
+       dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+""",
+)
+def q_events_dau_wau(spark, sf_dir):
+    """DAU / rolling-7-day WAU / stickiness per day — the engagement
+    series every product dashboard leads with. Rolling DISTINCT does
+    not decompose like a sum (a user active on 3 of the 7 days counts
+    once), so WAU is computed on the deduplicated (user, day) relation
+    — bounded by users x days, NOT the event count — via a 7-day
+    range join against the day grid.
+
+    Scale shape: the heavy table collapses to (user, day) in one
+    distinct shuffle; the range join broadcasts the day grid (|days|
+    rows) against it, so the non-equi join's left side is tiny and its
+    output is at most 7x the (user, day) relation. Stickiness is one
+    bigint division. At 100 TB nothing beyond the first distinct
+    touches raw events."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    grid = days.select(F.col("day").alias("_d"))
+    wau = (
+        F.broadcast(grid)
+        .join(
+            ud,
+            (F.col("day") <= F.col("_d"))
+            & (F.col("day") >= F.col("_d") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("_d").alias("day"), "wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1121,3 +1121,137 @@ def q_docs_tfidf_terms(spark, sf_dir):
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("source", "tok", "tf", "df", "score_fp", "rank")
     )
+
+
+# ---------------- deterministic negative sampling (contrastive pairs)
+
+NEG_K = 3
+
+
+@query(
+    "q_sample_negatives",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS pos
+  FROM documents
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+js AS (SELECT unnest([1, 2, 3]) AS j),
+cand AS (
+  SELECT r.doc_id, js.j,
+         (r.pos + 1 +
+          ({TX.duck_md5_prefix60("concat(CAST(r.doc_id AS VARCHAR), ':', CAST(js.j AS VARCHAR))")}
+           % ((SELECT n FROM t) - 1))) % (SELECT n FROM t) AS neg_pos
+  FROM r CROSS JOIN js
+)
+SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, r2.doc_id AS neg_id
+FROM cand c JOIN r r2 ON r2.pos = c.neg_pos
+""",
+)
+def q_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling — the contrastive-training prep
+    step (in-batch negatives, triplet mining) that pairs every anchor
+    document with k pseudo-random OTHER documents, reproducibly: the
+    j-th negative's position is a 60-bit md5 offset 1..n-1 from the
+    anchor's position, mod n — by construction never the anchor
+    itself, uniform over the corpus, and identical on every engine,
+    cluster size, and rerun (seeded-rand sampling is none of these).
+
+    Positions come from the two-pass range-partitioned ranked_by, NOT
+    a global row_number (the operators/rank.py single-partition rule)
+    and NOT from trusting doc_id density — today's testdata ids are
+    dense 0..n-1 but the operator must not assume it. The position ->
+    doc join is an equi-join on a (id, pos) relation the size of the
+    corpus KEY SET; at 100 TB the payload columns never move.
+
+    Emits (doc_id, j, neg_id): k rows per anchor, ready to join
+    against the text/embedding tables on either side."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = ranked_by(d, ["doc_id"], "rk").select(
+        "doc_id", (F.col("rk") - 1).alias("pos")
+    )
+    t = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    js = spark.range(1, NEG_K + 1).select(F.col("id").cast("bigint").alias("j"))
+    h = TX.md5_prefix60(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")
+        )
+    )
+    cand = (
+        r.crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            "j",
+            ((F.col("pos") + 1 + (h % (F.col("n") - 1))) % F.col("n")).alias(
+                "neg_pos"
+            ),
+        )
+    )
+    r2 = r.select(F.col("doc_id").alias("neg_id"), F.col("pos").alias("neg_pos"))
+    return cand.join(r2, "neg_pos").select("doc_id", "j", "neg_id")
+
+
+# ---------------- exact length percentiles per source
+
+_PCTS = ((50, 100), (90, 100), (99, 100))  # exact rationals q = num/den
+
+
+@query(
+    "q_docs_length_percentiles",
+    oracle=f"""
+WITH r AS (
+  SELECT source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT source, any_value(n) AS n_docs,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+FROM r GROUP BY source
+""",
+)
+def q_docs_length_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 of document length per source — the corpus
+    length profile that drives packing efficiency (q_pack_sequences)
+    and truncation-loss estimates. EXACT order statistics, not
+    approx_percentile sketches: the q-th percentile is the value at
+    rank ceil(q*n), computed in integer arithmetic ((q_num*n +
+    q_den-1) div q_den — no float q*n), picked by a conditional max
+    over the ranked relation (one shuffle on source, one window, one
+    aggregate).
+
+    At 100 TB exact per-group order statistics cost one sort per
+    group — the right choice for a bounded group count like sources;
+    a sketch (approx_percentile / KLL) is the fallback when groups
+    are unbounded, traded deliberately, not by default."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(num, den, name):
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("n_chars"))
+        ).alias(name)
+
+    return r.groupBy("source").agg(
+        F.any_value("n").alias("n_docs"),
+        pick(50, 100, "p50"),
+        pick(90, 100, "p90"),
+        pick(99, 100, "p99"),
+    )

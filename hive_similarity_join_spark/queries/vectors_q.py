@@ -916,3 +916,100 @@ def q_vec_pca_outliers(spark, sf_dir):
         [F.abs(F.col("proj")).desc(), F.col("vec_id")],
         PCA_OUT_K,
     )
+
+
+# ---------------- per-dimension embedding health statistics
+
+
+def _dim_stats_oracle() -> str:
+    from hive_similarity_join_spark.operators.ivf import KM_SCALE
+
+    s2 = KM_SCALE * KM_SCALE
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
+                       AS BIGINT)) AS xi
+  FROM embeddings
+),
+d AS (
+  SELECT r.range AS dim, xi[r.range] AS u
+  FROM v CROSS JOIN range(1, {KM_DIM + 1}) r
+),
+s AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(u AS HUGEINT)) AS s1,
+         SUM(CAST(u AS HUGEINT) * u) AS s2,
+         CAST(min(u) AS BIGINT) AS u_min,
+         CAST(max(u) AS BIGINT) AS u_max
+  FROM d GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * {KM_SCALE}.0) - 1.0
+         AS mean,
+       CAST(n * s2 - s1 * s1 AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {s2}.0) AS variance,
+       CAST(u_min AS DOUBLE) / {KM_SCALE}.0 - 1.0 AS lo,
+       CAST(u_max AS DOUBLE) / {KM_SCALE}.0 - 1.0 AS hi
+FROM s
+"""
+
+
+@query("q_vec_dim_stats", oracle=_dim_stats_oracle())
+def q_vec_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean, variance, range) —
+    the embedding-health audit run before indexing a corpus: dead
+    dimensions (variance ~ 0), scale drift between ingestion batches,
+    and off-center dimensions all surface here, and all three break
+    ANN quantizers silently if unchecked.
+
+    Exactness: coordinates are the kmeans family's fixed-point
+    integers (floor((x+1)*1e6) — quantized at 1e-6, stated precision
+    of the audit); the moment sums and the n*s2 - s1^2 variance
+    numerator are exact integers (decimal(38,0) / HUGEINT carriers,
+    the q_events_outliers rule), so mean and variance are single
+    correctly-rounded double expressions with identical association
+    on both engines.
+
+    Plan shape: one posexplode to (dim, value) and ONE map-side
+    combined shuffle with exactly KM_DIM groups; at 100 TB this is a
+    tree-reduced statistics pass, same cost class as any column
+    profiler."""
+    from hive_similarity_join_spark.operators.ivf import (
+        KM_SCALE,
+        fixedpoint_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = fixedpoint_vectors(e)
+    d = v.select(F.posexplode("xi").alias("dim0", "u"))
+    dec = "decimal(38,0)"
+    s = d.groupBy("dim0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("s1"),
+        F.sum(F.col("u").cast(dec) * F.col("u")).alias("s2"),
+        F.min("u").cast("bigint").alias("u_min"),
+        F.max("u").cast("bigint").alias("u_max"),
+    )
+    n_ = F.col("n").cast(dec)
+    scale = float(KM_SCALE)
+    return s.select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        "n",
+        (
+            F.col("s1").cast("double")
+            / (F.col("n").cast("double") * F.lit(scale))
+            - F.lit(1.0)
+        ).alias("mean"),
+        (
+            (n_ * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(scale * scale)
+            )
+        ).alias("variance"),
+        (F.col("u_min").cast("double") / F.lit(scale) - F.lit(1.0)).alias("lo"),
+        (F.col("u_max").cast("double") / F.lit(scale) - F.lit(1.0)).alias("hi"),
+    )
