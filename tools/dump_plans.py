@@ -260,6 +260,25 @@ HEADLINERS: dict[str, str] = {
         "renorm, and decimal(38,0) expressions with NO floating point "
         "until the caller's projection."
     ),
+    "q_vec_knn_ivf_kmeans": (
+        "IVF search on the Lloyd-refined quantizer (round 9). Look "
+        "for: the fixedpoint corpus behind InMemoryTableScan (pinned, "
+        "feeds training and assignment), the one-row centroid "
+        "relation as BroadcastNestedLoopJoin (attribute-typed array — "
+        "codegen cached across rounds, no literal recompilation), the "
+        "routed-cells broadcast into the candidate equi-join on cell, "
+        "and exact-cosine rescoring inside WholeStageCodegen — no "
+        "Python eval anywhere."
+    ),
+    "q_events_dau_wau": (
+        "Rolling 7-day distinct (round 9). Look for: the events scan "
+        "collapsing to a DISTINCT (user, day) Exchange FIRST (raw "
+        "events touched once), the day grid as the BROADCAST side of "
+        "the range join (BroadcastNestedLoopJoin with the 6-day "
+        "between condition), and the final count-distinct aggregate "
+        "keyed by day — WAU state never exceeds 7x the user-day "
+        "relation."
+    ),
 }
 
 
