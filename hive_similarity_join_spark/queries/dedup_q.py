@@ -1943,3 +1943,91 @@ def q_vec_recall_curve(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# ---------------- cross-source duplicate-flow matrix
+
+
+def _dup_matrix_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+lab AS (
+  SELECT p.id1, p.id2, d1.source AS s1, d2.source AS s2
+  FROM pairs p
+  JOIN documents d1 ON d1.doc_id = p.id1
+  JOIN documents d2 ON d2.doc_id = p.id2
+),
+m AS (
+  SELECT CASE WHEN s1 <= s2 THEN s1 ELSE s2 END AS src_a,
+         CASE WHEN s1 <= s2 THEN s2 ELSE s1 END AS src_b
+  FROM lab
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM m)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS BIGINT)
+         AS within_source,
+       CAST(count(*) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+         AS frac
+FROM m GROUP BY src_a, src_b
+"""
+
+
+@query("q_docs_dup_matrix", oracle=_dup_matrix_oracle())
+def q_docs_dup_matrix(spark, sf_dir):
+    """Cross-source duplicate-flow matrix: near-duplicate pairs from
+    the trigram candidate join, labeled with BOTH endpoints' sources
+    and aggregated to a symmetric (source_a, source_b) grid — the
+    where-is-my-duplication-coming-from view that decides whether
+    dedup should run within sources (mirrors/reposts) or across them
+    (syndication), and the first thing to read before trusting a
+    per-source mixture weight.
+
+    Plan shape: the pair relation joins the (doc_id, source) label
+    projection TWICE — both joins are on the documents KEY SET (two
+    columns, broadcastable far beyond this SF); the unordered pair is
+    canonicalized (lexicographic source order) BEFORE aggregation so
+    the matrix is symmetric-upper by construction. Output cardinality
+    is |sources|^2 at most; the pair-count total is a 1-row broadcast."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    lab = (
+        pairs.join(
+            F.broadcast(d.select(F.col("doc_id").alias("id1"), F.col("source").alias("s1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(d.select(F.col("doc_id").alias("id2"), F.col("source").alias("s2"))),
+            "id2",
+        )
+    )
+    m = lab.select(
+        F.when(F.col("s1") <= F.col("s2"), F.col("s1"))
+        .otherwise(F.col("s2"))
+        .alias("src_a"),
+        F.when(F.col("s1") <= F.col("s2"), F.col("s2"))
+        .otherwise(F.col("s1"))
+        .alias("src_b"),
+    )
+    t = m.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        m.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            F.when(F.col("src_a") == F.col("src_b"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("within_source"),
+            (F.col("n_pairs").cast("double") / F.col("total").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )

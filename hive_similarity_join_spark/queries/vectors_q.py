@@ -1013,3 +1013,99 @@ def q_vec_dim_stats(spark, sf_dir):
         (F.col("u_min").cast("double") / F.lit(scale) - F.lit(1.0)).alias("lo"),
         (F.col("u_max").cast("double") / F.lit(scale) - F.lit(1.0)).alias("hi"),
     )
+
+
+# ---------------- embedding drift between corpus halves
+
+
+def _centroid_shift_oracle() -> str:
+    from hive_similarity_join_spark.operators.ivf import KM_SCALE
+
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
+                       AS BIGINT)) AS xi
+  FROM embeddings
+),
+d AS (
+  SELECT half, r.range AS dim, xi[r.range] AS u
+  FROM v CROSS JOIN range(1, {KM_DIM + 1}) r
+),
+s AS (
+  SELECT half, dim, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(u AS HUGEINT)) AS s1
+  FROM d GROUP BY half, dim
+),
+j AS (
+  SELECT a.dim,
+         a.s1 * b.n - b.s1 * a.n AS shift_num,
+         a.n * b.n AS nn
+  FROM (SELECT * FROM s WHERE half = 'a') a
+  JOIN (SELECT * FROM s WHERE half = 'b') b USING (dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(shift_num AS DOUBLE)
+         / (CAST(nn AS DOUBLE) * {KM_SCALE}.0) AS mean_shift,
+       abs(CAST(shift_num AS DOUBLE))
+         / (CAST(nn AS DOUBLE) * {KM_SCALE}.0) AS abs_shift
+FROM j
+"""
+
+
+@query("q_vec_centroid_shift", oracle=_centroid_shift_oracle())
+def q_vec_centroid_shift(spark, sf_dir):
+    """Embedding drift probe: per-dimension mean shift between two
+    deterministic corpus halves (vec_id parity stands in for the
+    old/new ingestion batches a production pipeline compares) — the
+    training/serving-skew check run before reusing an ANN index or a
+    quantizer trained on last month's corpus. A nonzero shift
+    concentrated in a few dimensions is re-train-the-quantizer signal
+    (q_vec_ivf_balance shows the damage, this key shows the cause).
+
+    Exactness: the mean difference is computed as ONE exact integer
+    cross-product (s1_a*n_b - s1_b*n_a over fixed-point sums; the
+    common-denominator trick avoids two lossy divisions whose
+    DIFFERENCE would carry correlated rounding), divided once by
+    n_a*n_b and the fixed-point scale. The shift-by-1.0 encoding
+    offset cancels in the subtraction, so no de-shift is needed.
+
+    Plan shape: one posexplode + ONE (half, dim) map-side combined
+    shuffle (2 x KM_DIM groups), then a dim-keyed self-join of two
+    64-row relations. Statistics-pass cost class."""
+    from hive_similarity_join_spark.operators.ivf import (
+        KM_SCALE,
+        fixedpoint_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = fixedpoint_vectors(e).select(
+        F.when(F.col("vec_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "xi",
+    )
+    d = v.select("half", F.posexplode("xi").alias("dim0", "u"))
+    dec = "decimal(38,0)"
+    s = d.groupBy("half", "dim0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("s1"),
+    )
+    a = s.filter(F.col("half") == "a").select(
+        "dim0", F.col("n").alias("na"), F.col("s1").alias("sa")
+    )
+    b = s.filter(F.col("half") == "b").select(
+        "dim0", F.col("n").alias("nb"), F.col("s1").alias("sb")
+    )
+    scale = float(KM_SCALE)
+    shift_num = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+        "double"
+    )
+    nn = (F.col("na").cast(dec) * F.col("nb")).cast("double")
+    return a.join(b, "dim0").select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        (shift_num / (nn * F.lit(scale))).alias("mean_shift"),
+        (F.abs(shift_num) / (nn * F.lit(scale))).alias("abs_shift"),
+    )

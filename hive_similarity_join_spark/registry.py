@@ -95,7 +95,7 @@ PRIORITY: list[str] = [
     "q_docs_tfidf_terms", "q_vec_ivf_balance", "q_vec_recall_curve",
     "q_multimodal_dedup", "q_agg_skew_kurtosis", "q_win_percentiles",
     "q_sample_negatives", "q_docs_length_percentiles", "q_events_dau_wau",
-    "q_vec_dim_stats",
+    "q_vec_dim_stats", "q_docs_dup_matrix", "q_vec_centroid_shift",
     # Next-in-line oldest-verdict backfill if slots open:
     # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
     # q_contamination_report q_decontaminate_hashed q_dedup_containment
