@@ -1638,7 +1638,10 @@ def q_graph_degree_dist(spark, sf_dir):
     bigints; frac is one division."""
     from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    # pin: the union's two legs each scan the pair subtree — without
+    # this the trigram candidate join runs twice (measured 14.3s ->
+    # ~8s at sf0.1, the q_graph_* shared-subtree rule)
+    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
     deg = (
         pairs.select(F.col("id1").alias("id"))
         .unionAll(pairs.select(F.col("id2").alias("id")))

@@ -362,3 +362,80 @@ def incremental_ohlc(
         merge_ohlc,
         checkpoint_dir,
     )
+
+
+# ---- DAU/WAU: the carry is the deduplicated (user, day) SET ----
+
+DAU_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.TimestampType()),
+    ]
+)
+
+
+def dau_partials(batch: DataFrame) -> DataFrame:
+    """Distinct (user, day) pairs of a raw events slice. Rolling
+    DISTINCT does not decompose as a sum, but the deduplicated pair
+    SET does (set union is associative/commutative/idempotent), so
+    the carry holds the finest-grain set and the DAU/WAU read derives
+    from it — O(users x days) state, independent of event volume."""
+    return (
+        batch.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .distinct()
+    )
+
+
+def merge_dau(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    if carry is None:
+        return delta
+    # idempotent set union: replayed or overlapping epochs cannot
+    # double-count a user-day
+    return carry.unionAll(delta).distinct()
+
+
+def emit_dau_wau(carry: DataFrame) -> DataFrame:
+    """q_events_dau_wau's exact output from the user-day carry."""
+    days = carry.select("day").distinct()
+    dau = carry.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    grid = days.select(F.col("day").alias("_d"))
+    wau = (
+        F.broadcast(grid)
+        .join(
+            carry,
+            (F.col("day") <= F.col("_d"))
+            & (F.col("day") >= F.col("_d") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("_d").alias("day"), "wau")
+    )
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+def incremental_dau_wau(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous engagement series; read the latest summary snapshot
+    and call emit_dau_wau for the DAU/WAU/stickiness table."""
+    return _make_query(
+        stream,
+        state_dir,
+        dau_partials,
+        DAU_CARRY_SCHEMA,
+        merge_dau,
+        checkpoint_dir,
+    )

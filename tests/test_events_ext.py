@@ -124,3 +124,88 @@ def test_attribution_matches_journey_replay(spark):
         assert (
             sum(n for (m, _), (n, _) in got.items() if m == model) == n_purchases
         )
+
+
+def test_funnel_matches_sequential_replay(spark):
+    """q_events_funnel vs an imperative per-user replay: a user
+    converts step N only if the step's FIRST qualifying event is
+    strictly after their step N-1 conversion time — a purchase before
+    any click must not count (the ordered-chain property the three
+    independent counts would get wrong)."""
+    rows = _events(spark)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_all = len(by_user)
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        t0 = next((r.ts for r in evs if r.event_type == "view"), None)
+        if t0 is None:
+            continue
+        n_v += 1
+        t1 = next(
+            (r.ts for r in evs if r.event_type == "click" and r.ts > t0), None
+        )
+        if t1 is None:
+            continue
+        n_c += 1
+        t2 = next(
+            (r.ts for r in evs if r.event_type == "purchase" and r.ts > t1),
+            None,
+        )
+        if t2 is not None:
+            n_p += 1
+    got = {
+        r.step_name: r for r in QUERIES["q_events_funnel"](spark, SF_SMOKE).collect()
+    }
+    assert got["all_users"].users == n_all
+    assert got["view"].users == n_v
+    assert got["click_after_view"].users == n_c
+    assert got["purchase_after_click"].users == n_p
+    assert got["view"].conv_from_prev == n_v / n_all
+    assert got["purchase_after_click"].conv_from_start == n_p / n_all
+
+
+def test_retention_matches_cohort_replay(spark):
+    """q_events_retention vs a dictionary sweep: cohort = first active
+    ISO week; a user counts ONCE per (cohort, offset) no matter how
+    many events they fired that week; every cohort has offset 0 with
+    retention exactly 1.0 only when all cohort members were active in
+    week 0 (they are, by definition of first activity)."""
+    import datetime
+
+    rows = _events(spark)
+
+    def week(ts):
+        d = ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        return monday
+
+    first: dict = {}
+    weeks: dict = {}
+    for r in rows:
+        w = week(r.ts)
+        u = r.user_id
+        weeks.setdefault(u, set()).add(w)
+        if u not in first or w < first[u]:
+            first[u] = w
+    grid: dict = {}
+    for u, ws in weeks.items():
+        c0 = first[u]
+        for w in ws:
+            off = (w - c0).days // 7
+            grid.setdefault((c0, off), set()).add(u)
+    sizes: dict = {}
+    for u, c0 in first.items():
+        sizes[c0] = sizes.get(c0, 0) + 1
+    got = QUERIES["q_events_retention"](spark, SF_SMOKE).collect()
+    assert len(got) == len(grid)
+    for r in got:
+        c0 = datetime.datetime.strptime(
+            r.cohort_week, "%Y-%m-%d %H:%M:%S"
+        ).date()
+        key = (c0, r.offset_w)
+        assert r.active_users == len(grid[key]), key
+        assert r.cohort_size == sizes[c0], key
+        if r.offset_w == 0:
+            assert r.retention == 1.0

@@ -165,3 +165,50 @@ def test_streaming_ohlc_matches_batch_key(spark, dirs):
     final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
     carry = spark.read.schema(OHLC_CARRY_SCHEMA).parquet(str(final))
     assert _tuples(emit_ohlc(carry)) == _tuples(q_time_ohlc(spark, SF_SMOKE))
+
+
+def test_dau_epoch_chain_equals_batch_key(spark):
+    from hive_similarity_join_spark.queries.events_q import q_events_dau_wau
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        dau_partials,
+        emit_dau_wau,
+        merge_dau,
+    )
+
+    e = _events(spark)
+    carry = None
+    for sl in _epoch_slices(e):
+        carry = merge_dau(carry, dau_partials(sl))
+    # replay an epoch: idempotent set union must not change the result
+    carry = merge_dau(carry, dau_partials(_epoch_slices(e)[0]))
+    assert _tuples(emit_dau_wau(carry)) == _tuples(
+        q_events_dau_wau(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_dau_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.events_q import q_events_dau_wau
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        DAU_CARRY_SCHEMA,
+        emit_dau_wau,
+        incremental_dau_wau,
+    )
+
+    src = f"{dirs}/src"
+    e = _events(spark).select("user_id", "ts")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_dau_wau(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(DAU_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_dau_wau(carry)) == _tuples(
+        q_events_dau_wau(spark, SF_SMOKE)
+    )
