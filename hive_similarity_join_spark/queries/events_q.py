@@ -1689,3 +1689,118 @@ def q_events_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------- cohort lifetime-value curves
+
+
+@query(
+    "q_report_cohort_ltv",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE ts IS NOT NULL
+),
+cohort AS (SELECT user_id, min(wk) AS c0 FROM e GROUP BY 1),
+size AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size
+         FROM cohort GROUP BY 1),
+grid AS (
+  SELECT DISTINCT c.c0,
+         CAST((epoch(e.wk) - epoch(c.c0)) AS BIGINT) // 604800 AS offset_w
+  FROM e JOIN cohort c USING (user_id)
+),
+rev AS (
+  SELECT c.c0,
+         CAST((epoch(e.wk) - epoch(c.c0)) AS BIGINT) // 604800 AS offset_w,
+         CAST(SUM(e.x) AS DECIMAL(38,6)) AS wk_rev
+  FROM e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g.c0, g.offset_w,
+         COALESCE(r.wk_rev, CAST(0 AS DECIMAL(38,6))) AS wk_rev,
+         CAST(SUM(COALESCE(r.wk_rev, 0))
+                OVER (PARTITION BY g.c0 ORDER BY g.offset_w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,6)) AS cum_rev
+  FROM grid g LEFT JOIN rev r ON r.c0 = g.c0 AND r.offset_w = g.offset_w
+)
+SELECT strftime(c.c0, '{_FMT}') AS cohort_week,
+       c.offset_w,
+       CAST(c.wk_rev AS DOUBLE) AS week_revenue,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS ltv_per_user
+FROM cum c JOIN size s USING (c0)
+""",
+)
+def q_report_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    first-activity-week cohort across week offsets, normalized per
+    cohort member — the LTV view that, next to q_events_retention's
+    activity matrix, decides acquisition economics; rows align with
+    the retention grid (every active (cohort, offset) cell appears,
+    zero-revenue weeks included) so the two keys join cleanly.
+
+    Exactness: revenue stays decimal(18,6) -> decimal(38,6) through
+    the per-week aggregate AND the cumulative window (decimal addition
+    is exact, so the running sum is order-independent within the
+    unique (cohort, offset) order), cast to double only at emission;
+    ltv is one division by the exact cohort size.
+
+    Plan shape: cohorts and weekly revenue are two aggregates over one
+    events scan; the cumulative window runs on the (cohorts x offsets)
+    grid — O(grid), not O(events); the size join broadcasts."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+    )
+    cohort = base.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    size = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    withc = base.join(cohort, "user_id").select(
+        "c0",
+        F.expr("(unix_seconds(wk) - unix_seconds(c0)) div 604800").alias(
+            "offset_w"
+        ),
+        "event_type",
+        "x",
+    )
+    grid = withc.select("c0", "offset_w").distinct()
+    rev = (
+        withc.filter(F.col("event_type") == "purchase")
+        .groupBy("c0", "offset_w")
+        .agg(F.sum("x").cast("decimal(38,6)").alias("wk_rev"))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("offset_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(rev, ["c0", "offset_w"], "left").select(
+        "c0",
+        "offset_w",
+        F.coalesce(F.col("wk_rev"), zero).alias("wk_rev"),
+        F.sum(F.coalesce(F.col("wk_rev"), zero))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(size), "c0").select(
+        F.date_format("c0", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+        "offset_w",
+        F.col("wk_rev").cast("double").alias("week_revenue"),
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        (
+            F.col("cum_rev").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_user"),
+    )

@@ -2388,3 +2388,70 @@ def q_win_percentiles(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+# ---------------- column-level data profile (the stats pass)
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "ts", "value")
+
+
+@query(
+    "q_schema_profile",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {", ".join(
+             f"CAST(count({c}) AS BIGINT) AS nn_{c}, "
+             f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+             for c in _PROFILE_COLS
+         )}
+  FROM events
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null, "
+    f"nd_{c} AS n_distinct, "
+    f"CAST(n_rows - nn_{c} AS DOUBLE) / CAST(n_rows AS DOUBLE) AS null_frac "
+    f"FROM a"
+    for c in _PROFILE_COLS
+)}
+""",
+)
+def q_schema_profile(spark, sf_dir):
+    """Column-level data profile of the events table — rows, nulls,
+    exact distinct count and null fraction per column: the statistics
+    pass an optimizer persists as catalog stats and a data-quality
+    gate diffs between ingestion batches (a null_frac jump on ts is
+    exactly how the round-3 schema flip would have surfaced upstream).
+
+    Counted on the TYPED values, never on string renderings (a
+    formatted timestamp would profile the formatter, not the column).
+    Spark evaluates the multi-column DISTINCT aggregate in one pass
+    over the scan via Expand (one row per (column, row) pair,
+    map-side partial-aggregated — the same single-pass shape DuckDB
+    uses); the 1-row result unpivots to the per-column report with
+    stack(). Exactness: counts are bigints; null_frac is one
+    division."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+    a = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        (F.col("n_null").cast("double") / F.col("n_rows").cast("double")).alias(
+            "null_frac"
+        ),
+    )

@@ -357,7 +357,7 @@ ptl AS (
             f"m -> {p}.dt[m][{x}.cd[m] + 1]), (a, b) -> a + b)"
         )
 
-    return {"cb": books, "enc": enc, "ptl": ptl, "fold": fold}
+    return {"cb": books, "enc": enc, "ptl": ptl, "fold": fold, "d2": d2}
 
 
 def _pq_oracle() -> str:
@@ -1109,3 +1109,89 @@ def q_vec_centroid_shift(spark, sf_dir):
         (shift_num / (nn * F.lit(scale))).alias("mean_shift"),
         (F.abs(shift_num) / (nn * F.lit(scale))).alias("abs_shift"),
     )
+
+
+# ---------------- PQ reconstruction-distortion audit
+
+PQ_DIST_FP = 1_000_000_000  # 1e-9 fixed-point unit for the d2 sum
+
+
+def _pq_distortion_oracle() -> str:
+    fr = pq_sql_fragments()
+    return f"""
+WITH cb AS (
+{fr["cb"]}
+),
+asg AS (
+  SELECT e.vec_id, cb.m, {fr["d2"]} AS d2,
+         row_number() OVER (
+             PARTITION BY e.vec_id, cb.m ORDER BY {fr["d2"]}, cb.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb
+),
+fp AS (
+  SELECT m, d2,
+         CAST(floor(d2 * {PQ_DIST_FP} + 0.5) AS BIGINT) AS dfp
+  FROM asg WHERE rn = 1
+)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n,
+       max(d2) AS max_d2,
+       CAST(SUM(dfp) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {PQ_DIST_FP}.0) AS avg_d2
+FROM fp GROUP BY m
+"""
+
+
+@query("q_vec_pq_distortion", oracle=_pq_distortion_oracle())
+def q_vec_pq_distortion(spark, sf_dir):
+    """PQ reconstruction-distortion audit: per subspace, the average
+    and worst squared distance between corpus subvectors and their
+    assigned codebook entry — the quantization-error half of PQ
+    quality (q_vec_ann_recall measures ranking damage; this key
+    measures WHERE the information loss lives, and a subspace whose
+    distortion dwarfs the others is the retrain-the-codebook signal).
+    Completes the audit family: recall (all legs), list balance (IVF),
+    distortion (PQ).
+
+    Exactness: the per-(vector, subspace) min-d2 is the same
+    left-fold double the PQ encoder uses (shared via
+    pq_sql_fragments' d2, so audit and encoder cannot drift); min is
+    a comparison; the AVERAGE is the subtle part — a double SUM over
+    the corpus is reduction-order-dependent, so each d2 is first
+    quantized to exact 1e-9 units (floor(x*1e9 + 0.5), the portable
+    rounding) and summed as exact integers, then divided once. max is
+    order-free.
+
+    Plan shape: corpus x (M*K=128)-row broadcast codebook join, one
+    argmin window per (vec, m), one M-group aggregate — the encode
+    pass plus a statistics fold; nothing new shuffles at scale."""
+    from hive_similarity_join_spark.operators.pq import (
+        _d2,
+        _subspaces,
+        codebook_relation,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = codebook_relation(e)
+    v = V.as_double("embedding")
+    ex = e.select(
+        F.col("vec_id").alias("vec_id"), F.explode(_subspaces(v)).alias("_s")
+    ).select("vec_id", F.col("_s.m").alias("m"), F.col("_s.sv").alias("pv"))
+    scored = ex.join(F.broadcast(books), "m").select(
+        "vec_id", "m", _d2(F.col("pv"), F.col("sv")).alias("d2")
+    )
+    best = scored.groupBy("vec_id", "m").agg(F.min("d2").alias("d2"))
+    fp = best.select(
+        "m",
+        "d2",
+        F.expr(f"CAST(floor(d2 * {PQ_DIST_FP} + 0.5) AS BIGINT)").alias("dfp"),
+    )
+    return fp.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("d2").alias("max_d2"),
+        (
+            F.sum("dfp").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(PQ_DIST_FP)))
+        ).alias("avg_d2"),
+    ).select(F.col("m").cast("bigint").alias("m"), "n", "max_d2", "avg_d2")
