@@ -2155,7 +2155,7 @@ HIST_W_CENTS = 2_000  # bin width 20.00 in exact cents
 
 
 @query(
-    "q_agg_histogram",
+    "q_agg_value_histogram",
     oracle=f"""
 WITH c AS (
   SELECT event_type,
@@ -2173,7 +2173,7 @@ FROM c JOIN t USING (event_type)
 GROUP BY c.event_type, c.bin
 """,
 )
-def q_agg_histogram(spark, sf_dir):
+def q_agg_value_histogram(spark, sf_dir):
     """Equi-width histogram of `value` per event_type (bin width 20.00)
     — the distribution profile an optimizer keeps as column statistics
     and a data-quality report plots before trusting a numeric feature.

@@ -27,6 +27,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     non-SQL-expressible op (driver falls back to a rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently REPLACE the earlier key's
+        # builder+oracle (dict assignment) and orphan its verdict
+        # history — caught once in round 9 (a second q_agg_histogram);
+        # fail loudly at import time instead.
+        assert name not in QUERIES, f"duplicate query key: {name}"
         # Registry consumers (driver/selfcheck/bench/tests go through
         # QUERIES[k]) get the pin-release wrapper: entering any builder
         # frees the PREVIOUS key's tracked persists, so a long-lived
@@ -91,7 +96,7 @@ PRIORITY: list[str] = [
     # Stage round-9 additions here as they land; rotate to head at r10.
     "q_vec_knn_ivf_kmeans",
     "q_events_funnel", "q_events_retention", "q_time_ohlc",
-    "q_events_lag_features", "q_agg_histogram", "q_graph_degree_dist",
+    "q_events_lag_features", "q_agg_value_histogram", "q_graph_degree_dist",
     "q_docs_tfidf_terms", "q_vec_ivf_balance", "q_vec_recall_curve",
     "q_multimodal_dedup", "q_agg_skew_kurtosis", "q_win_percentiles",
     "q_sample_negatives", "q_docs_length_percentiles", "q_events_dau_wau",

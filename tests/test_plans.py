@@ -295,6 +295,10 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_vec_kmeans": 20 + slack,            # measured 17 (Lloyd rounds)
         "q_graph_triangles": 35,               # measured 28 (non-iterative)
         "q_dedup_substring": 9,                # measured 7 (non-iterative)
+        # round-9 heavy keys (pair-graph consumers) — measured r9
+        "q_docs_dup_matrix": 50,               # measured 40 (non-iterative)
+        "q_dedup_lsh_recall": 74,              # measured 59 (non-iterative)
+        "q_graph_degree_dist": 40,             # measured 32 (pinned pairs)
     }
     over = {}
     for key, bound in bounds.items():
