@@ -21,7 +21,7 @@ snapshot, see SURVEY.md §0). Per §6, the implementation session
 records its own wall-clock numbers; these become the regression bar the
 driver's 2x bench gate compares against.
 
-## Measured baseline (round 5, re-recorded {today}, {nkeys} keys)
+## Measured baseline (round 9 final, re-recorded {today}, {nkeys} keys)
 
 Config: local[32], PySpark 4.1.2, AQE on, shuffle.partitions=32,
 sf0.1, warm JVM, each key forced via `.count()` with the catalog cache
@@ -72,6 +72,19 @@ privacy/hygiene keys (hygiene_q.py), the asymmetric containment pair
 containment (q_simjoin_weighted_containment), SCD2 + retention
 (q_scd2_history / q_retention_cohorts), and the SQ8 pair
 (q_vec_quantize / q_vec_knn_quantized) — all <=11s, most sub-1s.
+
+ROUND-9 RECORDING NOTES: final same-boot re-recording after the
+round-9 build: 22 new keys (~55 s recorded, dominated by the audit
+family that deliberately re-runs pair generators — q_dedup_lsh_recall
+21.8 s composes the exact self-join AND the LSH join to measure pair
+recall; q_docs_dup_matrix ~10 s and q_graph_degree_dist ~8.6 s are
+pair-graph consumers; everything else is sub-3 s). This boot measures
+a uniform ~1.0x global factor vs the round-8 driver bench over the 19
+shared headline keys (tools/bench_compare.py, zero per-key deviations
+— no plan regressed through the round-9 lifecycle changes: tracked
+pins, ranked_topk, registry wrapper). q_graph_degree_dist's pin of
+the pair relation halved it within-boot (28 s -> 14 s cold; 14.3 ->
+8.6 recorded warm).
 
 | query key | sec (sf0.1) |
 |---|---|
