@@ -1482,8 +1482,7 @@ r AS (
   SELECT *,
          row_number() OVER (PARTITION BY event_type, slot
                             ORDER BY tsu, event_id) AS rn_open,
-         row_number() OVER (PARTITION BY event_type, slot
-                            ORDER BY tsu DESC, event_id DESC) AS rn_close
+         count(*) OVER (PARTITION BY event_type, slot) AS n_slot
   FROM e
 )
 SELECT event_type, strftime(slot, '{_FMT}') AS slot_start,
@@ -1491,7 +1490,7 @@ SELECT event_type, strftime(slot, '{_FMT}') AS slot_start,
        CAST(min(CASE WHEN rn_open = 1 THEN x END) AS DOUBLE) AS open,
        CAST(max(x) AS DOUBLE) AS high,
        CAST(min(x) AS DOUBLE) AS low,
-       CAST(min(CASE WHEN rn_close = 1 THEN x END) AS DOUBLE) AS close,
+       CAST(min(CASE WHEN rn_open = n_slot THEN x END) AS DOUBLE) AS close,
        CAST(SUM(x) AS DOUBLE) AS volume
 FROM r GROUP BY event_type, slot
 """,
@@ -1503,17 +1502,18 @@ def q_time_ohlc(spark, sf_dir):
     the feature-windows a forecasting pipeline trains on.
 
     Determinism: open/close are defined by the (ts, event_id) TOTAL
-    order (row_number, not first_value-with-implicit-frame, so engine
-    frame defaults can't differ); high/low are comparisons; the only
-    accumulation is the volume sum, which uses the decimal(18,6) trick.
-    Each emitted value is a single decimal cast to double — no float
-    arithmetic at all.
+    order — open at row_number 1, close at row_number == slot count
+    (one ASCENDING window serves both ends, so no second descending
+    sort exists in the plan; row_number rather than
+    first_value-with-implicit-frame so engine frame defaults can't
+    differ); high/low are comparisons; the only accumulation is the
+    volume sum, which uses the decimal(18,6) trick. Each emitted value
+    is a single decimal cast to double — no float arithmetic at all.
 
-    Plan shape: ONE shuffle on (event_type, slot) shared by both
-    row_number windows and the final aggregate (same partition keys;
-    the sort differs only in direction, which Spark serves from the
-    same sorted run). Buckets are integer epoch floors (the
-    q_stream_sliding rule)."""
+    Plan shape: ONE shuffle on (event_type, slot) and ONE sort, shared
+    by the row_number window, the unordered count window, and the
+    final aggregate (plan-asserted in test_plans.py). Buckets are
+    integer epoch floors (the q_stream_sliding rule)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = e.select(
         "event_type",
@@ -1523,13 +1523,11 @@ def q_time_ohlc(spark, sf_dir):
         F.window("ts", "1 hour")["start"].alias("slot"),
     )
     w_open = Window.partitionBy("event_type", "slot").orderBy("tsu", "event_id")
-    w_close = Window.partitionBy("event_type", "slot").orderBy(
-        F.desc("tsu"), F.desc("event_id")
-    )
+    w_slot = Window.partitionBy("event_type", "slot")
     r = base.select(
         "*",
         F.row_number().over(w_open).alias("rn_open"),
-        F.row_number().over(w_close).alias("rn_close"),
+        F.count(F.lit(1)).over(w_slot).alias("n_slot"),
     )
     return (
         r.groupBy("event_type", "slot")
@@ -1540,7 +1538,7 @@ def q_time_ohlc(spark, sf_dir):
             .alias("open"),
             F.max("x").cast("double").alias("high"),
             F.min("x").cast("double").alias("low"),
-            F.min(F.when(F.col("rn_close") == 1, F.col("x")))
+            F.min(F.when(F.col("rn_open") == F.col("n_slot"), F.col("x")))
             .cast("double")
             .alias("close"),
             F.sum("x").cast("double").alias("volume"),

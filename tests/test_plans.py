@@ -419,3 +419,50 @@ def test_tpch_q18_single_exchange(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_ohlc_single_exchange_single_sort(spark):
+    """Both OHLC windows (ascending row_number, unordered slot count)
+    and the final aggregate share ONE (event_type, slot) exchange and
+    ONE sort — deriving close from rn == slot-count is what removed
+    the second (descending) sort from the plan."""
+    plan = explain_str(_q("q_time_ohlc", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_lag_features_single_exchange(spark):
+    """All five lag/rolling feature windows share one user_id
+    partitioning and (ts, event_id) order — exactly one exchange and
+    one sort (the q_scd2_history stacked-window rule)."""
+    plan = explain_str(_q("q_events_lag_features", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+
+
+def test_funnel_pushes_type_filters_to_scan(spark):
+    """Each funnel step's event_type filter must reach the parquet scan
+    (one type is ~1/5 of rows) and the step chaining joins must
+    broadcast (per-user firsts relations, bounded by |users|)."""
+    plan = explain_str(_q("q_events_funnel", spark))
+    assert "PushedFilters" in plan and "event_type" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dau_wau_grid_broadcasts_into_range_join(spark):
+    """The day grid must be the broadcast side of the 7-day range join
+    (BroadcastNestedLoopJoin over the deduplicated user-day relation);
+    the raw events scan collapses to a DISTINCT first."""
+    plan = explain_str(_q("q_events_dau_wau", spark), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_skew_kurtosis_broadcasts_group_means(spark):
+    """The |types|-row mean relation joins back broadcast; no
+    sort-merge join of the events table against itself."""
+    plan = explain_str(_q("q_agg_skew_kurtosis", spark), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
