@@ -2455,3 +2455,93 @@ def q_schema_profile(spark, sf_dir):
             "null_frac"
         ),
     )
+
+
+# ---------------- order-to-ship latency profile (per priority)
+
+
+@query(
+    "q_report_ship_latency",
+    oracle="""
+WITH d AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                        CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+           AS lat_days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+r AS (
+  SELECT o_orderpriority, lat_days,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY lat_days, l_orderkey,
+                                          l_linenumber) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM d
+)
+SELECT o_orderpriority, any_value(n) AS n_lines,
+       CAST(SUM(lat_days) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)
+         AS avg_days,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_days END) AS p50,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_days END) AS p90,
+       max(lat_days) AS max_days
+FROM r GROUP BY o_orderpriority
+""",
+)
+def q_report_ship_latency(spark, sf_dir):
+    """Order-to-ship latency profile per order priority — the
+    operational-SLA report joining the fact table to its header
+    (exactly the TPC-H q4/q12 join shape, turned into a latency
+    distribution): exact average, exact p50/p90 order statistics
+    (integer ceil(q*n) ranks, the q_docs_length_percentiles device),
+    and the worst case. A priority whose p90 dwarfs its p50 is the
+    skewed-fulfillment signal this exists to surface.
+
+    Exactness: latencies are integer day differences of date-truncated
+    timestamps (identical on both engines under the loader's UTC pin);
+    the average is one exact-bigint sum divided once; percentiles are
+    picked values, not interpolations. Plan shape: the header join
+    broadcasts orders' two needed columns at smoke and shuffles on the
+    join key at scale (Catalyst's call); one shuffle on priority
+    serves the ranking window and the final aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderdate"
+    )
+    d = li.join(o, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lat_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lat_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = d.select(
+        "o_orderpriority",
+        "lat_days",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(num, den, name):
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.max(F.when(F.col("rn") == target, F.col("lat_days"))).alias(
+            name
+        )
+
+    return r.groupBy("o_orderpriority").agg(
+        F.any_value("n").alias("n_lines"),
+        (
+            F.sum("lat_days").cast("double")
+            / F.any_value("n").cast("double")
+        ).alias("avg_days"),
+        pick(50, 100, "p50"),
+        pick(90, 100, "p90"),
+        F.max("lat_days").alias("max_days"),
+    )

@@ -102,7 +102,7 @@ PRIORITY: list[str] = [
     "q_sample_negatives", "q_docs_length_percentiles", "q_events_dau_wau",
     "q_vec_dim_stats", "q_docs_dup_matrix", "q_vec_centroid_shift",
     "q_schema_profile", "q_report_cohort_ltv", "q_vec_pq_distortion",
-    "q_dedup_lsh_recall",
+    "q_dedup_lsh_recall", "q_report_ship_latency",
     # Next-in-line oldest-verdict backfill if slots open:
     # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
     # q_contamination_report q_decontaminate_hashed q_dedup_containment
