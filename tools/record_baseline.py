@@ -74,7 +74,7 @@ containment (q_simjoin_weighted_containment), SCD2 + retention
 (q_vec_quantize / q_vec_knn_quantized) — all <=11s, most sub-1s.
 
 ROUND-9 RECORDING NOTES: final same-boot re-recording after the
-round-9 build: 22 new keys (~55 s recorded, dominated by the audit
+round-9 build: 24 new keys (~57 s recorded, dominated by the audit
 family that deliberately re-runs pair generators — q_dedup_lsh_recall
 21.8 s composes the exact self-join AND the LSH join to measure pair
 recall; q_docs_dup_matrix ~10 s and q_graph_degree_dist ~8.6 s are
