@@ -30,8 +30,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         # A duplicate name would silently REPLACE the earlier key's
         # builder+oracle (dict assignment) and orphan its verdict
         # history — caught once in round 9 (a second q_agg_histogram);
-        # fail loudly at import time instead.
-        assert name not in QUERIES, f"duplicate query key: {name}"
+        # fail loudly at import time instead. ValueError, not assert:
+        # the guard must survive `python -O` (ADVICE r9).
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
         # Registry consumers (driver/selfcheck/bench/tests go through
         # QUERIES[k]) get the pin-release wrapper: entering any builder
         # frees the PREVIOUS key's tracked persists, so a long-lived
@@ -62,38 +64,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-9 window (positions 1-50) ----
-    # The precomputed rotation from the r8 checklist, valid because all
-    # 50 r8 window keys landed full-green verdicts (CORRECTNESS_r08: 50
-    # checked, 0 not green, 0 err — verified r9 start). Head: the 36
-    # keys staged at 51+ during round 8 in their staged order —
-    # q_dedup_embedding_lsh (displaced r5-era key), q_vec_ann_recall
-    # (5-method form since r8: ivfadc leg added AFTER its r7 4-method
-    # verdict), the 20 round-8 additions, and the 14 continued-session
-    # round-8 additions. None has a current-form driver hash verdict.
-    "q_dedup_embedding_lsh", "q_vec_ann_recall",
-    "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
-    "q_graph_triangles", "q_events_transitions", "q_agg_corr",
-    "q_decontaminate_fuzzy", "q_vec_kmeans", "q_skyline_docs",
-    "q_agg_weighted_median", "q_sample_reservoir", "q_dedup_incremental",
-    "q_intervals_merge", "q_agg_mode", "q_text_entropy", "q_table_diff",
-    "q_range_splits", "q_events_rollup", "q_report_concentration",
-    "q_text_bigram_lm",
-    "q_events_cusum", "q_time_gapfill", "q_agg_mad",
-    "q_text_collocations", "q_events_attribution", "q_docs_mutual_info",
-    "q_vec_pca_power", "q_events_rolling", "q_market_basket",
-    "q_events_seasonality", "q_events_paths",
-    "q_text_hashing_trick", "q_report_rfm", "q_vec_pca_outliers",
-    # Backfill (14): the keys with the OLDEST latest driver verdict —
-    # r5/r6-era — oldest first, ties by name (precomputed r8 end from
-    # CORRECTNESS_r0{1..8}; every other key has an r7/r8 verdict).
-    "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
-    "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
-    "q_multimodal_features", "q_multimodal_frames",
-    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
-    "q_vec_knn", "q_vec_knn_ann",
-    # ---- positions 51+ (round-10 head candidates) ----
-    # Stage round-9 additions here as they land; rotate to head at r10.
+    # ---- round-10 window (positions 1-50) ----
+    # The precomputed rotation from the r9 checklist (CLAUDE.md +
+    # VERDICT r9 item #1), valid verbatim because all 50 r9 window keys
+    # landed full-green verdicts (CORRECTNESS_r09: 50 checked, 0 not
+    # green, 0 err — verified r10 start). Head: the 24 round-9
+    # additions in their staged order — none has ANY driver verdict.
+    # q_vec_ann_recall's 6-method form (ivfk leg added r9 while the key
+    # sat at window position 2) is covered by its r9 verdict.
     "q_vec_knn_ivf_kmeans",
     "q_events_funnel", "q_events_retention", "q_time_ohlc",
     "q_events_lag_features", "q_agg_value_histogram", "q_graph_degree_dist",
@@ -103,11 +81,25 @@ PRIORITY: list[str] = [
     "q_vec_dim_stats", "q_docs_dup_matrix", "q_vec_centroid_shift",
     "q_schema_profile", "q_report_cohort_ltv", "q_vec_pq_distortion",
     "q_dedup_lsh_recall", "q_report_ship_latency",
-    # Next-in-line oldest-verdict backfill if slots open:
-    # q_agg_kmv_distinct q_boilerplate_passages q_case_when q_cast
-    # q_contamination_report q_decontaminate_hashed q_dedup_containment
-    # q_events_outliers q_filter_pred q_join_full q_join_inner
-    # q_join_left q_multimodal_resize q_pii_redact
+    # Backfill (26): oldest-latest-verdict keys, recomputed r10 start
+    # from CORRECTNESS_r0{1..9}. With the full r9 sweep the oldest tier
+    # is the 50 r6-era keys; first the 14 precomputed at r9 end (ties
+    # by name), then 12 more r6-era keys in CORRECTNESS_r06 file order
+    # per CLAUDE.md.
+    "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
+    "q_cast", "q_contamination_report", "q_decontaminate_hashed",
+    "q_dedup_containment", "q_events_outliers", "q_filter_pred",
+    "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
+    "q_pii_redact",
+    "q_sample_temperature", "q_simjoin_containment", "q_scd2_history",
+    "q_vec_quantize", "q_text_rules_filter", "q_vec_knn_quantized",
+    "q_retention_cohorts", "q_simjoin_weighted_containment",
+    "q_simjoin_containment_rs", "q_tpch_q1", "q_tpch_q2", "q_tpch_q3",
+    # ---- positions 51+ (round-11 head candidates) ----
+    # Stage round-10 additions here as they land; rotate to head at r11
+    # (then backfill with the remaining r6-era keys in CORRECTNESS_r06
+    # order: q_retention... continuation — recompute from
+    # CORRECTNESS_r0{1..10} at r11 start as always).
 ]
 
 

@@ -90,48 +90,51 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round9_correctness_window_composition():
+def test_round10_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-9 contract (the rotation precomputed at r8 end, valid
-    because CORRECTNESS_r08 was 50/50 full green): the 36 keys staged
-    at 51+ during round 8 lead the window in their staged order —
-    q_dedup_embedding_lsh, the 5-method q_vec_ann_recall, the 20 r8
-    additions, the 14 continued-session r8 additions — then the 14
-    oldest-verdict (r5/r6-era) keys backfill. Round-9 additions stay at
-    51+ (verdicts in the round-10 rotation). A PRIORITY edit that
-    accidentally reorders the window fails here, loudly."""
+    order. Round-10 contract (the rotation precomputed at r9 end, valid
+    because CORRECTNESS_r09 was 50/50 full green): the 24 round-9
+    additions lead the window in their staged order (none has any
+    driver verdict), then 26 oldest-latest-verdict r6-era keys backfill
+    — the 14 precomputed at r9 end, then 12 more in CORRECTNESS_r06
+    file order. Round-10 additions stay at 51+ (verdicts in the
+    round-11 rotation). A PRIORITY edit that accidentally reorders the
+    window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
+    load_registry()
     head = list(ordered(QUERIES))[:50]
-    assert head[:2] == ["q_dedup_embedding_lsh", "q_vec_ann_recall"]
+    assert head[0] == "q_vec_knn_ivf_kmeans"
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[2] == "q_dedup_substring"
-    assert head[35] == "q_vec_pca_outliers"
-    assert head[36] == "q_agg_argmax"
-    assert head[49] == "q_vec_knn_ann"
-    staged_r8 = {
-        "q_dedup_substring", "q_graph_pagerank", "q_zorder_layout",
-        "q_graph_triangles", "q_events_transitions", "q_agg_corr",
-        "q_decontaminate_fuzzy", "q_vec_kmeans", "q_skyline_docs",
-        "q_agg_weighted_median", "q_sample_reservoir",
-        "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
-        "q_text_entropy", "q_table_diff", "q_range_splits",
-        "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
-        "q_events_cusum", "q_time_gapfill", "q_agg_mad",
-        "q_text_collocations", "q_events_attribution",
-        "q_docs_mutual_info", "q_vec_pca_power", "q_events_rolling",
-        "q_market_basket", "q_events_seasonality", "q_events_paths",
-        "q_text_hashing_trick", "q_report_rfm", "q_vec_pca_outliers",
+    assert head[23] == "q_report_ship_latency"
+    assert head[24] == "q_agg_kmv_distinct"
+    assert head[37] == "q_pii_redact"
+    assert head[38] == "q_sample_temperature"
+    assert head[49] == "q_tpch_q3"
+    staged_r9 = {
+        "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
+        "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
+        "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
+        "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
+        "q_win_percentiles", "q_sample_negatives",
+        "q_docs_length_percentiles", "q_events_dau_wau", "q_vec_dim_stats",
+        "q_docs_dup_matrix", "q_vec_centroid_shift", "q_schema_profile",
+        "q_report_cohort_ltv", "q_vec_pq_distortion", "q_dedup_lsh_recall",
+        "q_report_ship_latency",
     }
-    assert set(head[2:36]) == staged_r8, set(head[2:36]) ^ staged_r8
+    assert set(head[:24]) == staged_r9, set(head[:24]) ^ staged_r9
     backfill = {
-        "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
-        "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
-        "q_multimodal_features", "q_multimodal_frames",
-        "q_pipeline_corpus_clean", "q_report_dup_rate",
-        "q_text_vocab_stats", "q_vec_knn", "q_vec_knn_ann",
+        "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
+        "q_cast", "q_contamination_report", "q_decontaminate_hashed",
+        "q_dedup_containment", "q_events_outliers", "q_filter_pred",
+        "q_join_full", "q_join_inner", "q_join_left",
+        "q_multimodal_resize", "q_pii_redact",
+        "q_sample_temperature", "q_simjoin_containment", "q_scd2_history",
+        "q_vec_quantize", "q_text_rules_filter", "q_vec_knn_quantized",
+        "q_retention_cohorts", "q_simjoin_weighted_containment",
+        "q_simjoin_containment_rs", "q_tpch_q1", "q_tpch_q2", "q_tpch_q3",
     }
-    assert set(head[36:]) == backfill, set(head[36:]) ^ backfill
+    assert set(head[24:]) == backfill, set(head[24:]) ^ backfill
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
