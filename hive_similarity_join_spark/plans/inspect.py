@@ -117,6 +117,112 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
     return bad
 
 
+#: Testdata columns with a handful of distinct values (event_type 5,
+#: l_returnflag 3, l_linestatus 2, o_orderstatus 3, o_orderpriority 5).
+#: A window PARTITION BY drawn only from these over an unbounded fact
+#: relation serializes the whole table through that many tasks — the
+#: same 100 TB serial-sort killer as an unpartitioned window, one notch
+#: removed (r9 VERDICT on q_win_percentiles).
+LOW_CARD_COLS = frozenset(
+    {"event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
+     "o_orderpriority"}
+)
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def low_cardinality_window_violations(plan: str) -> list[str]:
+    """Scan a FORMATTED explain string for Window nodes whose PARTITION
+    BY consists ONLY of known low-cardinality columns (:data:`LOW_CARD_
+    COLS`) and whose mainline input is unbounded.
+
+    "Mainline input" = the leftmost child chain in the printed tree
+    (preorder: a node's first child is the next line; for joins the
+    left/streamed side prints first). If that spine hits an aggregate
+    or limit node before a scan, the window's input is already reduced
+    (per-group rollups, top-k) and the per-key sort is tiny — clean.
+    A spine that reaches the scan means the window sorts the raw fact
+    table through |distinct values| tasks — flagged.
+
+    Keys whose semantics genuinely require a sequential per-series
+    pass (running CUSUM prefix sums, time-range rolling windows over a
+    5-series table) document the tradeoff and are allowlisted at the
+    test site, not here.
+
+    Returns ``["Window(10) partitioned only by low-card [event_type]",
+    ...]`` (empty = clean).
+    """
+    lines = plan.splitlines()
+    tree: list[tuple[int, str, int]] = []  # (num, name, depth)
+    for ln in lines:
+        m = _TREE_RE.match(ln)
+        if m:
+            tree.append((int(m.group("num")), m.group("name"),
+                         len(m.group("prefix"))))
+    args: dict[int, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\)\s+(\S+)", ln)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and ln.startswith("Arguments: "):
+            args[cur] = ln[len("Arguments: "):]
+
+    def top_level_groups(s: str) -> list[str]:
+        depth, start, out = 0, -1, []
+        for i, ch in enumerate(s):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    out.append(s[start : i + 1])
+        return out
+
+    def partition_cols(arg: str) -> set[str] | None:
+        """Column names of the partitionSpec, or None if unpartitioned
+        (that case belongs to unpartitioned_window_violations)."""
+        groups = top_level_groups(arg)
+        if len(groups) >= 3:
+            spec = groups[1]
+        elif len(groups) == 2:
+            tail = groups[1]
+            ordered = " ASC " in tail or " DESC " in tail or \
+                tail.endswith(" ASC]") or tail.endswith(" DESC]")
+            if ordered:  # [exprs], [orderSpec] — unpartitioned
+                return None
+            spec = tail
+        else:
+            return None
+        cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", spec))
+        return cols or None
+
+    bad: list[str] = []
+    for i, (num, name, depth) in enumerate(tree):
+        if name != "Window":
+            continue
+        cols = partition_cols(args.get(num, ""))
+        if cols is None or not cols <= LOW_CARD_COLS:
+            continue
+        # walk the leftmost child spine to the first bounding node
+        bounded = False
+        j, d = i, depth
+        while j + 1 < len(tree) and tree[j + 1][2] > d:
+            j += 1
+            d = tree[j][2]
+            if tree[j][1] in _LIMIT_NODES or tree[j][1] in _AGG_NODES:
+                bounded = True
+                break
+        if not bounded:
+            bad.append(
+                f"Window({num}) partitioned only by low-card "
+                f"[{', '.join(sorted(cols))}]"
+            )
+    return bad
+
+
 def assert_in_plan(df: DataFrame, *needles: str, absent: tuple[str, ...] = ()) -> str:
     plan = explain_str(df)
     for n in needles:

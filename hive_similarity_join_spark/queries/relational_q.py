@@ -2370,23 +2370,58 @@ def q_win_percentiles(spark, sf_dir):
     extended with the rank-normalizing trio every feature pipeline
     uses for quantile transforms and outlier trimming.
 
-    Determinism: the (value, event_id) total order makes every rank
-    unique, so percent_rank = (rank-1)/(n-1) and cume_dist = rank/n
-    are single divisions of exact integers (identical on both
-    engines), and ntile's bucket arithmetic is integer division of
-    unique row numbers. ONE shuffle on event_type serves all three
-    (shared partition + sort)."""
-    from pyspark.sql import Window
+    Scale (r9 VERDICT de-weak): events has exactly 5 event_types, so
+    `Window.partitionBy(event_type)` would sort the whole fact table
+    through 5 tasks — the serial-sort bottleneck one notch removed
+    from the unpartitioned-window gate. Instead the two-pass
+    range-partitioned rank (operators/rank.py ranked_by) computes the
+    GLOBAL rank over (event_type, value, event_id) — groups are
+    contiguous in that order and a giant group spans many range
+    partitions — and a 5-row (first-rank, count) relation broadcast
+    back converts it to the within-group rank r = g_rank - lo + 1.
+    All three outputs are then pure arithmetic on (r, n), no
+    per-group sort anywhere.
 
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return e.select(
+    Determinism: the (value, event_id) total order makes every rank
+    unique, so percent_rank = (r-1)/(n-1) and cume_dist = r/n are
+    single divisions of exact integers (identical on both engines),
+    and ntile's bucket arithmetic is SQL-standard integer division:
+    with q = n div 4, rem = n % 4 the first rem buckets hold q+1 rows
+    — bucket = ceil(r/(q+1)) in the first span, rem + ceil((r-rem*
+    (q+1))/q) after (greatest(q,1) guards the never-taken branch when
+    n < 4 under ANSI division)."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    g = ranked_by(e, ["event_type", "value", "event_id"], "g_rank")
+    grp = g.groupBy("event_type").agg(
+        F.min("g_rank").alias("lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    r = g.join(F.broadcast(grp), "event_type").withColumn(
+        "r", (F.col("g_rank") - F.col("lo") + F.lit(1)).cast("bigint")
+    )
+    quartile = F.expr(
+        "CASE WHEN r <= (n % 4) * (n div 4 + 1) "
+        "THEN (r + n div 4) div (n div 4 + 1) "
+        "ELSE n % 4 + (r - (n % 4) * (n div 4 + 1) + greatest(n div 4, 1) - 1)"
+        " div greatest(n div 4, 1) END"
+    )
+    return r.select(
         "event_id",
         "event_type",
         "value",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume_dist"),
+        quartile.cast("bigint").alias("quartile"),
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("r") - 1).cast("double") / (F.col("n") - 1).cast("double")
+        )
+        .alias("pct_rank"),
+        (F.col("r").cast("double") / F.col("n").cast("double")).alias(
+            "cume_dist"
+        ),
     )
 
 
@@ -2500,11 +2535,18 @@ def q_report_ship_latency(spark, sf_dir):
     Exactness: latencies are integer day differences of date-truncated
     timestamps (identical on both engines under the loader's UTC pin);
     the average is one exact-bigint sum divided once; percentiles are
-    picked values, not interpolations. Plan shape: the header join
-    broadcasts orders' two needed columns at smoke and shuffles on the
-    join key at scale (Catalyst's call); one shuffle on priority
-    serves the ranking window and the final aggregate."""
-    from pyspark.sql import Window
+    picked values, not interpolations.
+
+    Scale (r10 de-weak, same shape as q_win_percentiles): orders has
+    exactly 5 priorities, so a `Window.partitionBy(o_orderpriority)`
+    over the joined fact would sort everything through 5 tasks. The
+    two-pass range-partitioned rank (operators/rank.py ranked_by)
+    over (priority, lat_days, orderkey, linenumber) plus a broadcast
+    5-row (first-rank, count) relation yields the same within-group
+    row number with no per-group sort; the header join broadcasts
+    orders' two needed columns at smoke and shuffles on the join key
+    at scale (Catalyst's call)."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
@@ -2518,15 +2560,18 @@ def q_report_ship_latency(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "lat_days", "l_orderkey", "l_linenumber"
+    g = ranked_by(
+        d, ["o_orderpriority", "lat_days", "l_orderkey", "l_linenumber"], "g_rank"
     )
-    wn = Window.partitionBy("o_orderpriority")
-    r = d.select(
+    grp = g.groupBy("o_orderpriority").agg(
+        F.min("g_rank").alias("lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    r = g.join(F.broadcast(grp), "o_orderpriority").select(
         "o_orderpriority",
         "lat_days",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        (F.col("g_rank") - F.col("lo") + F.lit(1)).cast("bigint").alias("rn"),
+        "n",
     )
 
     def pick(num, den, name):

@@ -10,6 +10,7 @@ from __future__ import annotations
 from hive_similarity_join_spark.plans.inspect import (
     assert_in_plan,
     explain_str,
+    low_cardinality_window_violations,
     unpartitioned_window_violations,
 )
 from hive_similarity_join_spark.registry import QUERIES, load_registry
@@ -162,6 +163,21 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         viols = unpartitioned_window_violations(plan)
         if viols:
             offenders[key] = "; ".join(viols)
+        # Fourth suite-wide scale gate (r9 verdict item 3): a window
+        # over the RAW fact table partitioned only by a handful-of-
+        # values column is the same serial sort split across ~5 tasks.
+        # Rank-expressible keys use the two-pass ranked_by instead
+        # (q_win_percentiles, q_report_ship_latency); the allowlist
+        # below is the keys whose semantics are genuinely sequential
+        # per series and say so in their docstrings: CUSUM's running
+        # prefix extrema, the time-range rolling window (both document
+        # the per-(type,day) pre-aggregation that would bound partition
+        # width at 100 TB), and weighted-median's cumulative weights.
+        lviols = low_cardinality_window_violations(plan)
+        if lviols and key not in (
+            "q_events_cusum", "q_events_rolling", "q_agg_weighted_median"
+        ):
+            offenders[key] = "; ".join(lviols)
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
 
@@ -252,6 +268,60 @@ AdaptiveSparkPlan (3)
 Arguments: [row_number() windowspecdefinition(g#1L, ts#2 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#3], [g#1L], [ts#2 ASC NULLS FIRST]
 """
     assert unpartitioned_window_violations(part_ordered) == []
+
+
+def test_low_cardinality_window_detector_fixtures():
+    """The r10 detector: flags a window over the raw fact partitioned
+    only by a low-card column, clears the same spec when the mainline
+    spine is aggregate-bounded, clears high-card partition columns, and
+    ignores a low-card partition on a JOIN BRANCH aggregate (the
+    broadcast side prints after the streamed spine)."""
+    raw = """\
+AdaptiveSparkPlan (4)
++- Window (3)
+   +- Sort (2)
+      +- Scan parquet  (1)
+
+(3) Window
+Arguments: [row_number() windowspecdefinition(event_type#5, value#7 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#9], [event_type#5], [value#7 ASC NULLS FIRST]
+"""
+    assert low_cardinality_window_violations(raw) == [
+        "Window(3) partitioned only by low-card [event_type]"
+    ]
+    agg_bounded = """\
+AdaptiveSparkPlan (5)
++- Window (4)
+   +- Sort (3)
+      +- HashAggregate (2)
+         +- Scan parquet  (1)
+
+(4) Window
+Arguments: [row_number() windowspecdefinition(event_type#5, hod#7 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#9], [event_type#5], [hod#7 ASC NULLS FIRST]
+"""
+    assert low_cardinality_window_violations(agg_bounded) == []
+    high_card = """\
+AdaptiveSparkPlan (4)
++- Window (3)
+   +- Sort (2)
+      +- Scan parquet  (1)
+
+(3) Window
+Arguments: [row_number() windowspecdefinition(user_id#5L, ts#7 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#9], [user_id#5L], [ts#7 ASC NULLS FIRST]
+"""
+    assert low_cardinality_window_violations(high_card) == []
+    streamed_spine_agg = """\
+AdaptiveSparkPlan (7)
++- Window (6)
+   +- Sort (5)
+      +- BroadcastHashJoin Inner BuildRight (4)
+         :- HashAggregate (2)
+         :  +- Scan parquet  (1)
+         +- BroadcastExchange (3)
+
+(6) Window
+Arguments: [row_number() windowspecdefinition(event_type#5, m#7 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#9], [event_type#5], [m#7 ASC NULLS FIRST]
+"""
+    assert low_cardinality_window_violations(streamed_spine_agg) == []
 
 
 def _jobs_for(spark, key):
