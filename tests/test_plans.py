@@ -369,6 +369,12 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_docs_dup_matrix": 50,               # measured 40 (non-iterative)
         "q_dedup_lsh_recall": 74,              # measured 59 (non-iterative)
         "q_graph_degree_dist": 40,             # measured 32 (pinned pairs)
+        # round-10 additions (VERDICT r9 item #4): the Lloyd-kmeans IVF
+        # composition and its audit keys — a lost pin or de-broadcast
+        # centroid relation turns each Lloyd round into tens of jobs
+        "q_vec_knn_ivf_kmeans": 26 + slack,    # measured 21 (Lloyd rounds)
+        "q_vec_recall_curve": 28 + slack,      # measured 22 (Lloyd + sweep)
+        "q_vec_ivf_balance": 28 + slack,       # measured 22 (Lloyd rounds)
     }
     over = {}
     for key, bound in bounds.items():
