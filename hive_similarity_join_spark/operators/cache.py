@@ -22,9 +22,41 @@ to recompute, never to wrong answers.
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+
+
+@contextlib.contextmanager
+def batch_pinned(
+    df: DataFrame, storage_level=None
+) -> Iterator[DataFrame]:
+    """Scoped persist for streaming ``foreachBatch`` bodies.
+
+    A micro-batch persists a shared subtree (the combined carry slice,
+    the contamination hits) only for the duration of its own sink
+    writes — unlike builder pins, nothing outlives the batch, so the
+    lifecycle is a ``with`` block, not the registry-entry release. The
+    ``finally`` makes the unpersist structural: a mirror whose sink
+    write raises can no longer leak one cached relation PER MICRO-BATCH
+    (the r9 VERDICT "benign but close the loop" item — worse than the
+    per-key leak the builder contract fixed).
+
+    Cache hits are plan-matched at action time, so DataFrames derived
+    from ``df`` BEFORE entering the block still reuse the cached
+    relation while inside it.
+    """
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    try:
+        yield df
+    finally:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
 
 
 def pin(df: DataFrame, storage_level=None) -> DataFrame:

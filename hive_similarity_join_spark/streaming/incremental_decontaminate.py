@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.cache import batch_pinned
 
 
 def eval_shingles(
@@ -111,14 +112,14 @@ def incremental_decontaminate(
         # The two sink writes are separate actions: without reuse, the
         # tokenize, 4-gram explode, and broadcast join would all run
         # twice per epoch (cost, not correctness — classification is
-        # deterministic). Persist the doc-id-sized hits relation, not
-        # the batch itself: at stream scale the raw batch may not fit
-        # storage memory, while hits is bounded by the contaminated
-        # doc count.
-        hits = screen_hits(
-            batch, ev_shingles, id_col, text_col, n, hashed
-        ).persist()
-        try:
+        # deterministic). Pin the doc-id-sized hits relation for the
+        # batch (scoped via the tracked-pin contract,
+        # operators/cache.py), not the batch itself: at stream scale
+        # the raw batch may not fit storage memory, while hits is
+        # bounded by the contaminated doc count.
+        with batch_pinned(
+            screen_hits(batch, ev_shingles, id_col, text_col, n, hashed)
+        ) as hits:
             clean, contaminated = screen_batch(
                 batch, ev_shingles, id_col, text_col, n, hits=hits
             )
@@ -129,8 +130,6 @@ def incremental_decontaminate(
             contaminated.write.mode("overwrite").parquet(
                 f"{quarantine_dir}/epoch_{epoch_id}"
             )
-        finally:
-            hits.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

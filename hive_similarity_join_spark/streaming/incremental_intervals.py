@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hive_similarity_join_spark.operators.cache import batch_pinned
 from hive_similarity_join_spark.streaming.state import (
     prune_carries,
     read_latest_carry,
@@ -59,10 +60,10 @@ def process_epoch(
     """Pure per-epoch core. ``batch`` is (key, start, end, uid) with a
     unique uid per interval; returns (closed islands, new carry,
     shared), the first two (key, island_id, start, end, n). ``shared``
-    is the persisted grouped-islands relation both outputs slice —
-    consume both, then ``shared.unpersist()`` (without the persist the
-    carry read + union + both window passes would run twice, once per
-    output action). With ``carry=None`` this IS the batch islands
+    is the grouped-islands relation both outputs slice — the caller
+    wraps its actions in ``batch_pinned(shared)`` (operators/cache.py)
+    so the carry read + union + both window passes run once, not once
+    per output action. With ``carry=None`` this IS the batch islands
     computation (island ids 1-based), which the equivalence test
     exploits."""
     rows = batch.select(
@@ -123,7 +124,7 @@ def process_epoch(
         F.sum("n").cast("bigint").alias("n"),
     )
     last = F.max("island_id").over(Window.partitionBy("key"))
-    flagged = grouped.withColumn("_last", last).persist()
+    flagged = grouped.withColumn("_last", last)
     closed = flagged.filter(F.col("island_id") < F.col("_last")).drop("_last")
     new_carry = flagged.filter(F.col("island_id") == F.col("_last")).drop(
         "_last"
@@ -151,15 +152,15 @@ def incremental_intervals(
             spark, state_dir, _CARRY_SCHEMA, below_epoch=epoch_id
         )
         closed, new_carry, shared = process_epoch(batch, carry)
-        # epoch-named overwrite, not blind append: a retried epoch
-        # rewrites its own output dir instead of duplicating rows
-        closed.write.mode("overwrite").parquet(
-            f"{state_dir}/islands/epoch_{epoch_id}"
-        )
-        new_carry.write.mode("overwrite").parquet(
-            f"{state_dir}/carry_v{epoch_id}"
-        )
-        shared.unpersist()
+        with batch_pinned(shared):
+            # epoch-named overwrite, not blind append: a retried epoch
+            # rewrites its own output dir instead of duplicating rows
+            closed.write.mode("overwrite").parquet(
+                f"{state_dir}/islands/epoch_{epoch_id}"
+            )
+            new_carry.write.mode("overwrite").parquet(
+                f"{state_dir}/carry_v{epoch_id}"
+            )
         prune_carries(state_dir)
 
     writer = stream.writeStream.foreachBatch(process).trigger(

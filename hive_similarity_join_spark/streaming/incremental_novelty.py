@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators.cache import batch_pinned
 
 NOVELTY_N = 3
 
@@ -63,10 +64,16 @@ def novelty_batch_against_seen(
       with >= n tokens — n_novel counts shingles whose first corpus
       occurrence is THIS doc (absent from ``seen`` and not claimed by a
       lower-id doc in the same batch);
-    - ``new_shingles``: the distinct shingle hashes this batch adds —
-      exactly what the caller appends to the store.
+    - ``new_shingles``: the distinct shingles this batch adds as a
+      (_h, _first) relation — the caller appends ``.select("_h")`` to
+      the store. Returned UNPROJECTED on purpose: it is the shared
+      subtree both the scores plan and the store write contain, so
+      ``batch_pinned(new_shingles)`` plan-matches for BOTH actions (a
+      pin of the projected ``_h`` relation would match neither — the
+      scores join references the 2-column form).
 
-    ``seen`` is a 1-column (_h) relation or None for a cold store.
+    ``seen`` is a relation with an ``_h`` column (extra columns are
+    ignored by the anti-join) or None for a cold store.
     """
     sh = batch.select(
         F.col(id_col).alias("_id"),
@@ -90,7 +97,7 @@ def novelty_batch_against_seen(
         )
         .withColumnRenamed("_id", id_col)
     )
-    return scores, fresh.select("_h")
+    return scores, fresh
 
 
 def incremental_novelty(
@@ -115,22 +122,21 @@ def incremental_novelty(
             batch, seen, n, id_col, text_col
         )
         # The two writes share the tokenize -> shingle -> anti-join
-        # lineage; persist the (small, novel-hash-sized) fresh relation
-        # so the second write reuses it instead of re-running the whole
-        # per-batch pipeline.
-        fresh = fresh.persist()
-        try:
+        # lineage; pin the (small, novel-hash-sized) fresh relation
+        # for the batch so both actions reuse it instead of re-running
+        # the whole per-batch pipeline (scoped via the tracked-pin
+        # contract, operators/cache.py — fresh is the exact subtree
+        # both plans contain, see novelty_batch_against_seen).
+        with batch_pinned(fresh):
             # Epoch-named overwrite dirs (streaming/state.py
             # contract): a retried epoch rewrites its own scores and
             # its own store shard instead of duplicating either.
             scores.withColumn("epoch", F.lit(epoch_id)).write.mode(
                 "overwrite"
             ).parquet(f"{scores_dir}/epoch_{epoch_id}")
-            fresh.write.mode("overwrite").parquet(
+            fresh.select("_h").write.mode("overwrite").parquet(
                 f"{store_dir}/epoch_{epoch_id}"
             )
-        finally:
-            fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
     if checkpoint_dir:

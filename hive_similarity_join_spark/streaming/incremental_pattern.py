@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hive_similarity_join_spark.operators.cache import batch_pinned
 from hive_similarity_join_spark.queries.events_q import PATTERN
 from hive_similarity_join_spark.streaming.state import (
     prune_carries,
@@ -85,9 +86,11 @@ def process_epoch(
     new carry, shared). Matches are those whose END event arrived this
     epoch — with a <= 2-row carry a triple's end is always in the
     batch, so emitting every match of (carry ∪ batch) double-counts
-    nothing. ``shared`` is the persisted combined slice both outputs
-    derive from — consume both, then ``shared.unpersist()`` (otherwise
-    the carry read + union runs once per output action)."""
+    nothing. ``shared`` is the combined slice both outputs derive from
+    — the caller wraps its actions in ``batch_pinned(shared)``
+    (operators/cache.py) so the carry read + union runs once, not once
+    per output action; cache hits are plan-matched, so pinning after
+    this function returns still serves both outputs."""
     from pyspark.sql import Window
 
     ev = batch.filter(F.col("ts").isNotNull()).select(
@@ -95,7 +98,6 @@ def process_epoch(
         F.unix_micros("ts").alias("us"),
     )
     combined = ev if carry is None else carry.unionByName(ev)
-    combined = combined.persist()
     matches = match_patterns(combined)
     w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
     new_carry = (
@@ -128,15 +130,15 @@ def incremental_pattern(
             spark, state_dir, _CARRY_SCHEMA, below_epoch=epoch_id
         )
         matches, new_carry, shared = process_epoch(batch, carry)
-        matches.write.mode("overwrite").parquet(
-            f"{state_dir}/matches/epoch_{epoch_id}"
-        )
-        # distinct dir per epoch: the lazy read of the old version and
-        # the write of the new one never touch the same path
-        new_carry.write.mode("overwrite").parquet(
-            f"{state_dir}/carry_v{epoch_id}"
-        )
-        shared.unpersist()
+        with batch_pinned(shared):
+            matches.write.mode("overwrite").parquet(
+                f"{state_dir}/matches/epoch_{epoch_id}"
+            )
+            # distinct dir per epoch: the lazy read of the old version
+            # and the write of the new one never touch the same path
+            new_carry.write.mode("overwrite").parquet(
+                f"{state_dir}/carry_v{epoch_id}"
+            )
         prune_carries(state_dir)
 
     writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)

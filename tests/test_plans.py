@@ -270,6 +270,49 @@ Arguments: [row_number() windowspecdefinition(g#1L, ts#2 ASC NULLS FIRST, specif
     assert unpartitioned_window_violations(part_ordered) == []
 
 
+def test_no_raw_persist_outside_cache_contract():
+    """Structural invariant (r9 VERDICT item #5): every ``.persist(``
+    call site in the package goes through operators/cache.py — builder
+    pins via pin()/release_pins, foreachBatch bodies via the
+    batch_pinned scope. A raw persist in a future streaming mirror
+    that forgets its unpersist would leak one cached relation PER
+    MICRO-BATCH; this keeps the invariant mechanical, not reviewed."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "hive_similarity_join_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path.name == "cache.py":
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".persist(" in code and ".unpersist(" not in code:
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    # dedup_q.py's DISK_ONLY docstring mention is prose, not a call
+    offenders = [o for o in offenders if "``" not in o]
+    assert not offenders, offenders
+
+
+def test_batch_pinned_scope_unpersists_even_on_raise(spark):
+    """batch_pinned: cached inside the block, released after — and
+    released when the body raises (the structural improvement over the
+    old persist/try/finally-by-convention)."""
+    from hive_similarity_join_spark.operators.cache import batch_pinned
+
+    df = spark.range(10)
+    with batch_pinned(df) as pinned:
+        assert pinned.storageLevel.useMemory
+        pinned.count()
+    assert not df.storageLevel.useMemory
+    try:
+        with batch_pinned(df):
+            assert df.storageLevel.useMemory
+            raise RuntimeError("sink write failed")
+    except RuntimeError:
+        pass
+    assert not df.storageLevel.useMemory
+
+
 def test_low_cardinality_window_detector_fixtures():
     """The r10 detector: flags a window over the raw fact partitioned
     only by a low-card column, clears the same spec when the mainline
