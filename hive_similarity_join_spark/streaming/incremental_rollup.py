@@ -1,13 +1,18 @@
-"""Incremental continuous aggregates — streaming mirrors of
-``q_events_rollup`` (multi-grain hypertable rollup) and
-``q_time_gapfill`` (fixed-grid resample + LOCF), queries/events_q.py.
+"""Incremental continuous aggregates — streaming mirrors of five
+batch keys (queries/events_q.py): ``q_events_rollup`` (multi-grain
+hypertable rollup), ``q_time_gapfill`` (fixed-grid resample + LOCF),
+``q_time_ohlc`` (candles), ``q_events_dau_wau`` (engagement series),
+and ``q_events_retention`` (weekly cohort matrix).
 
 This is the foreachBatch slot-aggregate upsert (the TimescaleDB
 continuous-aggregate pattern): the carry holds FINEST-GRAIN partials
 only —
 
-  rollup:  (event_type, y, m, d)      -> (cnt, psum)
-  gapfill: (event_type, slot)         -> (cnt, slot_sum)
+  rollup:    (event_type, y, m, d)    -> (cnt, psum)
+  gapfill:   (event_type, slot)       -> (cnt, slot_sum)
+  ohlc:      (event_type, slot)       -> decomposable candle partials
+  dau/wau:   the deduplicated (user, day) SET
+  retention: the deduplicated (user, week) SET
 
 and every coarser read-side artifact (the ROLLUP grains, the dense
 grid + forward fill) is derived from the carry at emission time. Both
@@ -437,5 +442,97 @@ def incremental_dau_wau(
         dau_partials,
         DAU_CARRY_SCHEMA,
         merge_dau,
+        checkpoint_dir,
+    )
+
+
+# ---- weekly cohort retention: the carry is the (user, week) SET ----
+
+RETENTION_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("wk", T.TimestampType()),
+    ]
+)
+
+
+def retention_partials(batch: DataFrame) -> DataFrame:
+    """Distinct (user, ISO-week) pairs of a raw events slice. Cohort
+    assignment (min week per user) does not decompose as a summable
+    partial — a user's cohort can MOVE when an earlier-week event
+    arrives late — but the deduplicated pair SET does (set union is
+    associative/commutative/idempotent), and the cohort dictionary,
+    activity matrix, and cohort sizes are all derived views of that
+    set at emission time. O(users x weeks) state, independent of
+    event volume — the same carry shape as DAU/WAU one grain up."""
+    return (
+        batch.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_trunc("week", "ts").alias("wk"),
+        )
+        .distinct()
+    )
+
+
+def merge_retention(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    if carry is None:
+        return delta
+    # idempotent set union: replayed or overlapping epochs cannot
+    # double-count a user-week, and late data re-cohorts cleanly
+    return carry.unionAll(delta).distinct()
+
+
+def emit_retention(carry: DataFrame) -> DataFrame:
+    """q_events_retention's exact output from the user-week carry —
+    the identical cohort -> activity-offset -> size composition as the
+    batch key (queries/events_q.py), run over the O(users x weeks)
+    set instead of raw events."""
+    cohort = carry.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    active = (
+        carry.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "c0",
+            F.expr(
+                "(unix_seconds(wk) - unix_seconds(c0)) div 604800"
+            ).alias("offset_w"),
+        )
+        .distinct()
+    )
+    size = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(size), "c0")
+        .groupBy("c0", "offset_w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.any_value("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.date_format("c0", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+            "offset_w",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+def incremental_retention(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous weekly-cohort retention; read the latest summary
+    snapshot and call emit_retention for the cohort matrix."""
+    return _make_query(
+        stream,
+        state_dir,
+        retention_partials,
+        RETENTION_CARRY_SCHEMA,
+        merge_retention,
         checkpoint_dir,
     )

@@ -212,3 +212,53 @@ def test_streaming_dau_matches_batch_key(spark, dirs):
     assert _tuples(emit_dau_wau(carry)) == _tuples(
         q_events_dau_wau(spark, SF_SMOKE)
     )
+
+
+def test_retention_epoch_chain_equals_batch_key(spark):
+    from hive_similarity_join_spark.queries.events_q import q_events_retention
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_retention,
+        merge_retention,
+        retention_partials,
+    )
+
+    e = _events(spark)
+    carry = None
+    # reversed slices: late-arriving earlier weeks must RE-COHORT users
+    # (min-week moves), which the derived-view emission handles and a
+    # summable cohort partial could not
+    for sl in reversed(_epoch_slices(e)):
+        carry = merge_retention(carry, retention_partials(sl))
+    # replay an epoch: idempotent set union must not change the result
+    carry = merge_retention(carry, retention_partials(_epoch_slices(e)[1]))
+    assert _tuples(emit_retention(carry)) == _tuples(
+        q_events_retention(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_retention_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.events_q import q_events_retention
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        RETENTION_CARRY_SCHEMA,
+        emit_retention,
+        incremental_retention,
+    )
+
+    src = f"{dirs}/src"
+    e = _events(spark).select("user_id", "ts")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_retention(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(RETENTION_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_retention(carry)) == _tuples(
+        q_events_retention(spark, SF_SMOKE)
+    )
