@@ -1255,3 +1255,145 @@ def q_docs_length_percentiles(spark, sf_dir):
         pick(90, 100, "p90"),
         pick(99, 100, "p99"),
     )
+
+
+# ---------------- quantile-sketch accuracy audit (sample vs exact)
+
+_SKETCH_K = 256
+
+
+@query(
+    "q_agg_quantile_sketch",
+    oracle=f"""
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+er AS (
+  SELECT n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS er
+  FROM d
+),
+ex AS (
+  SELECT any_value(n.n) AS n_docs,
+         max(CASE WHEN er = (50 * n.n + 99) // 100 THEN n_chars END) AS p50_exact,
+         max(CASE WHEN er = (90 * n.n + 99) // 100 THEN n_chars END) AS p90_exact,
+         max(CASE WHEN er = (99 * n.n + 99) // 100 THEN n_chars END) AS p99_exact
+  FROM er CROSS JOIN n
+),
+s AS (
+  SELECT doc_id, n_chars FROM d
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_SKETCH_K}
+),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM s),
+sr AS (
+  SELECT n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS sr
+  FROM s
+),
+est AS (
+  SELECT any_value(k.k) AS k_sample,
+         max(CASE WHEN sr = (50 * k.k + 99) // 100 THEN n_chars END) AS p50_est,
+         max(CASE WHEN sr = (90 * k.k + 99) // 100 THEN n_chars END) AS p90_est,
+         max(CASE WHEN sr = (99 * k.k + 99) // 100 THEN n_chars END) AS p99_est
+  FROM sr CROSS JOIN k
+)
+SELECT n_docs, k_sample,
+       p50_exact, p50_est,
+       CAST(abs(p50_est - p50_exact) AS BIGINT) AS p50_abs_err,
+       CAST(abs(p50_est - p50_exact) AS DOUBLE) / CAST(p50_exact AS DOUBLE)
+         AS p50_rel_err,
+       p90_exact, p90_est,
+       CAST(abs(p90_est - p90_exact) AS BIGINT) AS p90_abs_err,
+       CAST(abs(p90_est - p90_exact) AS DOUBLE) / CAST(p90_exact AS DOUBLE)
+         AS p90_rel_err,
+       p99_exact, p99_est,
+       CAST(abs(p99_est - p99_exact) AS BIGINT) AS p99_abs_err,
+       CAST(abs(p99_est - p99_exact) AS DOUBLE) / CAST(p99_exact AS DOUBLE)
+         AS p99_rel_err
+FROM ex CROSS JOIN est
+""",
+)
+def q_agg_quantile_sketch(spark, sf_dir):
+    """Quantile-SKETCH accuracy audit: p50/p90/p99 of document length
+    estimated from a deterministic 256-row uniform sample vs the exact
+    two-pass order statistics, with absolute and relative error — the
+    percentile sketch every 100 TB profiling pass reaches for when the
+    exact rank is too heavy, its accuracy MEASURED like the rest of
+    the sketch portfolio (KMV distinct, CMS heavy-hitters, Bloom
+    membership, MinHash similarity), not asserted.
+
+    The sketch is a bottom-k-by-md5 sample (the KMV device applied to
+    order statistics): rank every row by md5(doc_id) — a uniform
+    permutation both engines compute identically — keep the first
+    K=256, and read the percentile off the sample's own ranked values
+    at ceil(q*k). Epsilon ~ O(1/sqrt(K)) quantile error with K rows of
+    state; unlike KLL/t-digest the sample is mergeable by trivial
+    union + re-rank AND exactly SQL-mirrorable, which is what makes
+    this auditable bit-for-bit against DuckDB.
+
+    Scale shape: the sample plans as TakeOrderedAndProject (per-
+    partition heaps over the md5 order — no global sort, no single-
+    partition exchange); the in-sample re-rank windows over the
+    LIMIT-bounded 256 rows (the sanctioned limit-then-rank shape);
+    the exact side is the two-pass range-partitioned rank
+    (operators/rank.py) — its cost is the thing the sketch exists to
+    avoid, carried here precisely to measure what the avoidance
+    costs in accuracy. All integer arithmetic except the final
+    rel-err divisions (one double division each)."""
+    from pyspark.sql import Window
+
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_rel = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    er = ranked_by(d, ["n_chars", "doc_id"], "er").join(
+        F.broadcast(n_rel)
+    )
+
+    def pick(rank_col, scale_col, num, den, name):
+        target = F.expr(f"({num} * {scale_col} + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col(rank_col) == target, F.col("n_chars"))
+        ).alias(name)
+
+    ex = er.agg(
+        F.any_value("n").alias("n_docs"),
+        pick("er", "n", 50, 100, "p50_exact"),
+        pick("er", "n", 90, 100, "p90_exact"),
+        pick("er", "n", 99, 100, "p99_exact"),
+    )
+
+    samp = (
+        d.select("doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(_SKETCH_K)
+    )
+    w = Window.orderBy("n_chars", "doc_id")
+    wk = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sr = samp.select(
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("sr"),
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("k"),
+    )
+    est = sr.agg(
+        F.any_value("k").alias("k_sample"),
+        pick("sr", "k", 50, 100, "p50_est"),
+        pick("sr", "k", 90, 100, "p90_est"),
+        pick("sr", "k", 99, 100, "p99_est"),
+    )
+
+    out = ex.join(F.broadcast(est))
+    cols = [F.col("n_docs"), F.col("k_sample")]
+    for p in ("p50", "p90", "p99"):
+        err = F.abs(F.col(f"{p}_est") - F.col(f"{p}_exact"))
+        cols += [
+            F.col(f"{p}_exact"),
+            F.col(f"{p}_est"),
+            err.cast("bigint").alias(f"{p}_abs_err"),
+            (err.cast("double") / F.col(f"{p}_exact").cast("double")).alias(
+                f"{p}_rel_err"
+            ),
+        ]
+    return out.select(*cols)

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     # (then backfill with the remaining r6-era keys in CORRECTNESS_r06
     # order: q_retention... continuation — recompute from
     # CORRECTNESS_r0{1..10} at r11 start as always).
+    "q_agg_quantile_sketch",
 ]
 
 
