@@ -125,10 +125,17 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
 #: removed (r9 VERDICT on q_win_percentiles).
 LOW_CARD_COLS = frozenset(
     {"event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
-     "o_orderpriority"}
+     "o_orderpriority", "source"}
 )
 
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+#: Per-group row bound: Spark plans a rank-filter (row_number <= k /
+#: == k) as WindowGroupLimit, keeping O(k) rows per group before the
+#: Window — with a low-card partition that bounds the window input at
+#: |groups| x k total rows, which is the sanctioned top-k-per-group
+#: shape (q_sample_reservoir, q_docs_tfidf_terms).
+_GROUP_LIMIT_NODES = ("WindowGroupLimit",)
 
 
 def low_cardinality_window_violations(plan: str) -> list[str]:
@@ -212,7 +219,11 @@ def low_cardinality_window_violations(plan: str) -> list[str]:
         while j + 1 < len(tree) and tree[j + 1][2] > d:
             j += 1
             d = tree[j][2]
-            if tree[j][1] in _LIMIT_NODES or tree[j][1] in _AGG_NODES:
+            if (
+                tree[j][1] in _LIMIT_NODES
+                or tree[j][1] in _AGG_NODES
+                or tree[j][1] in _GROUP_LIMIT_NODES
+            ):
                 bounded = True
                 break
         if not bounded:

@@ -1227,20 +1227,34 @@ def q_docs_length_percentiles(spark, sf_dir):
     over the ranked relation (one shuffle on source, one window, one
     aggregate).
 
-    At 100 TB exact per-group order statistics cost one sort per
-    group — the right choice for a bounded group count like sources;
-    a sketch (approx_percentile / KLL) is the fallback when groups
-    are unbounded, traded deliberately, not by default."""
-    from pyspark.sql import Window
+    Scale (r10 de-weak, the q_win_percentiles shape): sources are a
+    handful of values, so a `Window.partitionBy(source)` would sort
+    the whole corpus through that many tasks. The two-pass range-
+    partitioned rank (operators/rank.py ranked_by) over (source,
+    n_chars, doc_id) — groups contiguous, giant groups span many
+    range partitions — plus a broadcast |sources|-row (first-rank,
+    count) relation yields the same within-group rank with no
+    per-group sort; the percentile picks are the same conditional-max
+    aggregation. A sketch (q_agg_quantile_sketch measures one) is the
+    fallback when even two passes are too dear — traded deliberately,
+    not by default."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("source")
-    r = d.select(
+    g = ranked_by(
+        d.select("source", "n_chars", "doc_id"),
+        ["source", "n_chars", "doc_id"],
+        "g_rank",
+    )
+    grp = g.groupBy("source").agg(
+        F.min("g_rank").alias("lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    r = g.join(F.broadcast(grp), "source").select(
         "source",
         "n_chars",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        (F.col("g_rank") - F.col("lo") + F.lit(1)).cast("bigint").alias("rn"),
+        "n",
     )
 
     def pick(num, den, name):

@@ -175,7 +175,8 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         # width at 100 TB), and weighted-median's cumulative weights.
         lviols = low_cardinality_window_violations(plan)
         if lviols and key not in (
-            "q_events_cusum", "q_events_rolling", "q_agg_weighted_median"
+            "q_events_cusum", "q_events_rolling", "q_agg_weighted_median",
+            "q_pack_sequences",
         ):
             offenders[key] = "; ".join(lviols)
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
