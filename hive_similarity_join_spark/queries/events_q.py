@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.operators.rank import ranked_topk
+from hive_similarity_join_spark.operators.scan import grouped_prefix_scan
 from hive_similarity_join_spark.sources.loader import load_table
 
 _FMT = "%Y-%m-%d %H:%M:%S"
@@ -705,10 +706,12 @@ def q_events_cusum(spark, sf_dir):
     running max. (tsu, event_id) gives a total order, so ranks and
     prefix sums are reproducible under any partitioning.
 
-    Scale: one shuffle on event_type for the windows (the series key —
-    at 100 TB each series sorts independently; a per-(type, day)
-    pre-aggregation would bound partition width if single series
-    exceed executor memory); the totals join is a 5-row broadcast.
+    Scale: both prefix passes run as two-pass distributed scans
+    (operators/scan.py — range-partitioned on (type, time), so one
+    series spans MANY tasks; see the r10 de-weak note below); the
+    totals join is a 5-row broadcast and the changepoint argmax plans
+    as WindowGroupLimit (one row per group per partition before the
+    shuffle).
     """
     e = (
         load_table(spark, sf_dir, "events")
@@ -724,28 +727,40 @@ def q_events_cusum(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("decimal(28,6)").alias("s"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("tsu", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # r10 de-weak: events has 5 types, so the prefix windows partitioned
+    # by event_type would sort the whole fact table through 5 tasks.
+    # Two chained distributed scans (operators/scan.py) compute the
+    # SAME prefix quantities at full cluster width: pass 1 the running
+    # value sum and rank (rank = running sum of ones), pass 2 the
+    # running extrema of the bridge statistic pp. Types retrace the
+    # original window arithmetic exactly: window-sum decimal(18,6) ->
+    # (28,6) equals the scan's widen-then-cast; rank-as-bigint times
+    # decimal equals row_number-as-int times decimal.
+    p1 = grouped_prefix_scan(
+        e.withColumn("one", F.lit(1)),
+        ["event_type"],
+        ["tsu", "event_id"],
+        [("x", "sum", "_ps"), ("one", "sum", "_rn")],
     )
-    wr = Window.partitionBy("event_type").orderBy("tsu", "event_id")
-    pre = (
-        e.join(F.broadcast(tot), "event_type")
-        .withColumn(
-            "pp",
-            F.sum("x").over(w).cast("decimal(28,6)") * F.col("n")
-            - F.row_number().over(wr) * F.col("s"),
-        )
+    pre = p1.join(F.broadcast(tot), "event_type").withColumn(
+        "pp",
+        F.col("_ps").cast("decimal(28,6)") * F.col("n")
+        - F.col("_rn") * F.col("s"),
+    )
+    p2 = grouped_prefix_scan(
+        pre.select("event_type", "tsu", "event_id", "n", "pp"),
+        ["event_type"],
+        ["tsu", "event_id"],
+        [("pp", "min", "_mn"), ("pp", "max", "_mx")],
     )
     zero = F.lit(0).cast("decimal(38,6)")
-    st = pre.select(
+    st = p2.select(
         "event_type",
         "tsu",
         "event_id",
         "n",
-        (F.col("pp") - F.least(F.min("pp").over(w), zero)).alias("s_pos"),
-        (F.greatest(F.max("pp").over(w), zero) - F.col("pp")).alias("s_neg"),
+        (F.col("pp") - F.least(F.col("_mn"), zero)).alias("s_pos"),
+        (F.greatest(F.col("_mx"), zero) - F.col("pp")).alias("s_neg"),
     )
     agg = st.groupBy("event_type").agg(
         F.any_value("n").alias("n"),

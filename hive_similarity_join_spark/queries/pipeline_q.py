@@ -745,18 +745,29 @@ def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing (the GPT-style pretraining
     layout): docs are laid end-to-end per source in deterministic
     doc_id order and cut every {PACK_BUDGET} chars; a doc's bin is the
-    chunk its start offset lands in. One running-sum window per source
-    partition — each source's stream packs independently and in
-    parallel, no global sort; at 100 TB the partition key is whatever
-    unit a shard must stay contiguous within (source here)."""
-    d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunk its start offset lands in.
+
+    Scale (r10 de-weak): a running-sum window partitioned by the
+    handful of sources would sort the whole corpus through |sources|
+    tasks. The two-pass distributed scan (operators/scan.py
+    grouped_prefix_scan) computes the identical inclusive running sum
+    at full cluster width — the (source, doc_id) order is strict, so
+    every start offset is deterministic; at 100 TB the group key is
+    whatever unit a shard must stay contiguous within (source
+    here)."""
+    from hive_similarity_join_spark.operators.scan import (
+        grouped_prefix_scan,
     )
-    start = F.sum("n_chars").over(w) - F.col("n_chars")
-    return d.select(
+
+    d = load_table(spark, sf_dir, "documents")
+    cum = grouped_prefix_scan(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        ["doc_id"],
+        [("n_chars", "sum", "_incl")],
+    )
+    start = F.col("_incl") - F.col("n_chars")
+    return cum.select(
         "doc_id",
         "source",
         F.floor(start / F.lit(float(PACK_BUDGET))).cast("bigint").alias("bin_id"),

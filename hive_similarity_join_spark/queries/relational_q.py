@@ -1373,34 +1373,37 @@ def q_agg_weighted_median(spark, sf_dir):
     group's total — the robust central-price statistic an unweighted
     median (q_agg_median) can't give when rows carry volumes.
 
-    Mechanics: one window pass per group — running weight sum over the
-    (price, weight) total order, total via an unbounded frame on the
-    same partitioning (one shuffle, two window specs sharing it), then
+    Mechanics: a running weight sum over the (price, weight) order per
+    group, the group total broadcast back (|flags| rows), then
     min(price) over the qualifying suffix. All comparisons and sums
     are exact (decimal prices, bigint weights; 2*cw stays in bigint);
     the only double is the final decimal->double cast of one selected
     value — a selection, not an accumulation.
 
-    Scale: the window shuffle is keyed by the group column — the same
-    cost class as any grouped aggregate; no global sort."""
+    Scale (r10 de-weak): l_returnflag has THREE values, so a
+    `Window.partitionBy(l_returnflag)` running sum would sort all of
+    lineitem through three tasks. The two-pass distributed scan
+    (operators/scan.py grouped_prefix_scan) computes the identical
+    running weight at full cluster width. (price, wt) ties make the
+    per-row running value tie-order-dependent on BOTH engines, but
+    the threshold crossing 2*cw >= tw happens inside a run of equal
+    prices, so min(price) over the qualifying suffix is
+    tie-invariant — the aggregate, not the scan, is the contract."""
+    from hive_similarity_join_spark.operators.scan import grouped_prefix_scan
+
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
-    wp = Window.partitionBy("l_returnflag")
-    wcum = wp.orderBy("price", "wt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = v.select(
-        "l_returnflag",
-        "price",
-        F.sum("wt").over(wcum).alias("cw"),
-        F.sum("wt").over(wp).alias("tw"),
+    tot = v.groupBy("l_returnflag").agg(F.sum("wt").alias("tw"))
+    cum = grouped_prefix_scan(
+        v, ["l_returnflag"], ["price", "wt"], [("wt", "sum", "cw")]
     )
     return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(
             F.min("price").cast("double").alias("weighted_median"),

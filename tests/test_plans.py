@@ -166,18 +166,17 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         # Fourth suite-wide scale gate (r9 verdict item 3): a window
         # over the RAW fact table partitioned only by a handful-of-
         # values column is the same serial sort split across ~5 tasks.
-        # Rank-expressible keys use the two-pass ranked_by instead
-        # (q_win_percentiles, q_report_ship_latency); the allowlist
-        # below is the keys whose semantics are genuinely sequential
-        # per series and say so in their docstrings: CUSUM's running
-        # prefix extrema, the time-range rolling window (both document
-        # the per-(type,day) pre-aggregation that would bound partition
-        # width at 100 TB), and weighted-median's cumulative weights.
+        # Rank-expressible keys use the two-pass ranked_by
+        # (q_win_percentiles, q_report_ship_latency,
+        # q_docs_length_percentiles); running aggregates use the
+        # two-pass grouped_prefix_scan (q_agg_weighted_median,
+        # q_pack_sequences, q_events_cusum). The sole allowlisted key
+        # is the time-RANGE rolling window, whose frame is a sliding
+        # interval, not a prefix — not an associative scan; its
+        # docstring documents the per-(type,day) pre-aggregation that
+        # bounds partition width at 100 TB.
         lviols = low_cardinality_window_violations(plan)
-        if lviols and key not in (
-            "q_events_cusum", "q_events_rolling", "q_agg_weighted_median",
-            "q_pack_sequences",
-        ):
+        if lviols and key != "q_events_rolling":
             offenders[key] = "; ".join(lviols)
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
