@@ -2103,3 +2103,78 @@ def q_dedup_lsh_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# ---- dedup threshold sensitivity curve over the embedding pair graph
+
+_CURVE_THRESHOLDS = (30, 50, 70, 80, 90)  # sim*100, exact integers
+
+
+@query(
+    "q_dedup_threshold_curve",
+    oracle=f"""
+WITH pairs AS ({_ELSH_ORACLE}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs)
+SELECT thr.threshold_e2,
+       any_value(tot.n_candidates) AS n_candidates,
+       CAST(sum(CASE WHEN p.sim >= thr.threshold_e2 / 100.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN p.sim >= thr.threshold_e2 / 100.0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / any_value(tot.n_candidates) AS frac_of_candidates
+FROM pairs p
+CROSS JOIN (VALUES {", ".join(f"(CAST({t} AS BIGINT))" for t in _CURVE_THRESHOLDS)})
+  AS thr(threshold_e2)
+CROSS JOIN tot
+GROUP BY thr.threshold_e2
+""",
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Near-duplicate threshold sensitivity curve: how many embedding
+    pairs survive at cosine >= 0.30 / 0.50 / 0.70 / 0.80 / 0.90,
+    from ONE pass over the hyperplane-LSH candidate graph — the
+    measurement a curation team reads before committing to a dedup
+    threshold (each step of the curve is documents destroyed or
+    duplicates kept; the cliff between adjacent thresholds is the
+    corpus's own similarity structure). Extends the measured-dedup
+    family (q_dedup_lsh_recall's precision/recall, q_report_dup_rate)
+    with the threshold axis.
+
+    Exactness: sims are the bit-exact cosine device; thresholds are
+    integer-percent literals divided by 100.0 identically on both
+    engines (same IEEE literal, same >= on identical doubles); counts
+    are bigints; the fraction is one double division.
+
+    Scale shape: the candidate generator is the audited bucketed LSH
+    join (never all-pairs); the curve itself is one conditional-sum
+    aggregate over a broadcast 5-row threshold relation and a 1-row
+    total — O(candidates) work for the whole curve, not O(candidates
+    x thresholds) passes."""
+    thr = spark.range(0, len(_CURVE_THRESHOLDS)).select(
+        F.element_at(
+            F.array(*[F.lit(t).cast("bigint") for t in _CURVE_THRESHOLDS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("threshold_e2")
+    )
+    # the registered LSH key's raw builder IS the candidate generator —
+    # shared, so the curve and the pair graph can never drift apart
+    pairs = q_dedup_embedding_lsh(spark, sf_dir)
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    hit = F.when(
+        F.col("sim") >= F.col("threshold_e2") / F.lit(100.0), 1
+    ).otherwise(0)
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("threshold_e2")
+        .agg(F.sum(hit).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_e2",
+            "n_candidates",
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("frac_of_candidates"),
+        )
+    )

@@ -1411,3 +1411,85 @@ def q_agg_quantile_sketch(spark, sf_dir):
             ),
         ]
     return out.select(*cols)
+
+
+# ---------------- Zipf rank-frequency curve (log2-bucketed, exact)
+
+
+@query(
+    "q_text_zipf_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT t.tok FROM documents, unnest({TX.duck_bag()}) AS t(tok)
+),
+tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+rk AS (
+  SELECT tf,
+         CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS r
+  FROM tf
+),
+b AS (
+  SELECT CAST(bb AS BIGINT) AS bucket,
+         (CAST(1 AS BIGINT) << bb) AS rank_lo
+  FROM generate_series(0, 40) AS g(bb)
+)
+SELECT b.bucket, b.rank_lo,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(rk.tf) AS BIGINT) AS sum_tf,
+       CAST(max(rk.tf) AS BIGINT) AS max_tf,
+       CAST(min(rk.tf) AS BIGINT) AS min_tf
+FROM rk JOIN b ON rk.r >= b.rank_lo AND rk.r < b.rank_lo * 2
+GROUP BY b.bucket, b.rank_lo
+""",
+)
+def q_text_zipf_curve(spark, sf_dir):
+    """Zipf rank-frequency curve of the corpus vocabulary, log2-
+    bucketed: terms ranked by raw term frequency (descending), then
+    bucket b aggregates ranks [2^b, 2^(b+1)) — count of terms, summed
+    / max / min frequency per bucket. On a Zipfian corpus sum_tf per
+    bucket is near-constant (each octave of rank contributes equal
+    mass); deviations expose template spam (flat head) or tokenizer
+    damage (truncated tail). The profiling twin of
+    q_text_vocab_stats' rarity tail, over TERM frequency rather than
+    document frequency.
+
+    Exactness: ALL integer arithmetic — frequencies and counts are
+    bigints, bucket boundaries are bigint bit-shifts (no log2 calls:
+    floor(log2(r)) via a 41-row boundary relation theta-joined
+    broadcast, because cross-engine log2-of-exact-power behavior is
+    not worth trusting when a shift is exact by construction).
+
+    Scale shape: one shuffle for the term-frequency aggregate
+    (map-side combined); the global vocabulary rank is the two-pass
+    range-partitioned ranked_by (operators/rank.py — a web-scale
+    vocabulary never sorts through one task); the bucket join is a
+    41-row broadcast nested loop; the final aggregate groups ~41
+    rows per partition."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.bag_tokens("text")).alias("tok"))
+    tf = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    rk = ranked_by(tf, [F.desc("tf"), F.asc("tok")], "r")
+    b = spark.range(0, 41).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias(
+            "rank_lo"
+        ),
+    )
+    return (
+        rk.join(
+            F.broadcast(b),
+            (F.col("r") >= F.col("rank_lo"))
+            & (F.col("r") < F.col("rank_lo") * 2),
+        )
+        .groupBy("bucket", "rank_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            F.min("tf").cast("bigint").alias("min_tf"),
+        )
+    )

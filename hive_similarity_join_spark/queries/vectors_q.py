@@ -1195,3 +1195,120 @@ def q_vec_pq_distortion(spark, sf_dir):
             / (F.count(F.lit(1)).cast("double") * F.lit(float(PQ_DIST_FP)))
         ).alias("avg_d2"),
     ).select(F.col("m").cast("bigint").alias("m"), "n", "max_d2", "avg_d2")
+
+
+# ------------- Matryoshka prefix-dimension recall audit (MRL funnel)
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_cte(d: int) -> str:
+    return f"""t{d} AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {V.duck_cosine('a.embedding', 'b.embedding', d)} DESC,
+                      b.vec_id
+           ) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_PROBES}
+  ) WHERE rank <= {KNN_K})"""
+
+
+def _mrl_oracle() -> str:
+    ctes = ",\n".join(_mrl_cte(d) for d in _MRL_DIMS)
+    union = "\n  UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dim_prefix, probe_id, vec_id FROM t{d}"
+        for d in _MRL_DIMS
+    )
+    full = _MRL_DIMS[-1]
+    return f"""
+WITH {ctes},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM t{full})
+SELECT u.dim_prefix,
+       any_value(tot.n_pairs) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(*) AS DOUBLE) / any_value(tot.n_pairs) AS recall
+FROM ({union}) u
+JOIN t{full} g ON g.probe_id = u.probe_id AND g.vec_id = u.vec_id
+CROSS JOIN tot
+GROUP BY u.dim_prefix
+"""
+
+
+@query("q_vec_prefix_dim_recall", oracle=_mrl_oracle())
+def q_vec_prefix_dim_recall(spark, sf_dir):
+    """Matryoshka (MRL) prefix-dimension recall audit: top-k under
+    cosine over only the FIRST d dimensions (d = 8/16/32/64) vs the
+    full-width exact top-k, per-d recall@k — the measurement behind
+    the standard MRL serving funnel (candidate generation at a cheap
+    prefix width, full-width rerank on the survivors). Joins the ANN
+    audit family (q_vec_ann_recall, q_vec_recall_curve,
+    q_vec_pq_distortion): the accuracy-for-bytes trade is measured,
+    never asserted — here the byte saving is d/64 of vector reads,
+    the exact knob MRL-trained embeddings expose.
+
+    Exactness: prefix cosine folds the SAME left-to-right association
+    on both engines (zip_with/aggregate vs list_transform/list_reduce
+    over generate_series(1, d)), so sims are bit-identical and the
+    (sim DESC, vec_id) ranking is deterministic; hits and totals are
+    bigint counts; recall is one double division. The full-width row
+    (d=64, recall 1.0 by construction) rides along as the join-logic
+    anchor.
+
+    Scale shape: probes broadcast, the corpus side explicitly
+    repartitioned (the _pairs contract — nested-loop pair output is
+    quadratic while its input is one parquet chunk); the scored
+    relation is pinned once and reused by all four rank windows
+    (tracked-pin contract); per-probe top-k plans as WindowGroupLimit.
+    At production scale candidate generation would route through the
+    IVF/LSH index family instead of brute force — this key is the
+    ACCURACY meter for choosing d, not the serving path."""
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    scored = pin(
+        F.broadcast(a)
+        .join(b, F.col("id1") != F.col("id2"))
+        .select(
+            F.col("id1").alias("probe_id"),
+            F.col("id2").alias("vec_id"),
+            *[
+                V.cosine(
+                    F.slice("_v1", 1, d), F.slice("_v2", 1, d)
+                ).alias(f"sim_{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+    )
+    tops = []
+    for d in _MRL_DIMS:
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc(f"sim_{d}"), F.asc("vec_id")
+        )
+        tops.append(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNN_K)
+            .select(
+                F.lit(d).cast("bigint").alias("dim_prefix"),
+                "probe_id",
+                "vec_id",
+            )
+        )
+    u = tops[0]
+    for t in tops[1:]:
+        u = u.unionByName(t)
+    truth = tops[-1].select("probe_id", "vec_id")
+    tot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    hits = (
+        u.join(truth, ["probe_id", "vec_id"])
+        .groupBy("dim_prefix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "dim_prefix",
+        "n_pairs",
+        "hits",
+        (F.col("hits").cast("double") / F.col("n_pairs").cast("double")).alias(
+            "recall"
+        ),
+    )

@@ -100,7 +100,8 @@ PRIORITY: list[str] = [
     # (then backfill with the remaining r6-era keys in CORRECTNESS_r06
     # order: q_retention... continuation — recompute from
     # CORRECTNESS_r0{1..10} at r11 start as always).
-    "q_agg_quantile_sketch",
+    "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
+    "q_dedup_threshold_curve", "q_text_zipf_curve",
 ]
 
 
