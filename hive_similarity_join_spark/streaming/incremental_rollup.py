@@ -536,3 +536,79 @@ def incremental_retention(
         merge_retention,
         checkpoint_dir,
     )
+
+
+# ---- value histogram: (type, bin) counts are summable partials ----
+
+HIST_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def hist_partials(batch: DataFrame) -> DataFrame:
+    """Per-(type, bin) counts of a raw events slice — the exact
+    integer-cents binning of q_agg_value_histogram
+    (queries/relational_q.py), trivially decomposable (COUNT sums)."""
+    from hive_similarity_join_spark.queries.relational_q import HIST_W_CENTS
+
+    return (
+        batch.select(
+            "event_type",
+            F.expr(
+                f"CAST(floor(value * 100 + 0.5) AS BIGINT) div {HIST_W_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def merge_hist(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    return merge_partials(carry, delta, ["event_type", "bin"], ["cnt"])
+
+
+def emit_hist(carry: DataFrame) -> DataFrame:
+    """q_agg_value_histogram's exact output from the (type, bin)
+    carry — bounds and fractions are derived at read time from the
+    O(types x bins) state."""
+    from hive_similarity_join_spark.queries.relational_q import HIST_W_CENTS
+
+    t = carry.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return carry.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.col("bin").cast("bigint").alias("bin"),
+        (F.col("bin") * HIST_W_CENTS).cast("double").alias("_lo_c"),
+        ((F.col("bin") + 1) * HIST_W_CENTS).cast("double").alias("_hi_c"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+            "frac"
+        ),
+    ).select(
+        "event_type",
+        "bin",
+        (F.col("_lo_c") / F.lit(100.0)).alias("bin_lo"),
+        (F.col("_hi_c") / F.lit(100.0)).alias("bin_hi"),
+        "cnt",
+        "frac",
+    )
+
+
+def incremental_hist(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous per-type value histogram; read the latest summary
+    snapshot and call emit_hist for the distribution profile."""
+    return _make_query(
+        stream,
+        state_dir,
+        hist_partials,
+        HIST_CARRY_SCHEMA,
+        merge_hist,
+        checkpoint_dir,
+    )

@@ -262,3 +262,52 @@ def test_streaming_retention_matches_batch_key(spark, dirs):
     assert _tuples(emit_retention(carry)) == _tuples(
         q_events_retention(spark, SF_SMOKE)
     )
+
+
+def test_hist_epoch_chain_equals_batch_key(spark):
+    from hive_similarity_join_spark.queries.relational_q import (
+        q_agg_value_histogram,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_hist,
+        hist_partials,
+        merge_hist,
+    )
+
+    e = _events(spark)
+    carry = None
+    for sl in reversed(_epoch_slices(e)):
+        carry = merge_hist(carry, hist_partials(sl))
+    assert _tuples(emit_hist(carry)) == _tuples(
+        q_agg_value_histogram(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_hist_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.relational_q import (
+        q_agg_value_histogram,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        HIST_CARRY_SCHEMA,
+        emit_hist,
+        incremental_hist,
+    )
+
+    src = f"{dirs}/src"
+    e = _events(spark).select("event_type", "value")
+    for i, sl in enumerate(_epoch_slices(e, 2)):
+        sl.coalesce(1).write.parquet(f"{src}/part={i}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_hist(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(HIST_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_hist(carry)) == _tuples(
+        q_agg_value_histogram(spark, SF_SMOKE)
+    )
