@@ -1817,3 +1817,133 @@ def q_report_cohort_ltv(spark, sf_dir):
             / F.col("cohort_size").cast("double")
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------- Welch two-sample A/B report (exact moment device)
+
+
+@query(
+    "q_report_ab_test",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 2 AS variant,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         sum(cents) // count(*) AS mu0
+  FROM e GROUP BY variant
+),
+d AS (
+  SELECT e.variant, CAST(e.cents - g.mu0 AS DECIMAL(38,0)) AS dd
+  FROM e JOIN g USING (variant)
+),
+m AS (
+  SELECT d.variant, any_value(g.n) AS n, any_value(g.s) AS s,
+         CAST(any_value(g.n) AS DECIMAL(38,0)) * sum(dd * dd)
+           - sum(dd) * sum(dd) AS m2
+  FROM d JOIN g USING (variant) GROUP BY d.variant
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       CAST(a.s AS DOUBLE) / (100.0 * a.n) AS mean_a,
+       CAST(b.s AS DOUBLE) / (100.0 * b.n) AS mean_b,
+       CAST(a.s AS DOUBLE) / (100.0 * a.n)
+         - CAST(b.s AS DOUBLE) / (100.0 * b.n) AS mean_diff,
+       sqrt(CAST(a.m2 AS DOUBLE)
+              / CAST(CAST(a.n AS DECIMAL(38,0)) * a.n * (a.n - 1) * 10000
+                     AS DOUBLE)
+            + CAST(b.m2 AS DOUBLE)
+              / CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * (b.n - 1) * 10000
+                     AS DOUBLE)) AS se,
+       (CAST(a.s AS DOUBLE) / (100.0 * a.n)
+          - CAST(b.s AS DOUBLE) / (100.0 * b.n))
+       / sqrt(CAST(a.m2 AS DOUBLE)
+                / CAST(CAST(a.n AS DECIMAL(38,0)) * a.n * (a.n - 1) * 10000
+                       AS DOUBLE)
+              + CAST(b.m2 AS DOUBLE)
+                / CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * (b.n - 1) * 10000
+                       AS DOUBLE)) AS t_stat
+FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+""",
+)
+def q_report_ab_test(spark, sf_dir):
+    """Welch two-sample A/B report over purchase values, variants
+    assigned by user_id parity (the hash-split every experimentation
+    platform uses): per-variant n and mean, the difference, its
+    standard error, and the Welch t-statistic — the readout that
+    decides whether a treatment moved revenue or the delta is noise.
+
+    Exactness (the q_agg_skew_kurtosis device, events-outliers FMA
+    lesson applied): values to integer cents, per-variant moments as
+    centered integer power sums in decimal(38,0) — m2 = n*sum(d^2) -
+    sum(d)^2 is EXACT; mu0 is the truncated integer mean, which
+    centers d without introducing floats (any constant shift leaves
+    m2 invariant in exact arithmetic). The double tail is only what
+    the contract allows: per-term single divisions by exact
+    denominators (n^2 (n-1) 10^4 kept decimal until one cast), one
+    binary add, sqrt, subtract, divide — no multiply-accumulate
+    chain for an FMA to fuse.
+
+    Plan shape: two map-side-combined aggregations over the pushed-
+    down purchase scan (variant is a projection, not a shuffle of
+    users), a 2-row broadcast join for centering, and a 1-row-x-1-row
+    join for the report. O(1) output at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    g = e.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.expr("sum(cents) div count(*)").alias("mu0"),
+    )
+    d = e.join(F.broadcast(g), "variant").select(
+        "variant", "n", "s", (F.col("cents") - F.col("mu0")).cast("decimal(38,0)").alias("dd")
+    )
+    m = d.groupBy("variant").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("s").alias("s"),
+        (
+            F.any_value("n").cast("decimal(38,0)")
+            * F.sum(F.col("dd") * F.col("dd"))
+            - F.sum("dd") * F.sum("dd")
+        ).alias("m2"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("m2").alias("m2_a")
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("m2").alias("m2_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("s_a").cast("double") / (F.lit(100.0) * F.col("n_a"))
+    mean_b = F.col("s_b").cast("double") / (F.lit(100.0) * F.col("n_b"))
+    den_a = (
+        F.col("n_a").cast("decimal(38,0)")
+        * F.col("n_a")
+        * (F.col("n_a") - 1)
+        * F.lit(10000)
+    ).cast("double")
+    den_b = (
+        F.col("n_b").cast("decimal(38,0)")
+        * F.col("n_b")
+        * (F.col("n_b") - 1)
+        * F.lit(10000)
+    ).cast("double")
+    se = F.sqrt(
+        F.col("m2_a").cast("double") / den_a
+        + F.col("m2_b").cast("double") / den_b
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("mean_diff"),
+        se.alias("se"),
+        ((mean_a - mean_b) / se).alias("t_stat"),
+    )

@@ -1432,26 +1432,39 @@ b AS (
   SELECT CAST(bb AS BIGINT) AS bucket,
          (CAST(1 AS BIGINT) << bb) AS rank_lo
   FROM generate_series(0, 40) AS g(bb)
-)
-SELECT b.bucket, b.rank_lo,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(rk.tf) AS BIGINT) AS sum_tf,
-       CAST(max(rk.tf) AS BIGINT) AS max_tf,
-       CAST(min(rk.tf) AS BIGINT) AS min_tf
-FROM rk JOIN b ON rk.r >= b.rank_lo AND rk.r < b.rank_lo * 2
-GROUP BY b.bucket, b.rank_lo
+),
+per AS (
+  SELECT b.bucket, b.rank_lo,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(rk.tf) AS BIGINT) AS sum_tf,
+         CAST(max(rk.tf) AS BIGINT) AS max_tf,
+         CAST(min(rk.tf) AS BIGINT) AS min_tf
+  FROM rk JOIN b ON rk.r >= b.rank_lo AND rk.r < b.rank_lo * 2
+  GROUP BY b.bucket, b.rank_lo
+),
+tot AS (SELECT CAST(sum(sum_tf) AS BIGINT) AS total FROM per)
+SELECT p.bucket, p.rank_lo, p.n_terms, p.sum_tf, p.max_tf, p.min_tf,
+       CAST(sum(q.sum_tf) AS BIGINT) AS cum_tf,
+       CAST(sum(q.sum_tf) AS DOUBLE) / any_value(tot.total) AS coverage
+FROM per p JOIN per q ON q.bucket <= p.bucket CROSS JOIN tot
+GROUP BY p.bucket, p.rank_lo, p.n_terms, p.sum_tf, p.max_tf, p.min_tf
 """,
 )
 def q_text_zipf_curve(spark, sf_dir):
     """Zipf rank-frequency curve of the corpus vocabulary, log2-
     bucketed: terms ranked by raw term frequency (descending), then
     bucket b aggregates ranks [2^b, 2^(b+1)) — count of terms, summed
-    / max / min frequency per bucket. On a Zipfian corpus sum_tf per
-    bucket is near-constant (each octave of rank contributes equal
-    mass); deviations expose template spam (flat head) or tokenizer
-    damage (truncated tail). The profiling twin of
-    q_text_vocab_stats' rarity tail, over TERM frequency rather than
-    document frequency.
+    / max / min frequency per bucket, plus the CUMULATIVE coverage
+    (what fraction of all corpus tokens the top 2^(b+1)-1 vocabulary
+    entries account for — the curve that sizes a tokenizer's
+    vocabulary budget). On a Zipfian corpus sum_tf per bucket is
+    near-constant (each octave of rank contributes equal mass);
+    deviations expose template spam (flat head) or tokenizer damage
+    (truncated tail). The profiling twin of q_text_vocab_stats'
+    rarity tail, over TERM frequency rather than document frequency.
+    Cumulation runs as a theta self-join over the <=41-row bucket
+    relation (the q_report_concentration idiom — no global window
+    anywhere).
 
     Exactness: ALL integer arithmetic — frequencies and counts are
     bigints, bucket boundaries are bigint bit-shifts (no log2 calls:
@@ -1479,7 +1492,7 @@ def q_text_zipf_curve(spark, sf_dir):
             "rank_lo"
         ),
     )
-    return (
+    per = (
         rk.join(
             F.broadcast(b),
             (F.col("r") >= F.col("rank_lo"))
@@ -1491,5 +1504,22 @@ def q_text_zipf_curve(spark, sf_dir):
             F.sum("tf").cast("bigint").alias("sum_tf"),
             F.max("tf").cast("bigint").alias("max_tf"),
             F.min("tf").cast("bigint").alias("min_tf"),
+        )
+    )
+    tot = per.agg(F.sum("sum_tf").cast("bigint").alias("total"))
+    q = per.select(
+        F.col("bucket").alias("_qb"), F.col("sum_tf").alias("_qs")
+    )
+    return (
+        per.join(F.broadcast(q), F.col("_qb") <= F.col("bucket"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            "bucket", "rank_lo", "n_terms", "sum_tf", "max_tf", "min_tf"
+        )
+        .agg(
+            F.sum("_qs").cast("bigint").alias("cum_tf"),
+            (
+                F.sum("_qs").cast("double") / F.any_value("total")
+            ).alias("coverage"),
         )
     )

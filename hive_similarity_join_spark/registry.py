@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     # order: q_retention... continuation — recompute from
     # CORRECTNESS_r0{1..10} at r11 start as always).
     "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
-    "q_dedup_threshold_curve", "q_text_zipf_curve",
+    "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
 ]
 
 
