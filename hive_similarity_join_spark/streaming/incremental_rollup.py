@@ -612,3 +612,96 @@ def incremental_hist(
         merge_hist,
         checkpoint_dir,
     )
+
+
+# ---- mergeable quantile sketch: carry is the bottom-K-by-md5 sample
+
+
+def _sketch_k() -> int:
+    from hive_similarity_join_spark.queries.text_q import _SKETCH_K
+
+    return _SKETCH_K
+
+
+QSKETCH_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("h", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def qsketch_partials(batch: DataFrame) -> DataFrame:
+    """Bottom-K documents by md5(doc_id) from a batch slice — the
+    q_agg_quantile_sketch sample (queries/text_q.py). Mergeability is
+    the whole point of this sketch family: the bottom-K of a set
+    under a fixed hash order is associative, commutative, AND
+    idempotent (min-K of a union = min-K of min-Ks), so the carry is
+    exact in any epoch order and under replays — unlike KLL/t-digest,
+    whose merges are approximate and order-sensitive."""
+    k = _sketch_k()
+    return (
+        batch.select(
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def merge_qsketch(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    k = _sketch_k()
+    if carry is None:
+        return delta
+    # union of two <=K-row samples, re-truncated: TakeOrdered over at
+    # most 2K rows; distinct() guards replayed epochs (idempotence)
+    return (
+        carry.unionByName(delta).distinct().orderBy("h", "doc_id").limit(k)
+    )
+
+
+def emit_qsketch(carry: DataFrame) -> DataFrame:
+    """The sketch's percentile estimates from the bottom-K carry —
+    the q_agg_quantile_sketch estimate legs (p50/p90/p99 at rank
+    ceil(q*k) within the sample's own value order)."""
+    w = Window.orderBy("n_chars", "doc_id")
+    wk = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sr = carry.select(
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("sr"),
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("k"),
+    )
+
+    def pick(num, den, name):
+        target = F.expr(f"({num} * k + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col("sr") == target, F.col("n_chars"))
+        ).alias(name)
+
+    return sr.agg(
+        F.any_value("k").alias("k_sample"),
+        pick(50, 100, "p50_est"),
+        pick(90, 100, "p90_est"),
+        pick(99, 100, "p99_est"),
+    )
+
+
+def incremental_qsketch(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous quantile-sketch maintenance over a document stream;
+    read the latest summary snapshot and call emit_qsketch for the
+    percentile estimates."""
+    return _make_query(
+        stream,
+        state_dir,
+        qsketch_partials,
+        QSKETCH_CARRY_SCHEMA,
+        merge_qsketch,
+        checkpoint_dir,
+    )

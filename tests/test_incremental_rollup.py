@@ -311,3 +311,74 @@ def test_streaming_hist_matches_batch_key(spark, dirs):
     assert _tuples(emit_hist(carry)) == _tuples(
         q_agg_value_histogram(spark, SF_SMOKE)
     )
+
+
+def test_qsketch_epoch_chain_equals_single_shot(spark):
+    """Bottom-K-by-hash is associative, commutative, idempotent: any
+    epoch order + a replayed epoch must yield the single-shot sample
+    and estimates bit-identically."""
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_qsketch,
+        merge_qsketch,
+        qsketch_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    carry = None
+    for sl in reversed(slices):
+        carry = merge_qsketch(carry, qsketch_partials(sl))
+    carry = merge_qsketch(carry, qsketch_partials(slices[1]))  # replay
+    want_carry = qsketch_partials(d)
+    assert _tuples(carry) == _tuples(want_carry)
+    assert _tuples(emit_qsketch(carry)) == _tuples(emit_qsketch(want_carry))
+
+
+def test_qsketch_estimates_match_audit_key_legs(spark):
+    """The mirror's estimates must equal the q_agg_quantile_sketch
+    audit key's *_est columns — one sample definition, two surfaces."""
+    from hive_similarity_join_spark.queries.text_q import (
+        q_agg_quantile_sketch,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_qsketch,
+        qsketch_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    est = emit_qsketch(qsketch_partials(d)).collect()[0]
+    audit = q_agg_quantile_sketch(spark, SF_SMOKE).collect()[0]
+    assert est.k_sample == audit.k_sample
+    assert est.p50_est == audit.p50_est
+    assert est.p90_est == audit.p90_est
+    assert est.p99_est == audit.p99_est
+
+
+def test_streaming_qsketch_matches_single_shot(spark, dirs):
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        QSKETCH_CARRY_SCHEMA,
+        emit_qsketch,
+        incremental_qsketch,
+        qsketch_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    src = f"{dirs}/src"
+    for i in range(2):
+        d.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_qsketch(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(QSKETCH_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_qsketch(carry)) == _tuples(
+        emit_qsketch(qsketch_partials(load_table(spark, SF_SMOKE, "documents")))
+    )
