@@ -1312,3 +1312,98 @@ def q_vec_prefix_dim_recall(spark, sf_dir):
             "recall"
         ),
     )
+
+
+_MRL_COARSE_D = 16
+_MRL_CAND_C = 20
+
+
+def _mrl_funnel_oracle() -> str:
+    return f"""
+WITH cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {V.duck_cosine('a.embedding', 'b.embedding', _MRL_COARSE_D)} DESC,
+                      b.vec_id
+           ) AS cr
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_PROBES}
+  ) WHERE cr <= {_MRL_CAND_C}
+)
+SELECT * FROM (
+  SELECT c.probe_id, c.vec_id,
+         {V.duck_cosine('pe.embedding', 'ce.embedding')} AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY c.probe_id
+             ORDER BY {V.duck_cosine('pe.embedding', 'ce.embedding')} DESC,
+                      c.vec_id
+         ) AS BIGINT) AS rank
+  FROM cand c
+  JOIN embeddings pe ON pe.vec_id = c.probe_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+) WHERE rank <= {KNN_K}
+"""
+
+
+@query("q_vec_knn_mrl", oracle=_mrl_funnel_oracle())
+def q_vec_knn_mrl(spark, sf_dir):
+    """Two-stage Matryoshka ANN search — the serving funnel
+    q_vec_prefix_dim_recall meters: candidate generation scores only
+    the FIRST 16 dimensions (1/4 of the vector bytes) and keeps the
+    top-20 per probe; the exact full-width cosine reranks those 20
+    down to the final top-5. Same two-stage shape as
+    q_vec_knn_quantized (SQ8 coarse) and q_vec_knn_ivfadc (IVF+PQ
+    coarse) — the coarse stage here is dimension truncation, the knob
+    MRL-trained embeddings expose. Approximate by candidate pruning
+    (a true neighbor outside the coarse top-20 is lost — measured by
+    the recall audit), deterministic by construction, hash-checked
+    end to end.
+
+    Exactness: both stages use the bit-exact left-fold cosine; both
+    rank windows tie-break on vec_id. Scale shape: probes broadcast,
+    corpus side repartitioned (the _pairs contract); the coarse
+    window plans as WindowGroupLimit (top-C per probe held per
+    partition); the rerank touches only probes x 20 rows. At
+    production scale the coarse stage reads d/64 of the vector bytes
+    from a column pruned to the prefix — multiplicative with IVF
+    routing, exactly how MRL indexes deploy."""
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    # the full vectors ride THROUGH the coarse stage so the exact
+    # cosine is only evaluated on the <= C survivors — the funnel's
+    # byte saving is in the plan, not just the prose
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("id1") != F.col("id2"))
+        .select(
+            F.col("id1").alias("probe_id"),
+            F.col("id2").alias("vec_id"),
+            V.cosine(
+                F.slice("_v1", 1, _MRL_COARSE_D),
+                F.slice("_v2", 1, _MRL_COARSE_D),
+            ).alias("sim_c"),
+            "_v1",
+            "_v2",
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim_c"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _MRL_CAND_C)
+        .select(
+            "probe_id",
+            "vec_id",
+            V.cosine(F.col("_v1"), F.col("_v2")).alias("sim"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
