@@ -1947,3 +1947,117 @@ def q_report_ab_test(spark, sf_dir):
         se.alias("se"),
         ((mean_a - mean_b) / se).alias("t_stat"),
     )
+
+
+# ---------------- conversion latency distribution (funnel companion)
+
+
+@query(
+    "q_events_time_to_convert",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE ts IS NOT NULL
+),
+v AS (
+  SELECT user_id, min(tsu) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(tsu) AS t1
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND tsu > v.t0 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(tsu) AS t2
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND tsu > c.t1 GROUP BY 1
+),
+lat AS (
+  SELECT p.user_id,
+         CAST(epoch_us(p.t2) - epoch_us(v.t0) AS BIGINT) AS lat_us
+  FROM p JOIN v USING (user_id)
+),
+r AS (
+  SELECT lat_us,
+         CAST(row_number() OVER (ORDER BY lat_us, user_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM lat
+)
+SELECT any_value(n) AS n_converted,
+       CAST(sum(lat_us) AS BIGINT) AS sum_lat_us,
+       CAST(sum(lat_us) AS DOUBLE) / (1000000.0 * any_value(n))
+         AS mean_lat_s,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_us END) AS p50_us,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_us END) AS p90_us,
+       CAST(max(lat_us) AS BIGINT) AS max_lat_us
+FROM r
+""",
+)
+def q_events_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution for completed funnels: for every
+    user who finished view -> click -> purchase in order (exactly
+    q_events_funnel's chained-min semantics — the two keys share one
+    definition of 'converted'), the latency from first view to the
+    qualifying purchase, profiled as n / exact mean / picked p50, p90
+    / max. The companion the funnel's COUNTS need before anyone acts
+    on them: a 10% conversion at a 3-day median is a different
+    product than 10% at 40 seconds.
+
+    Exactness: latencies are exact microsecond differences; the mean
+    is one division of an exact bigint sum by an exact product;
+    percentiles are picked values at integer ceil(q*n) ranks (the
+    q_docs_length_percentiles device), not interpolations.
+
+    Scale shape: the funnel chain shuffles only (user, min-ts)
+    relations; the converted population is a per-user relation, so
+    its global rank uses the two-pass ranked_by (no single-partition
+    sort); the final aggregate is one row."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    lat = p.join(v, "user_id").select(
+        "user_id",
+        (F.unix_micros("t2") - F.unix_micros("t0")).cast("bigint").alias(
+            "lat_us"
+        ),
+    )
+    r = ranked_by(lat, ["lat_us", "user_id"], "rn")
+    n_rel = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = r.join(F.broadcast(n_rel))
+
+    def pick(num, den, name):
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("lat_us"))
+        ).alias(name)
+
+    return j.agg(
+        F.any_value("n").alias("n_converted"),
+        F.sum("lat_us").cast("bigint").alias("sum_lat_us"),
+        (
+            F.sum("lat_us").cast("double")
+            / (F.lit(1000000.0) * F.any_value("n"))
+        ).alias("mean_lat_s"),
+        pick(50, 100, "p50_us"),
+        pick(90, 100, "p90_us"),
+        F.max("lat_us").cast("bigint").alias("max_lat_us"),
+    )

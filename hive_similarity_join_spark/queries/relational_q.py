@@ -2593,3 +2593,161 @@ def q_report_ship_latency(spark, sf_dir):
         pick(90, 100, "p90"),
         F.max("lat_days").alias("max_days"),
     )
+
+
+# ---------------- Gini coefficient (the concentration scalar)
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS rev
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS DOUBLE) AS total_rev,
+       CAST(2 * sum(i * rev) AS DOUBLE)
+         / CAST(count(*) * sum(rev) AS DOUBLE)
+         - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+FROM r
+""",
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue — the single-number
+    inequality summary next to q_report_concentration's Lorenz decile
+    curve (a mixture rebalancer wants the scalar to threshold on; the
+    deciles to explain it). Uses the rank identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over revenues sorted
+    ascending with custkey tie-break.
+
+    Exactness: revenues are exact decimals, ranks exact bigints, so
+    sum(i*x_i) and n*sum(x) are exact decimal products/sums; the
+    double tail is two single divisions and one subtract (no
+    multiply-accumulate chain). Scale shape: per-customer revenue is
+    one map-side-combined shuffle; the global rank is the two-pass
+    range-partitioned ranked_by (operators/rank.py — never a
+    single-partition sort); the final aggregate is one row."""
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    r = ranked_by(rev, ["rev", "o_custkey"], "i")
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        (
+            (F.lit(2) * F.sum(F.col("i") * F.col("rev"))).cast("double")
+            / (F.count(F.lit(1)) * F.sum("rev")).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gini"),
+    )
+
+
+# ---------------- supplier scorecard per nation (procurement view)
+
+
+@query(
+    "q_report_supplier_scorecard",
+    oracle="""
+WITH li AS (
+  SELECT l.l_suppkey, l.l_returnflag,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+           AS rev,
+         CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                        CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+           AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT n.n_name AS nation,
+       CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(li.rev) AS DOUBLE) AS revenue,
+       CAST(sum(CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS return_rate,
+       CAST(sum(li.lag_days) AS BIGINT) AS sum_lag_days,
+       CAST(sum(li.lag_days) AS DOUBLE) / count(*) AS avg_lag_days,
+       CAST(sum(CASE WHEN li.lag_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS late_rate
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_report_supplier_scorecard(spark, sf_dir):
+    """Supplier scorecard rolled up to nation: supplier count, line
+    volume, discounted revenue, return rate, average and >90-day-late
+    order-to-ship lag — the procurement health report that joins the
+    fact table against BOTH header and dimension sides (the TPC-H q9
+    join shape put to operational use).
+
+    Exactness: revenue is the q1 device (double product cast to
+    decimal(18,6) pre-sum — identical truncation on both engines);
+    lags are integer day diffs under the loader's UTC pin; every rate
+    is one division of exact bigints. Distinct supplier count is
+    exact (bounded by the supplier dimension).
+
+    Scale shape: lineitem-orders shuffles on the join key (two fact
+    tables — Catalyst's SMJ is right); supplier and nation broadcast;
+    one map-side-combined aggregate on the 25-value nation key. The
+    multi-distinct agg runs in Spark's Expand single-pass form (the
+    q_schema_profile shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+        "l_shipdate",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    j = (
+        li.join(o, "l_orderkey")
+        .join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .select(
+            F.col("n_name").alias("nation"),
+            "l_suppkey",
+            "l_returnflag",
+            "rev",
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+                "lag_days"
+            ),
+        )
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    late = F.when(F.col("lag_days") > 90, 1).otherwise(0)
+    return j.groupBy("nation").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.sum(ret).cast("bigint").alias("n_returned"),
+        (F.sum(ret).cast("double") / F.count(F.lit(1))).alias("return_rate"),
+        F.sum("lag_days").cast("bigint").alias("sum_lag_days"),
+        (F.sum("lag_days").cast("double") / F.count(F.lit(1))).alias(
+            "avg_lag_days"
+        ),
+        (F.sum(late).cast("double") / F.count(F.lit(1))).alias("late_rate"),
+    )
