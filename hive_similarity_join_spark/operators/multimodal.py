@@ -202,3 +202,55 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(offsets).alias("frame_offset"))
     )
+
+
+PHASH_BLOCKS = 16
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Block-mean perceptual hash per payload (Arrow-batched
+    mapInPandas): byte position p joins block ``p * 16 // n``, bit k
+    is set iff block k's byte mean exceeds the payload's global mean —
+    compared as the exact integer cross-product ``sum_k * n > total *
+    len_k``, so the hash is deterministic and engine-portable (the
+    DuckDB oracle replays the identical arithmetic over character
+    positions of the ASCII-projected text). On real images this is
+    the classic aHash/pHash family (block means of pixel luma); here
+    it runs on the raw payload bytes, which is exactly what it would
+    do after a real decode-to-luma step slots in where HAVE_CODECS
+    gates."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                h = 0
+                if n:
+                    tot = int(b.sum())
+                    blk = np.arange(n, dtype=np.int64) * PHASH_BLOCKS // n
+                    sums = np.bincount(blk, weights=b, minlength=PHASH_BLOCKS)
+                    lens = np.bincount(blk, minlength=PHASH_BLOCKS)
+                    for k in range(PHASH_BLOCKS):
+                        if lens[k] and int(sums[k]) * n > tot * int(lens[k]):
+                            h |= 1 << k
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)

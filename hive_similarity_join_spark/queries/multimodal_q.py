@@ -215,3 +215,124 @@ def q_multimodal_dedup(spark, sf_dir):
             .alias("is_dup"),
         )
     )
+
+
+# ---------------- perceptual-hash near-duplicate pairs (banded)
+
+_PHASH_SQL = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(sum(CASE WHEN s_blk * n > tot * c_blk
+                       THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END)
+              AS BIGINT) AS phash
+  FROM (
+    SELECT doc_id, blk, n, tot,
+           CAST(sum(v) AS BIGINT) AS s_blk,
+           CAST(count(*) AS BIGINT) AS c_blk
+    FROM (
+      SELECT doc_id,
+             (CAST(t.i AS BIGINT) - 1) * 16 // length(s) AS blk,
+             CAST(length(s) AS BIGINT) AS n,
+             CAST(ascii(substr(s, CAST(t.i AS INTEGER), 1)) AS BIGINT) AS v,
+             SUM(CAST(ascii(substr(s, CAST(t.i AS INTEGER), 1)) AS BIGINT))
+               OVER (PARTITION BY doc_id) AS tot
+      FROM (SELECT doc_id,
+                   regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS s
+            FROM documents) d,
+           unnest(range(1, length(s) + 1)) AS t(i)
+      WHERE length(s) > 0
+    )
+    GROUP BY doc_id, blk, n, tot
+  )
+  GROUP BY doc_id
+"""
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=f"""
+WITH v AS ({_PHASH_SQL}),
+b AS (SELECT media_id, kind, phash,
+             phash % 256 AS b0, phash // 256 AS b1 FROM v)
+SELECT DISTINCT a.media_id AS id1, c.media_id AS id2, a.kind,
+       CAST(bit_count(xor(a.phash, c.phash)) AS BIGINT) AS hamming
+FROM b a JOIN b c
+  ON a.kind = c.kind AND a.media_id < c.media_id
+ AND (a.b0 = c.b0 OR a.b1 = c.b1)
+WHERE bit_count(xor(a.phash, c.phash)) <= 2
+""",
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate pairs over media payloads — the
+    multimodal twin of q_text_simhash: a 16-bit block-mean hash per
+    payload (Arrow-batched mapInPandas, operators/multimodal.py
+    phash_media), then Hamming-distance <= 2 pairs within a kind via
+    band blocking (two 8-bit bands; candidates only form inside a
+    shared band — the simhash/LSH device, so the join is bucketed,
+    never all-pairs). Approximate by blocking (a pair whose two
+    differing bits split across both bands is missed — deterministic,
+    and the oracle replays the identical blocking, so the key stays
+    hash-checked); hamming <= 1 pairs are guaranteed caught.
+
+    The hash itself is exact integer arithmetic on payload bytes
+    (block mean vs global mean as a cross-product compare), so the
+    Python batch path and the DuckDB character-position replay agree
+    bit-for-bit. On a real deployment the same hash runs on decoded
+    luma planes where HAVE_CODECS gates; payload bytes ARE the
+    deterministic stand-in this environment supports.
+
+    Scale shape: payloads never shuffle — the hash leaves mapInPandas
+    as (id, kind, 16-bit int); the pair graph shuffles 24-byte rows
+    on (kind, band); the hash relation is pinned once and reused by
+    both band joins (tracked-pin contract)."""
+    from hive_similarity_join_spark.operators.cache import pin
+    from hive_similarity_join_spark.operators.multimodal import phash_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+    v = pin(
+        phash_media(media).select(
+            "media_id",
+            "kind",
+            "phash",
+            (F.col("phash") % 256).alias("b0"),
+            F.expr("phash div 256").alias("b1"),
+        )
+    )
+    a = v.select(
+        F.col("media_id").alias("id1"),
+        "kind",
+        F.col("phash").alias("h1"),
+        F.col("b0").alias("a0"),
+        F.col("b1").alias("a1"),
+    )
+    c = v.select(
+        F.col("media_id").alias("id2"),
+        "kind",
+        F.col("phash").alias("h2"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+    )
+    ham = F.expr("CAST(bit_count(h1 ^ h2) AS BIGINT)")
+    pairs = None
+    for lft, rgt in (("a0", "c0"), ("a1", "c1")):
+        p = (
+            a.alias("x")
+            .join(
+                c.alias("y"),
+                (F.col("x.kind") == F.col("y.kind"))
+                & (F.col(f"x.{lft}") == F.col(f"y.{rgt}"))
+                & (F.col("id1") < F.col("id2")),
+            )
+            .select(
+                "id1",
+                "id2",
+                F.col("x.kind").alias("kind"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 2)
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
