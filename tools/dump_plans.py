@@ -244,12 +244,25 @@ HEADLINERS: dict[str, str] = {
         "broadcast equi-join probing each rank partition once."
     ),
     "q_events_cusum": (
-        "Exact CUSUM closed form. Look for: ONE Exchange on event_type "
-        "feeding every Window (running sum, row_number, running "
-        "min/max, and the changepoint rank all reuse the same sort — "
-        "no re-exchange between window passes), the 5-row totals "
-        "BroadcastHashJoin, and decimal(38,6) arithmetic end-to-end "
-        "(no double accumulation anywhere in the plan)."
+        "Exact CUSUM closed form via two CHAINED distributed scans "
+        "(round-10 de-weak — no window partitioned by the 5-value "
+        "event_type anywhere). Look for: two Scan ExistingRDD nodes "
+        "(each grouped_prefix_scan's frozen range partitioning), the "
+        "tiny per-(partition, group) offsets relation as a "
+        "BroadcastHashJoin in each pass, windows partitioned by "
+        "(_ps_pid, event_type) — partition-local, full cluster width "
+        "— the 5-row totals broadcast, decimal(38,6) arithmetic "
+        "end-to-end, and the changepoint argmax as WindowGroupLimit."
+    ),
+    "q_win_percentiles": (
+        "Rank-normalizing trio via the two-pass rank (round-10 "
+        "de-weak). Look for: Scan ExistingRDD (ranked_by's frozen "
+        "range partitioning over (event_type, value, event_id)), the "
+        "window partitioned by _rk_pid (partition-local row_number + "
+        "literal offset array — NOT by the 5-value event_type), the "
+        "5-row (first-rank, count) relation as BroadcastHashJoin, and "
+        "ntile/percent_rank/cume_dist as pure integer arithmetic "
+        "projections — no per-group sort anywhere."
     ),
     "q_vec_pca_power": (
         "Fixed-point power iteration. Look for: the (vec_id, dim, y) "
