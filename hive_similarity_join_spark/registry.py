@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
     "q_vec_knn_mrl", "q_events_time_to_convert", "q_agg_gini",
     "q_report_supplier_scorecard", "q_multimodal_phash",
+    "q_dedup_simhash_recall",
 ]
 
 
