@@ -64,47 +64,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-10 window (positions 1-50) ----
-    # The precomputed rotation from the r9 checklist (CLAUDE.md +
-    # VERDICT r9 item #1), valid verbatim because all 50 r9 window keys
-    # landed full-green verdicts (CORRECTNESS_r09: 50 checked, 0 not
-    # green, 0 err — verified r10 start). Head: the 24 round-9
+    # ---- round-11 window (positions 1-50) ----
+    # The precomputed rotation from the r10 checklist (CLAUDE.md +
+    # VERDICT r10 item #1), valid verbatim because all 50 r10 window
+    # keys landed full-green verdicts (CORRECTNESS_r10: 50 checked,
+    # 0 not green, 0 err — verified r11 start). Head: the 11 round-10
     # additions in their staged order — none has ANY driver verdict.
-    # q_vec_ann_recall's 6-method form (ivfk leg added r9 while the key
-    # sat at window position 2) is covered by its r9 verdict.
-    "q_vec_knn_ivf_kmeans",
-    "q_events_funnel", "q_events_retention", "q_time_ohlc",
-    "q_events_lag_features", "q_agg_value_histogram", "q_graph_degree_dist",
-    "q_docs_tfidf_terms", "q_vec_ivf_balance", "q_vec_recall_curve",
-    "q_multimodal_dedup", "q_agg_skew_kurtosis", "q_win_percentiles",
-    "q_sample_negatives", "q_docs_length_percentiles", "q_events_dau_wau",
-    "q_vec_dim_stats", "q_docs_dup_matrix", "q_vec_centroid_shift",
-    "q_schema_profile", "q_report_cohort_ltv", "q_vec_pq_distortion",
-    "q_dedup_lsh_recall", "q_report_ship_latency",
-    # Backfill (26): oldest-latest-verdict keys, recomputed r10 start
-    # from CORRECTNESS_r0{1..9}. With the full r9 sweep the oldest tier
-    # is the 50 r6-era keys; first the 14 precomputed at r9 end (ties
-    # by name), then 12 more r6-era keys in CORRECTNESS_r06 file order
-    # per CLAUDE.md.
-    "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
-    "q_cast", "q_contamination_report", "q_decontaminate_hashed",
-    "q_dedup_containment", "q_events_outliers", "q_filter_pred",
-    "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
-    "q_pii_redact",
-    "q_sample_temperature", "q_simjoin_containment", "q_scd2_history",
-    "q_vec_quantize", "q_text_rules_filter", "q_vec_knn_quantized",
-    "q_retention_cohorts", "q_simjoin_weighted_containment",
-    "q_simjoin_containment_rs", "q_tpch_q1", "q_tpch_q2", "q_tpch_q3",
-    # ---- positions 51+ (round-11 head candidates) ----
-    # Stage round-10 additions here as they land; rotate to head at r11
-    # (then backfill with the remaining r6-era keys in CORRECTNESS_r06
-    # order: q_retention... continuation — recompute from
-    # CORRECTNESS_r0{1..10} at r11 start as always).
     "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
     "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
     "q_vec_knn_mrl", "q_events_time_to_convert", "q_agg_gini",
     "q_report_supplier_scorecard", "q_multimodal_phash",
     "q_dedup_simhash_recall",
+    # VERDICT r10 amendment: the three keys whose PLANS changed mid-r10
+    # (grouped_prefix_scan rebuild) but whose driver verdicts predate
+    # the change (r9/r8-era) — the stalest evidence in the suite.
+    "q_agg_weighted_median", "q_pack_sequences", "q_events_cusum",
+    # Backfill (36): oldest-latest-verdict keys, recomputed r11 start
+    # from CORRECTNESS_r0{1..10}. Oldest tier = the 24 remaining
+    # r6-era keys in CORRECTNESS_r06 file order, then the 12 oldest
+    # r7-era keys in CORRECTNESS_r07 file order per CLAUDE.md.
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_simjoin_overlap", "q_simjoin_edit", "q_simjoin_bag_jaccard",
+    "q_simjoin_topk", "q_scan_project",
+    "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
+    "q_simjoin_weighted_containment_rs", "q_events_gaps",
+    "q_simjoin_weighted_jaccard", "q_text_keyterms",
+    "q_vec_label_outliers", "q_dedup_cluster_sizes", "q_mixture_drift",
+    "q_stream_tumbling", "q_stream_sliding",
+    # ---- positions 51+ (round-12 head candidates) ----
+    # Stage round-11 additions here as they land; rotate to head at r12
+    # (then backfill with the next-oldest keys — the remaining 36
+    # r7-era keys in CORRECTNESS_r07 file order, starting
+    # q_stream_session q_win_lag q_json_get ... — recompute from
+    # CORRECTNESS_r0{1..11} at r12 start as always).
 ]
 
 

@@ -90,51 +90,60 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round10_correctness_window_composition():
+def test_round11_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-10 contract (the rotation precomputed at r9 end, valid
-    because CORRECTNESS_r09 was 50/50 full green): the 24 round-9
-    additions lead the window in their staged order (none has any
-    driver verdict), then 26 oldest-latest-verdict r6-era keys backfill
-    — the 14 precomputed at r9 end, then 12 more in CORRECTNESS_r06
-    file order. Round-10 additions stay at 51+ (verdicts in the
-    round-11 rotation). A PRIORITY edit that accidentally reorders the
-    window fails here, loudly."""
+    order. Round-11 contract (the rotation precomputed at r10 end +
+    the VERDICT r10 amendment, valid because CORRECTNESS_r10 was 50/50
+    full green): the 11 round-10 additions lead the window in their
+    staged order (none has any driver verdict), then the 3 keys whose
+    plans changed mid-r10 (grouped_prefix_scan) with pre-change
+    verdicts, then 36 oldest-latest-verdict keys backfill — the 24
+    remaining r6-era keys in CORRECTNESS_r06 file order, then the 12
+    oldest r7-era keys in CORRECTNESS_r07 file order. Round-11
+    additions stay at 51+ (verdicts in the round-12 rotation). A
+    PRIORITY edit that accidentally reorders the window fails here,
+    loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
-    assert head[0] == "q_vec_knn_ivf_kmeans"
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[23] == "q_report_ship_latency"
-    assert head[24] == "q_agg_kmv_distinct"
-    assert head[37] == "q_pii_redact"
-    assert head[38] == "q_sample_temperature"
-    assert head[49] == "q_tpch_q3"
-    staged_r9 = {
-        "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
-        "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
-        "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
-        "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
-        "q_win_percentiles", "q_sample_negatives",
-        "q_docs_length_percentiles", "q_events_dau_wau", "q_vec_dim_stats",
-        "q_docs_dup_matrix", "q_vec_centroid_shift", "q_schema_profile",
-        "q_report_cohort_ltv", "q_vec_pq_distortion", "q_dedup_lsh_recall",
-        "q_report_ship_latency",
+    assert head[0] == "q_agg_quantile_sketch"
+    assert head[10] == "q_dedup_simhash_recall"
+    assert head[11] == "q_agg_weighted_median"
+    assert head[13] == "q_events_cusum"
+    assert head[14] == "q_tpch_q4"
+    assert head[37] == "q_scan_project"
+    assert head[38] == "q_bpe_pairs"
+    assert head[49] == "q_stream_sliding"
+    staged_r10 = {
+        "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
+        "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
+        "q_vec_knn_mrl", "q_events_time_to_convert", "q_agg_gini",
+        "q_report_supplier_scorecard", "q_multimodal_phash",
+        "q_dedup_simhash_recall",
     }
-    assert set(head[:24]) == staged_r9, set(head[:24]) ^ staged_r9
-    backfill = {
-        "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
-        "q_cast", "q_contamination_report", "q_decontaminate_hashed",
-        "q_dedup_containment", "q_events_outliers", "q_filter_pred",
-        "q_join_full", "q_join_inner", "q_join_left",
-        "q_multimodal_resize", "q_pii_redact",
-        "q_sample_temperature", "q_simjoin_containment", "q_scd2_history",
-        "q_vec_quantize", "q_text_rules_filter", "q_vec_knn_quantized",
-        "q_retention_cohorts", "q_simjoin_weighted_containment",
-        "q_simjoin_containment_rs", "q_tpch_q1", "q_tpch_q2", "q_tpch_q3",
+    assert set(head[:11]) == staged_r10, set(head[:11]) ^ staged_r10
+    plan_changed = {"q_agg_weighted_median", "q_pack_sequences",
+                    "q_events_cusum"}
+    assert set(head[11:14]) == plan_changed, set(head[11:14]) ^ plan_changed
+    backfill_r6 = {
+        "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
+        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+        "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+        "q_tpch_q21", "q_tpch_q22", "q_simjoin_overlap", "q_simjoin_edit",
+        "q_simjoin_bag_jaccard", "q_simjoin_topk", "q_scan_project",
     }
-    assert set(head[24:]) == backfill, set(head[24:]) ^ backfill
+    assert set(head[14:38]) == backfill_r6, set(head[14:38]) ^ backfill_r6
+    backfill_r7 = {
+        "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
+        "q_simjoin_weighted_containment_rs", "q_events_gaps",
+        "q_simjoin_weighted_jaccard", "q_text_keyterms",
+        "q_vec_label_outliers", "q_dedup_cluster_sizes", "q_mixture_drift",
+        "q_stream_tumbling", "q_stream_sliding",
+    }
+    assert set(head[38:]) == backfill_r7, set(head[38:]) ^ backfill_r7
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
