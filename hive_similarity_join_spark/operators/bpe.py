@@ -225,6 +225,157 @@ def bpe_train_delta(
     return merges, words
 
 
+def bpe_train_batched(
+    words: DataFrame,
+    n_merges: int,
+    batch_m: int = 16,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """N-merge trainer with BATCHED driver round-trips — bit-identical
+    merges to ``bpe_train`` (pytest-asserted against the single-node
+    reference), O(merges / batch) Spark jobs instead of one per merge
+    (the r10 verdict's design-debt item: a 32k-merge vocabulary was
+    32k sequential jobs).
+
+    Per round it collects the top-``batch_m`` candidate pairs (one
+    bounded collect) plus, in a second bounded job, the maximum count
+    of any pair each candidate's merge would CREATE (the pairs
+    adjacent to the new symbol). It then accepts the longest PREFIX of
+    the (cnt DESC, a, b)-sorted candidates for which strict Sennrich
+    sequential semantics provably picks exactly those merges in that
+    order:
+
+    - **prefix only** — a skipped conflicted candidate would itself be
+      the next sequential pick, so acceptance stops at the first
+      violation;
+    - **symbol-disjoint** — accepted merges share no symbol, so none
+      destroys another's adjacencies (a merge of ``(a, b)`` only
+      decrements pairs of the form ``(*, a)`` / ``(b, *)``) and none
+      overlaps another's pattern in a word;
+    - **collision-free** — no accepted merge's concatenated symbol
+      string equals an existing vocabulary symbol or another
+      candidate's symbol (string-identified symbols would alias and
+      counts would add invisibly); the full symbol vocabulary is
+      driver-known by construction (initial symbols + applied merges);
+    - **creation-dominant** — every accepted candidate's count is
+      STRICTLY greater than the max created-pair count of the
+      candidates accepted before it. Created pairs are the only
+      counts that can grow mid-batch, and any pair existing at any
+      sub-round is bounded by a first-order created count measured on
+      the pre-batch words (later merges only split or shrink those
+      adjacencies, never add across distinct new symbols).
+
+    Candidate 1 is always exact (it IS the sequential pick), so every
+    round applies >=1 merge and the loop terminates; a worst-case
+    corpus degenerates to ``bpe_train``'s one-merge rounds."""
+    spark = words.sparkSession
+    merges: list[tuple[str, str, int]] = []
+    symbols = {
+        r[0]
+        for r in words.select(
+            F.explode(decode_symbols("w")).alias("s")
+        ).distinct().collect()
+    }
+    applied = 0
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        cands = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(want)
+            .collect()
+        )
+        if not cands:
+            break
+        # one distributed job: per candidate, the max count of any pair
+        # its merge would create (pairs touching the new symbol)
+        cdf = spark.createDataFrame(
+            [(i, r.a, r.b) for i, r in enumerate(cands)],
+            "cid int, ca string, cb string",
+        )
+        pat = _merge_pattern(F.col("ca"), F.col("cb"))
+        new_sym = F.concat(F.col("ca"), F.col("cb"))
+        aff = (
+            words.join(F.broadcast(cdf), F.col("w").contains(pat))
+            .select(
+                "cid",
+                "n",
+                new_sym.alias("ns"),
+                decode_symbols(
+                    F.replace(
+                        F.col("w"),
+                        pat,
+                        F.concat(F.lit(SEP), new_sym, F.lit(SEP)),
+                    )
+                ).alias("sy"),
+            )
+        )
+        t = aff.select(
+            "cid",
+            "n",
+            "ns",
+            "sy",
+            F.posexplode(
+                F.slice(F.col("sy"), 1, F.size(F.col("sy")) - 1)
+            ).alias("i", "pa"),
+        ).select(
+            "cid",
+            "n",
+            "ns",
+            "pa",
+            F.element_at("sy", F.col("i") + 2).alias("pb"),
+        )
+        created_max = {
+            r.cid: int(r.mx)
+            for r in t.filter(
+                (F.col("pa") == F.col("ns")) | (F.col("pb") == F.col("ns"))
+            )
+            .groupBy("cid", "pa", "pb")
+            .agg(F.sum("n").alias("cnt"))
+            .groupBy("cid")
+            .agg(F.max("cnt").alias("mx"))
+            .collect()
+        }
+        accepted: list[tuple[str, str, int]] = []
+        syms_used: set[str] = set()
+        fc_max = -1
+        stop_after = False
+        for i, r in enumerate(cands):
+            a, b, cnt = r.a, r.b, int(r.cnt)
+            if i > 0:
+                if (
+                    stop_after
+                    or a in syms_used
+                    or b in syms_used
+                    or cnt <= fc_max
+                ):
+                    break
+            accepted.append((a, b, cnt))
+            syms_used |= {a, b}
+            fc_max = max(fc_max, created_max.get(i, 0))
+            if a + b in symbols:
+                # the new symbol aliases an existing one: its created
+                # pairs add onto existing counts invisibly — apply this
+                # merge (it is still the exact sequential pick) but
+                # recount before trusting any later candidate
+                stop_after = True
+            symbols.add(a + b)
+        merges.extend(accepted)
+        col = F.col("w")
+        for a, b, _ in accepted:
+            col = F.replace(
+                col,
+                F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+                F.lit(f"{SEP}{a}{b}{SEP}"),
+            )
+        words = words.select(col.alias("w"), "n")
+        applied += len(accepted)
+        if applied >= checkpoint_every:
+            words = words.localCheckpoint(eager=True)
+            applied = 0
+    return merges, words
+
+
 def bpe_apply_rounds_lazy(words: DataFrame, n_merges: int) -> DataFrame:
     """The words relation AFTER ``n_merges`` lazy training rounds —
     the segmented vocabulary a trained tokenizer ships. Zero collect;

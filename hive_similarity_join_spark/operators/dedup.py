@@ -495,6 +495,14 @@ def simhash_pairs(
     pair within Hamming distance 3 shares at least one intact band
     (pigeonhole), so the blocking is LOSSLESS for max_hamming < 4;
     verification is exact ``bit_count(xor)``.
+
+    Role contract (r10 audit, q_dedup_simhash_recall): at radius 3
+    this is a HIGH-PRECISION PRE-FILTER ONLY — true near-dup pairs
+    (Jaccard >= 0.8) center at Hamming 8-10 of 60 bits, so radius 3
+    recalls ~6% of them (precision 0.99). Use MinHash-LSH
+    (minhash_lsh_pairs, recall 0.79 / precision 1.0) as the
+    production near-dup path, or :func:`simhash_pairs_wide` when
+    Hamming semantics at usable recall are specifically wanted.
     """
     fps = simhash_fingerprints(df, id_col, text_col)
     bands = fps.select(
@@ -534,6 +542,148 @@ def simhash_pairs(
         .select("id1", "id2", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+SIMHASH_WIDE_BLOCKS = 10  # 6 bits per block over the 60-bit fingerprint
+SIMHASH_WIDE_HAMMING = 8  # lossless: 8 flips leave >= 2 of 10 blocks intact
+_WBLK_BITS = SIMHASH_BITS // SIMHASH_WIDE_BLOCKS
+_WBLK_MASK = (1 << _WBLK_BITS) - 1
+_WIDE_COMBOS = [
+    (i, j)
+    for i in range(SIMHASH_WIDE_BLOCKS)
+    for j in range(i + 1, SIMHASH_WIDE_BLOCKS)
+]  # C(10,2) = 45 block-pair keys per doc
+
+
+def simhash_pairs_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = SIMHASH_WIDE_HAMMING,
+) -> DataFrame:
+    """(id1, id2, hamming): near-dup pairs by SimHash distance at a
+    WIDE radius — the high-recall configuration (VERDICT r10 item 5).
+
+    ``simhash_pairs``'s 4x15-bit banding is lossless only to Hamming 3,
+    which on this corpus's near-dup density buys 0.056 recall vs exact
+    Jaccard t=0.8 (q_dedup_simhash_recall): true near-dup pairs center
+    at Hamming 8-10 of 60 bits. Here the fingerprint splits into 10
+    blocks of 6 bits and candidates key on every C(10,2)=45 ORDERED
+    block-pair (the multi-table scheme of Manku, Jain & Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling", done relationally):
+    ``max_hamming`` flips touch at most 8 blocks, so >= 2 blocks stay
+    intact and some intact pair matches — LOSSLESS for Hamming <= 8,
+    lifting the recall ceiling to the corpus's cumulative mass at 8
+    (0.53 at sf0.01). Verification is exact ``bit_count(xor)``.
+
+    Scale posture, stated honestly: the key is (block-pair id, 12
+    bits of fingerprint), so candidate volume grows ~ 45 * n^2 / 2^12
+    within a corpus — fine for millions of docs per shard, but at
+    web scale the 12-bit key is the bottleneck and MinHash-LSH
+    (128-bit band keys, q_dedup_minhash_lsh) remains the production
+    recall path; this operator is for pipelines that specifically
+    want Hamming semantics (e.g. as the verify stage after a pHash /
+    fingerprint blocking)."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    blk = [
+        F.shiftright(F.col("_fp"), i * _WBLK_BITS)
+        .bitwiseAND(F.lit(_WBLK_MASK))
+        for i in range(SIMHASH_WIDE_BLOCKS)
+    ]
+    bands = fps.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * SIMHASH_WIDE_BLOCKS + j).alias("_bk"),
+                        blk[i].alias("_v1"),
+                        blk[j].alias("_v2"),
+                    )
+                    for i, j in _WIDE_COMBOS
+                ]
+            )
+        ).alias("_bs"),
+    ).select(
+        "_id",
+        "_fp",
+        F.col("_bs._bk").alias("_bk"),
+        F.col("_bs._v1").alias("_v1"),
+        F.col("_bs._v2").alias("_v2"),
+    )
+    a = bands.select(
+        F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"),
+        "_bk", "_v1", "_v2",
+    )
+    b = bands.select(
+        F.col("_id").alias("id2"), F.col("_fp").alias("_fp2"),
+        F.col("_bk").alias("_bk2"), F.col("_v1").alias("_v12"),
+        F.col("_v2").alias("_v22"),
+    )
+    ham = F.bit_count(F.col("_fp1").bitwiseXOR(F.col("_fp2")))
+    return (
+        a.join(
+            b,
+            (F.col("_bk") == F.col("_bk2"))
+            & (F.col("_v1") == F.col("_v12"))
+            & (F.col("_v2") == F.col("_v22"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2", "_fp1", "_fp2")
+        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def duck_simhash_wide_oracle(max_hamming: int = SIMHASH_WIDE_HAMMING) -> str:
+    """DuckDB mirror of simhash_pairs_wide on the documents table —
+    identical fingerprint math to duck_simhash_oracle, block-pair
+    candidate keys instead of contiguous bands."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes),
+bands AS (
+  SELECT doc_id, fp,
+         t1.i * {SIMHASH_WIDE_BLOCKS} + t2.j AS bk,
+         (fp >> (t1.i * {_WBLK_BITS})) & {_WBLK_MASK} AS v1,
+         (fp >> (t2.j * {_WBLK_BITS})) & {_WBLK_MASK} AS v2
+  FROM fp,
+       unnest(generate_series(0, {SIMHASH_WIDE_BLOCKS - 1})) AS t1(i),
+       unnest(generate_series(0, {SIMHASH_WIDE_BLOCKS - 1})) AS t2(j)
+  WHERE t1.i < t2.j
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS fp1, b.fp AS fp2
+  FROM bands a JOIN bands b
+    ON a.bk = b.bk AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp1, fp2)) <= {max_hamming}
+"""
 
 
 def _checkpointer(pairs: DataFrame, checkpoint_dir: str | None):

@@ -239,7 +239,13 @@ def phash_media(media: DataFrame) -> DataFrame:
                 if n:
                     tot = int(b.sum())
                     blk = np.arange(n, dtype=np.int64) * PHASH_BLOCKS // n
-                    sums = np.bincount(blk, weights=b, minlength=PHASH_BLOCKS)
+                    # int64 accumulation (ADVICE r10): bincount(weights=)
+                    # sums in float64, whose 2^53 mantissa would silently
+                    # break the exact-integer cross-product compare on
+                    # multi-PB payloads; np.add.at on an int64 buffer is
+                    # exact for any payload that fits in memory.
+                    sums = np.zeros(PHASH_BLOCKS, dtype=np.int64)
+                    np.add.at(sums, blk, b)
                     lens = np.bincount(blk, minlength=PHASH_BLOCKS)
                     for k in range(PHASH_BLOCKS):
                         if lens[k] and int(sums[k]) * n > tot * int(lens[k]):

@@ -6,30 +6,28 @@ serial sort that becomes the bottleneck the moment the vocabulary is
 not small (web-scale corpora: typos, URLs, numbers). This module
 provides the scale-safe equivalent: a two-pass range-partitioned rank.
 
-Scheme (classic distributed ranking, cf. Spark's own zipWithIndex):
-
-1. ``repartitionByRange`` on the sort key — each partition holds a
-   contiguous key range, partition ids ordered by key.
-2. ``localCheckpoint`` freezes the partitioning, so the counting pass
-   and the ranking pass cannot see different range boundaries (the
-   range sampler's seed varies with RDD identity; without the freeze
-   the two passes could disagree and corrupt ranks).
-3. Count rows per partition — a bounded driver-side collect of at most
-   ``spark.sql.shuffle.partitions`` rows (same bounded-collect pattern
-   as IVF's centroid pull, operators/ivf.py).
-4. ``row_number`` windowed WITHIN each partition plus the partition's
-   cumulative offset (a literal array indexed by partition id).
+Since round 11 the rank is the ``group_cols=[]``, ``value = 1``
+special case of :func:`operators.scan.grouped_prefix_scan` (rank ==
+running count of rows in the total order), which keeps EVERYTHING
+distributed: the per-partition counts stay a Spark relation and their
+exclusive prefix is a window over that tiny (``n_part``-row) partials
+relation — no driver collect, no O(n_part) literal-array expression
+evaluated per row (the r10 verdict's anti-pattern item: at 100k
+partitions the old scheme embedded a 100k-element array literal in
+the plan and round-tripped the counts through the driver).
 
 Partition boundaries themselves do not affect the result — rank is the
 global position in the total order wherever the cuts land — so the
-output is deterministic across sessions for a strict total order.
+output is deterministic across sessions for a strict total order, and
+bit-identical to the pre-r11 literal-offset scheme by construction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from hive_similarity_join_spark.operators.partitions import parallelism
+
+from hive_similarity_join_spark.operators.scan import grouped_prefix_scan
 
 
 def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> DataFrame:
@@ -39,34 +37,15 @@ def ranked_by(df: DataFrame, order_cols: list[str | Column], rank_col: str) -> D
     ``order_cols`` must form a strict total order (no duplicate key
     tuples) for the result to be deterministic.
     """
-    spark = df.sparkSession
-    n_part = parallelism(spark)
-    cols = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n_part, *cols)
-        .withColumn("_rk_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["_rk_pid"]: r["_rk_cnt"]
-        for r in ranged.groupBy("_rk_pid")
-        .agg(F.count(F.lit(1)).alias("_rk_cnt"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(max(n_part, max(counts, default=0) + 1)):
-        offsets.append(acc)
-        acc += counts.get(pid, 0)
-    w = Window.partitionBy("_rk_pid").orderBy(*cols)
     # bigint throughout: a 100 TB fact table exceeds 2^31 rows, and the
-    # per-partition offsets are sums over the whole relation
-    off = F.element_at(
-        F.array(*[F.lit(o).cast("bigint") for o in offsets]),
-        F.col("_rk_pid") + 1,
+    # rank is a sum over the whole relation.
+    out = grouped_prefix_scan(
+        df.withColumn("_rk_one", F.lit(1).cast("bigint")),
+        group_cols=[],
+        order_cols=order_cols,
+        scans=[("_rk_one", "sum", rank_col)],
     )
-    return ranged.withColumn(
-        rank_col, (F.row_number().over(w) + off).cast("bigint")
-    ).drop("_rk_pid")
+    return out.drop("_rk_one")
 
 
 def ranked_topk(

@@ -19,8 +19,9 @@ them at full cluster width:
    shuffle of O(n_part x |groups|) rows.
 4. EXCLUSIVE prefix of the partials per group across partition ids —
    a window over the tiny partials relation (no driver collect at
-   all, unlike rank.py's offset array: the combine stays distributed
-   and handles compound group keys for free).
+   all: the combine stays distributed and handles compound group
+   keys for free; :mod:`operators.rank`'s ``ranked_by`` is the
+   ``group_cols=[]``, ``value = 1`` special case since round 11).
 5. Broadcast-join the offsets back and combine with the
    WITHIN-partition running aggregate: ``off + run`` for sum,
    ``least/greatest(off, run)`` for min/max (Spark's least/greatest
@@ -94,8 +95,23 @@ def grouped_prefix_scan(
             for _, kind, out in scans
         ],
     )
-    joined = ranged.join(
-        F.broadcast(offsets), ["_ps_pid", *group_cols], "left"
+    # Null-safe join-back (ADVICE r10): a plain equi-join would drop the
+    # offset for a NULL group key (null != null), silently restarting
+    # the running aggregate per range partition — diverging from the
+    # Window.partitionBy semantics this operator replaces (windows
+    # treat NULL as a group). eqNullSafe keeps NULL-group rows correct;
+    # _ps_pid itself is never null (spark_partition_id). Offset-side
+    # columns are renamed so the condition join doesn't duplicate names.
+    off_side = offsets.select(
+        F.col("_ps_pid").alias("_off_pid"),
+        *[F.col(g).alias(f"_offg_{i}") for i, g in enumerate(group_cols)],
+        *[F.col(f"_off_{s[2]}") for s in scans],
+    )
+    cond = F.col("_ps_pid") == F.col("_off_pid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_offg_{i}"))
+    joined = ranged.join(F.broadcast(off_side), cond, "left").drop(
+        "_off_pid", *[f"_offg_{i}" for i in range(len(group_cols))]
     )
     w_run = (
         Window.partitionBy("_ps_pid", *group_cols)

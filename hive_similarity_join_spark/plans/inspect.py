@@ -47,10 +47,17 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
     An unpartitioned window forces ``Exchange SinglePartition`` — the
     whole relation serializes through one task (WindowExec's "No
     Partition Defined" warning). That is a 100 TB killer unless the
-    input is already limited (top-k ranked after ``.limit(k)``), so a
-    Window is flagged when (a) its Arguments carry only two top-level
-    bracket groups ``[exprs], [ordering]`` — three means a partition
-    spec is present — and (b) no limit node appears in its subtree.
+    input is already bounded, so a Window is flagged when (a) its
+    Arguments carry only two top-level bracket groups ``[exprs],
+    [ordering]`` — three means a partition spec is present — and (b)
+    no bounding node appears in its subtree. Bounding nodes:
+
+    - a limit node (top-k ranked after ``.limit(k)``), or
+    - an aggregate keyed EXACTLY by ``_ps_pid`` — the per-partition
+      partials relation of :func:`operators.scan.grouped_prefix_scan`
+      / :func:`operators.rank.ranked_by`, which is ≤ ``n_partitions``
+      rows by construction (one row per spark_partition_id), so its
+      exclusive-prefix window is tiny wherever the data size goes.
 
     Returns ``["Window(10) over unlimited input", ...]`` (empty = clean).
     """
@@ -62,8 +69,9 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
         if m:
             tree.append((int(m.group("num")), m.group("name"),
                          len(m.group("prefix"))))
-    # --- detail section: Arguments line per numbered node ---
+    # --- detail section: Arguments + Keys lines per numbered node ---
     args: dict[int, str] = {}
+    agg_keys: dict[int, str] = {}
     cur = None
     for ln in lines:
         m = re.match(r"^\((\d+)\)\s+(\S+)", ln)
@@ -71,6 +79,8 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
             cur = int(m.group(1))
         elif cur is not None and ln.startswith("Arguments: "):
             args[cur] = ln[len("Arguments: "):]
+        elif cur is not None and re.match(r"^Keys \[\d+\]: ", ln):
+            agg_keys[cur] = ln.split(": ", 1)[1]
     def top_level_groups(s: str) -> list[str]:
         depth, start, out = 0, -1, []
         for i, ch in enumerate(s):
@@ -111,6 +121,11 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
                 break  # left this node's subtree
             if cname in _LIMIT_NODES:
                 limited = True
+                break
+            if cname in _AGG_NODES and re.fullmatch(
+                r"\[_ps_pid#\d+\]", agg_keys.get(cnum, "")
+            ):
+                limited = True  # ≤ n_partitions rows by construction
                 break
         if not limited:
             bad.append(f"Window({num}) over unlimited input")

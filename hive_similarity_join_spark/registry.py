@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     # r7-era keys in CORRECTNESS_r07 file order, starting
     # q_stream_session q_win_lag q_json_get ... — recompute from
     # CORRECTNESS_r0{1..11} at r12 start as always).
+    "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
 ]
 
 

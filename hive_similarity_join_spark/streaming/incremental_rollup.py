@@ -656,10 +656,19 @@ def merge_qsketch(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
     k = _sketch_k()
     if carry is None:
         return delta
-    # union of two <=K-row samples, re-truncated: TakeOrdered over at
-    # most 2K rows; distinct() guards replayed epochs (idempotence)
+    # Union of two <=K-row samples, re-truncated: TakeOrdered over at
+    # most 2K rows. Dedup is by the (h, doc_id) KEY, not the full row
+    # (ADVICE r10): a replayed epoch is idempotent either way, but a
+    # doc_id reappearing with a CHANGED n_chars must not occupy two of
+    # the K slots — the latest epoch's value wins (max is a stand-in
+    # for "any deterministic pick"; the tested contract is append-only
+    # + replays, where both rows are identical and max is a no-op).
     return (
-        carry.unionByName(delta).distinct().orderBy("h", "doc_id").limit(k)
+        carry.unionByName(delta)
+        .groupBy("h", "doc_id")
+        .agg(F.max("n_chars").alias("n_chars"))
+        .orderBy("h", "doc_id")
+        .limit(k)
     )
 
 

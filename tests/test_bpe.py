@@ -183,3 +183,72 @@ def test_lazy_rounds_match_iterated_trainer(spark):
         for r in best.collect()
     ]
     assert lazy == merges
+
+
+def test_batched_trainer_matches_reference_on_toy_corpus(spark):
+    """The batched trainer (top-m prefix acceptance) must produce
+    EXACTLY the reference merges and segmentation — the acceptance
+    rules are a proof obligation, this is its check on a tie/overlap
+    rich corpus."""
+    counts = _toy_counts()
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, got_words = bpe.bpe_train_batched(
+        wf, 12, batch_m=6, checkpoint_every=5
+    )
+    want_merges, want_seg = _ref_bpe(counts, 12)
+    assert got_merges == want_merges
+    got_seg = {
+        "".join(r.sy): list(r.sy)
+        for r in got_words.select(bpe.decode_symbols("w").alias("sy")).collect()
+    }
+    assert got_seg == want_seg
+
+
+def test_batched_trainer_batches_non_adjacent_pairs(spark):
+    """The multi-merge-per-round equivalence case (VERDICT r10 item 6):
+    a corpus whose top pairs are symbol-DISJOINT (non-adjacent) — the
+    batch rules must accept several per round and still match the
+    sequential reference exactly. Word boundaries isolate each pair, so
+    no merge creates a pair that could outrank a later candidate."""
+    counts = {"xy": 9, "pq": 8, "mn": 7, "uv": 6, "xz": 2, "pz": 1}
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, _ = bpe.bpe_train_batched(wf, 4, batch_m=4)
+    want_merges, _ = _ref_bpe(counts, 4)
+    assert got_merges == want_merges
+    # the four top pairs share no symbol and create nothing that can
+    # win (each word IS the pair): all four must land in one batch
+    assert [m[:2] for m in got_merges] == [
+        ("x", "y"), ("p", "q"), ("m", "n"), ("u", "v")
+    ]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_batched_trainer_matches_reference_on_random_corpora(spark, counts):
+    """Property check: overlap/tie/collision-rich tiny corpora (the
+    'ab' alphabet maximizes created-symbol aliasing, e.g. merged 'ab'
+    vs merged 'a'+'b' strings) — the batched trainer must degrade to
+    smaller batches rather than ever diverge from the reference."""
+    rows = [Row(word=w, n=c) for w, c in counts.items()]
+    wf = spark.createDataFrame(rows).select(
+        bpe.encode_chars("word").alias("w"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    got_merges, _ = bpe.bpe_train_batched(wf, 6, batch_m=4)
+    want_merges, _ = _ref_bpe(counts, 6)
+    assert got_merges == want_merges, counts

@@ -144,25 +144,28 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
     for key in sorted(QUERIES):
         plan = explain_str(QUERIES[key](spark, SF_SMOKE))
         if "BatchEvalPython" in plan and key not in arrow_ok:
-            offenders[key] = "BatchEvalPython"
+            offenders.setdefault(key, []).append("BatchEvalPython")
         elif key not in arrow_ok and any(
             n in plan for n in ("ArrowEvalPython", "MapInPandas",
                                 "FlatMapGroupsInPandas")
         ):
-            offenders[key] = "Arrow/Pandas node"
+            offenders.setdefault(key, []).append("Arrow/Pandas node")
         # Second suite-wide scale gate in the same pass: a NON-broadcast
         # cartesian product is the 100 TB killer no operator may plan —
         # the only sanctioned unkeyed joins are broadcast nested loops
         # (1-row scalar relations, theta joins against broadcast sides).
         if "CartesianProduct" in plan:
-            offenders[key] = "CartesianProduct"
+            offenders.setdefault(key, []).append("CartesianProduct")
         # Third suite-wide scale gate (r6 verdict item 3): a global
         # row_number/rank with no PARTITION BY serializes the whole
         # relation through one task unless the input is already
         # limit-bounded (the sanctioned limit-then-rank shape).
         viols = unpartitioned_window_violations(plan)
         if viols:
-            offenders[key] = "; ".join(viols)
+            # extend, don't assign — a key violating several gates must
+            # report ALL of them (ADVICE r10: assignment here shadowed
+            # an earlier gate's message for the same key)
+            offenders.setdefault(key, []).extend(viols)
         # Fourth suite-wide scale gate (r9 verdict item 3): a window
         # over the RAW fact table partitioned only by a handful-of-
         # values column is the same serial sort split across ~5 tasks.
@@ -177,7 +180,7 @@ def test_no_python_eval_in_any_non_multimodal_plan(spark):
         # bounds partition width at 100 TB.
         lviols = low_cardinality_window_violations(plan)
         if lviols and key != "q_events_rolling":
-            offenders[key] = "; ".join(lviols)
+            offenders.setdefault(key, []).extend(lviols)
     assert not offenders, f"scale-killers leaked into plans: {offenders}"
 
 
@@ -418,6 +421,14 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_vec_knn_ivf_kmeans": 26 + slack,    # measured 21 (Lloyd rounds)
         "q_vec_recall_curve": 28 + slack,      # measured 22 (Lloyd + sweep)
         "q_vec_ivf_balance": 28 + slack,       # measured 22 (Lloyd rounds)
+        # round-10 heavy additions (VERDICT r10 item #7) — measured r11
+        # start; red if a pin is lost and a generator re-runs
+        "q_multimodal_phash": 13,       # measured 10: TWO band joins over
+        #   ONE pinned phash relation (a lost pin re-decodes payloads)
+        "q_vec_knn_mrl": 8,             # measured 6: funnel stages reuse
+        #   the pinned prefix-scored relation
+        "q_dedup_simhash_recall": 59,   # measured 47: exact-pair and
+        #   simhash-pair generators each run ONCE into the audit join
     }
     over = {}
     for key, bound in bounds.items():

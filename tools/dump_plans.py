@@ -238,10 +238,12 @@ HEADLINERS: dict[str, str] = {
     "q_range_splits": (
         "Equi-depth split planner. Look for: the two-pass distributed "
         "rank (RangePartitioning exchange + per-partition Window with "
-        "PARTITION BY _rk_pid — the single-partition global sort is "
-        "exactly what this plan must NOT contain), the 1-row count "
-        "broadcast into the 31-row target relation, and the final "
-        "broadcast equi-join probing each rank partition once."
+        "PARTITION BY _ps_pid — the single-partition global sort is "
+        "exactly what this plan must NOT contain; since r11 the rank "
+        "IS grouped_prefix_scan of a literal 1, offsets joined back "
+        "distributed), the 1-row count broadcast into the 31-row "
+        "target relation, and the final broadcast equi-join probing "
+        "each rank partition once."
     ),
     "q_events_cusum": (
         "Exact CUSUM closed form via two CHAINED distributed scans "
@@ -258,8 +260,10 @@ HEADLINERS: dict[str, str] = {
         "Rank-normalizing trio via the two-pass rank (round-10 "
         "de-weak). Look for: Scan ExistingRDD (ranked_by's frozen "
         "range partitioning over (event_type, value, event_id)), the "
-        "window partitioned by _rk_pid (partition-local row_number + "
-        "literal offset array — NOT by the 5-value event_type), the "
+        "window partitioned by _ps_pid (partition-local running count "
+        "+ broadcast offsets relation; the r10 literal offset array "
+        "and its driver collect are gone — NOT partitioned by the "
+        "5-value event_type), the "
         "5-row (first-rank, count) relation as BroadcastHashJoin, and "
         "ntile/percent_rank/cume_dist as pure integer arithmetic "
         "projections — no per-group sort anywhere."
