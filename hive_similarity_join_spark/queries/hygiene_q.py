@@ -209,8 +209,21 @@ def q_text_gopher_rules(spark, sf_dir):
     everything then collapses to one row per doc before the tiny
     per-source rollup. Overlapping occurrences count (5-gram dup
     chars can exceed total — it is a signal, not a proportion; the
-    flags use it one-sided, matching the published rule)."""
+    flags use it one-sided, matching the published rule).
+
+    Split as gopher_doc_metrics + gopher_report so the streaming
+    mirror (streaming/incremental_rollup.py incremental_gopher)
+    shares the per-doc expressions and the report aggregate verbatim
+    — the carry is the per-doc metrics relation itself."""
     d = load_table(spark, sf_dir, "documents")
+    return gopher_report(gopher_doc_metrics(d))
+
+
+def gopher_doc_metrics(d):
+    """(doc_id, source, total, top2_chars, dup5_chars) per document —
+    each a pure function of the document text, so the relation is
+    idempotent under recomputation (the property the streaming
+    mirror's replay-safe carry merge stakes on)."""
     bags = d.select(
         "doc_id",
         "source",
@@ -243,17 +256,24 @@ def q_text_gopher_rules(spark, sf_dir):
             .alias("dup5_chars")
         )
     )
-    m = (
+    return (
         bags.select("doc_id", "source", "total")
         .join(top2, "doc_id", "left")
         .join(dup5, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             "total",
-            F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
-            F.coalesce("dup5_chars", F.lit(0)).alias("dup5_chars"),
+            F.coalesce("top2_chars", F.lit(0)).cast("bigint").alias("top2_chars"),
+            F.coalesce("dup5_chars", F.lit(0)).cast("bigint").alias("dup5_chars"),
         )
     )
+
+
+def gopher_report(m):
+    """Per-source Gopher report from the per-doc metrics relation —
+    exact-integer flags, single-division fractions (see
+    q_text_gopher_rules)."""
     return (
         m.groupBy("source")
         .agg(

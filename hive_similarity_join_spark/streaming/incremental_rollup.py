@@ -714,3 +714,75 @@ def incremental_qsketch(
         merge_qsketch,
         checkpoint_dir,
     )
+
+
+# ------------- Gopher repetition report (mirror of q_text_gopher_rules)
+
+GOPHER_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("top2_chars", T.LongType()),
+        T.StructField("dup5_chars", T.LongType()),
+    ]
+)
+
+
+def gopher_partials(batch: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics from a batch slice — EXACTLY the
+    batch key's gopher_doc_metrics (shared function, so the mirror
+    cannot drift from q_text_gopher_rules). Each row is a pure
+    function of its document, which is what makes the carry merge
+    below idempotent."""
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        gopher_doc_metrics,
+    )
+
+    return gopher_doc_metrics(batch)
+
+
+def merge_gopher(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Union + dedup by the doc_id KEY (max on the metric columns is a
+    deterministic pick; duplicates are bit-identical rows anyway since
+    the metrics are pure functions of the doc) — associative,
+    commutative, idempotent, so epochs may arrive in any order and
+    replayed epochs cannot double-count a document. Carry size is
+    O(docs) rows of five scalars — the same class as the DAU mirror's
+    (user, day) set, and the price of exactness for a report whose
+    flags are per-document (a flagged doc must not flip back when a
+    replay re-delivers it)."""
+    if carry is None:
+        merged = delta
+    else:
+        merged = carry.unionByName(delta)
+    return merged.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        F.max("total").alias("total"),
+        F.max("top2_chars").alias("top2_chars"),
+        F.max("dup5_chars").alias("dup5_chars"),
+    )
+
+
+def emit_gopher(carry: DataFrame) -> DataFrame:
+    """The per-source Gopher report from the carry — the batch key's
+    own gopher_report aggregate, verbatim."""
+    from hive_similarity_join_spark.queries.hygiene_q import gopher_report
+
+    return gopher_report(carry)
+
+
+def incremental_gopher(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous Gopher repetition-report maintenance over a document
+    stream (NINTH continuous-aggregate mirror); read the latest
+    summary snapshot and call emit_gopher for the per-source report."""
+    return _make_query(
+        stream,
+        state_dir,
+        gopher_partials,
+        GOPHER_CARRY_SCHEMA,
+        merge_gopher,
+        checkpoint_dir,
+    )

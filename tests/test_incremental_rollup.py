@@ -382,3 +382,60 @@ def test_streaming_qsketch_matches_single_shot(spark, dirs):
     assert _tuples(emit_qsketch(carry)) == _tuples(
         emit_qsketch(qsketch_partials(load_table(spark, SF_SMOKE, "documents")))
     )
+
+
+def test_gopher_epoch_chain_equals_batch_key(spark):
+    """Any epoch order + a replayed epoch must reproduce the batch
+    q_text_gopher_rules report bit-identically — the per-doc metrics
+    are pure functions of each document, so the keyed carry merge is
+    associative, commutative, AND idempotent."""
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        q_text_gopher_rules,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_gopher,
+        gopher_partials,
+        merge_gopher,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    carry = None
+    for sl in reversed(slices):
+        carry = merge_gopher(carry, gopher_partials(sl))
+    carry = merge_gopher(carry, gopher_partials(slices[1]))  # replay
+    assert _tuples(emit_gopher(carry)) == _tuples(
+        q_text_gopher_rules(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_gopher_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        q_text_gopher_rules,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        GOPHER_CARRY_SCHEMA,
+        emit_gopher,
+        incremental_gopher,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    src = f"{dirs}/src"
+    for i in range(2):
+        d.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_gopher(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(GOPHER_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_gopher(carry)) == _tuples(
+        q_text_gopher_rules(spark, SF_SMOKE)
+    )
