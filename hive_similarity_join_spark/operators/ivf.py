@@ -145,6 +145,42 @@ def assign_cells(
     )
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """(probe_id, vec_id, _p, _v): the routed-cell candidate pairs the
+    IVF search exact-scores — ``ivf_topk`` is score + top-k over
+    exactly this relation, and the cost audit (q_vec_ann_cost) counts
+    it, so the two cannot drift. Cardinality = the probed inverted
+    lists' sizes: nprobe/n_cells of the corpus per probe when lists
+    are balanced."""
+    spark = corpus.sparkSession
+    indexed = assign_cells(corpus, centroids, id_col, vec_col)
+    n_part = parallelism(spark)
+    # co-locate the inverted lists (at 100 TB: write bucketed by cell)
+    indexed = indexed.repartition(min(n_part, len(centroids)), "cell")
+
+    # probe routing: top-nprobe cells from the same literal-centroid
+    # projection (slice of the sorted dist array), then explode
+    p = probes.select(F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p"))
+    top_cells = F.slice(F.array_sort(_cell_dists(F.col("_p"), centroids)), 1, nprobe)
+    routed = p.select(
+        "probe_id", "_p", F.explode(top_cells).alias("_tc")
+    ).select("probe_id", "_p", F.col("_tc.cell").alias("cell"))
+
+    return (
+        F.broadcast(routed)
+        .join(indexed, "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", "_p", "_v")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -160,29 +196,12 @@ def ivf_topk(
     ``centroids`` accepts a pre-trained quantizer (the steady-state
     shape: train once, search many); None trains on the corpus inline.
     """
-    spark = corpus.sparkSession
     if centroids is None:
         centroids = train_cells(corpus, vec_col, n_cells, id_col=id_col)
-
-    indexed = assign_cells(corpus, centroids, id_col, vec_col)
-    n_part = parallelism(spark)
-    # co-locate the inverted lists (at 100 TB: write bucketed by cell)
-    indexed = indexed.repartition(min(n_part, len(centroids)), "cell")
-
-    # probe routing: top-nprobe cells from the same literal-centroid
-    # projection (slice of the sorted dist array), then explode
-    p = probes.select(F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p"))
-    top_cells = F.slice(F.array_sort(_cell_dists(F.col("_p"), centroids)), 1, nprobe)
-    routed = p.select(
-        "probe_id", "_p", F.explode(top_cells).alias("_tc")
-    ).select("probe_id", "_p", F.col("_tc.cell").alias("cell"))
-
-    sim = V.cosine(F.col("_p"), F.col("_v"))
-    scored = (
-        F.broadcast(routed)
-        .join(indexed, "cell")
-        .filter(F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", sim.alias("sim"))
+    cand = ivf_candidates(corpus, probes, centroids, id_col, vec_col, nprobe)
+    scored = cand.select(
+        "probe_id", "vec_id",
+        V.cosine(F.col("_p"), F.col("_v")).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
@@ -463,6 +482,42 @@ def ivf_topk_kmeans(
     array, sorted and sliced; rescore = exact cosine over routed-cell
     candidates only. At 100 TB the corpus would be written bucketed by
     cell id exactly as build_ivf_index does for the numpy quantizer."""
+    cand = ivfk_candidates(corpus, probes, id_col, vec_col, n_cells, nprobe, rounds)
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), V.as_double(vec_col).alias("_v")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p")
+    )
+    scored = (
+        cand.join(F.broadcast(p), "probe_id")
+        .join(e, "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            V.cosine(F.col("_p"), F.col("_v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+def ivfk_candidates(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 3,
+    rounds: int = 2,
+) -> DataFrame:
+    """(probe_id, vec_id): the routed-cell candidate pairs of the
+    Lloyd-kmeans IVF search — ``ivf_topk_kmeans`` is score + top-k
+    over exactly this relation, and the cost audit (q_vec_ann_cost)
+    counts it, so the two cannot drift. Train + assign + route all in
+    exact fixed-point integers (SQL-mirrorable)."""
     spark = corpus.sparkSession
     v = pin(fixedpoint_vectors(corpus, id_col, vec_col))
     centroids = lloyd_kmeans_centroids(v, n_cells, rounds)
@@ -499,30 +554,9 @@ def ivf_topk_kmeans(
         .select("probe_id", F.col("_tc.cell").alias("cell"))
     )
 
-    # exact cosine rescore on the original doubles (the ADC-free
-    # IVF-Flat shape: candidates bounded by the routed cells' lists)
-    e = corpus.select(
-        F.col(id_col).alias("vec_id"), V.as_double(vec_col).alias("_v")
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), V.as_double(vec_col).alias("_p")
-    )
-    cand = (
+    return (
         F.broadcast(routed)
         .join(asg, "cell")
         .filter(F.col("probe_id") != F.col("vec_id"))
         .select("probe_id", "vec_id")
     )
-    scored = (
-        cand.join(F.broadcast(p), "probe_id")
-        .join(e, "vec_id")
-        .select(
-            "probe_id",
-            "vec_id",
-            V.cosine(F.col("_p"), F.col("_v")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).filter(F.col("rank") <= k)

@@ -76,20 +76,20 @@ def duck_bucket(vec_sql: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ann_topk(
+def ann_candidates(
     corpus: DataFrame,
     probes: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_planes: int = N_PLANES,
     multi_probe: bool = True,
 ) -> DataFrame:
-    """(probe_id, vec_id, sim, rank): approximate cosine top-k.
-
-    Deterministic: fixed hyperplanes, exact re-scoring, (sim desc, id)
-    tie-break. Recall is governed by n_planes and multi_probe.
-    """
+    """(probe_id, vec_id, _v1, _v2): the DISTINCT bucket-collision
+    pairs the LSH search exact-scores — ``ann_topk`` is score + top-k
+    over exactly this relation, and the cost audit
+    (q_vec_ann_cost) counts it, so the two cannot drift. The pair set
+    IS the method's read cost: everything outside it is never
+    touched."""
     planes = _hyperplanes(n_planes, DIM)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), V.as_double(vec_col).alias("_v2")
@@ -111,13 +111,33 @@ def ann_topk(
         p = p.withColumn("_bkt", F.col("_bkt0"))
 
     n_part = parallelism(corpus)
-    sim = V.cosine(F.col("_v1"), F.col("_v2"))
-    scored = (
+    return (
         F.broadcast(p.drop("_bkt0"))
         .join(c.repartition(n_part, "_bkt"), "_bkt")
         .filter(F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", sim.alias("sim"))
+        .select("probe_id", "vec_id", "_v1", "_v2")
         .dropDuplicates(["probe_id", "vec_id"])  # multi-probe overlap
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """(probe_id, vec_id, sim, rank): approximate cosine top-k.
+
+    Deterministic: fixed hyperplanes, exact re-scoring, (sim desc, id)
+    tie-break. Recall is governed by n_planes and multi_probe.
+    """
+    cand = ann_candidates(corpus, probes, id_col, vec_col, n_planes, multi_probe)
+    scored = cand.select(
+        "probe_id", "vec_id",
+        V.cosine(F.col("_v1"), F.col("_v2")).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(

@@ -135,8 +135,10 @@ def q_text_simhash_wide(spark, sf_dir):
 _ANN_PLANES = _hyperplanes(4)
 _ANN_FLIPS = ", ".join(f"xor(bkt0, {1 << i})" for i in range(4))
 
-_ANN_ORACLE = f"""
-WITH c AS (
+# the LSH candidate-generation CTEs, shared verbatim by the top-k
+# oracle and the cost-audit oracle (q_vec_ann_cost) so the two count
+# the same pair set
+_ANN_CAND_CTES = f"""c AS (
   SELECT vec_id, embedding,
          CAST({duck_bucket('embedding', _ANN_PLANES)} AS BIGINT) AS bkt
   FROM embeddings
@@ -148,7 +150,10 @@ p0 AS (
 pb AS (
   SELECT probe_id, pe, t.bkt
   FROM p0, unnest([bkt0, {_ANN_FLIPS}]) AS t(bkt)
-),
+)"""
+
+_ANN_ORACLE = f"""
+WITH {_ANN_CAND_CTES},
 scored AS (
   SELECT DISTINCT probe_id, c.vec_id AS vec_id,
          {duck_cosine('pe', 'c.embedding')} AS sim
@@ -183,8 +188,9 @@ IVF_NPROBE = 3
 # quantizer: centroid sample -> cell assignment (argmin L2, tie-break
 # cell asc) -> probe routing (top-nprobe cells) -> exact cosine rescore
 # -> top-k. Every stage is deterministic on both engines.
-_IVF_ORACLE = f"""
-WITH cent AS (
+# the IVF candidate-generation CTEs (hash-sampled quantizer), shared
+# verbatim by the top-k oracle and the cost-audit oracle
+_IVF_CAND_CTES = f"""cent AS (
   SELECT CAST(row_number() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
          ) AS INTEGER) - 1 AS cell,
@@ -214,7 +220,10 @@ routed AS (
            ) AS rn
     FROM embeddings p CROSS JOIN cent c WHERE p.vec_id < {N_PROBES}
   ) WHERE rn <= {IVF_NPROBE}
-),
+)"""
+
+_IVF_ORACLE = f"""
+WITH {_IVF_CAND_CTES},
 scored AS (
   SELECT r.probe_id, a.vec_id,
          {duck_cosine('p.embedding', 'e.embedding')} AS sim
@@ -261,6 +270,40 @@ def q_vec_knn_ivf(spark, sf_dir):
     )
 
 
+def _ivfk_route_ctes(asg_name: str = "asg", routed_name: str = "routed") -> str:
+    """The Lloyd-kmeans IVF assignment + routing CTE pair (from the
+    shared kmeans training fragments) under caller-chosen CTE names —
+    composed by the top-k oracle (asg/routed) AND the cost-audit
+    oracle (asg_k/routed_k, avoiding collision with the hash-sampled
+    IVF's CTEs in the same statement), so the two route identically."""
+    from hive_similarity_join_spark.queries.vectors_q import (
+        kmeans_sql_fragments,
+    )
+
+    fr = kmeans_sql_fragments()
+    cf, d2 = fr["final"], fr["d2"]
+    return f"""{asg_name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf
+  ) WHERE rn = 1
+),
+{routed_name} AS (
+  SELECT probe_id, cell FROM (
+    SELECT v.vec_id AS probe_id, cf.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
+           ) AS rn
+    FROM v CROSS JOIN {cf} cf WHERE v.vec_id < {N_PROBES}
+  ) WHERE rn <= {IVF_NPROBE}
+)"""
+
+
 def _ivf_kmeans_oracle() -> str:
     """IVF search on the Lloyd-REFINED quantizer: the kmeans oracle's
     training CTEs (imported via kmeans_sql_fragments, so the trainer
@@ -272,29 +315,9 @@ def _ivf_kmeans_oracle() -> str:
     )
 
     fr = kmeans_sql_fragments()
-    cf, d2 = fr["final"], fr["d2"]
     return f"""
 WITH {fr['with_body']},
-asg AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, cf.cell,
-           row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
-           ) AS rn
-    FROM v CROSS JOIN {cf} cf
-  ) WHERE rn = 1
-),
-routed AS (
-  SELECT probe_id, cell FROM (
-    SELECT v.vec_id AS probe_id, cf.cell,
-           row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY {d2('v.xi', 'cf.c')}, cf.cell
-           ) AS rn
-    FROM v CROSS JOIN {cf} cf WHERE v.vec_id < {N_PROBES}
-  ) WHERE rn <= {IVF_NPROBE}
-),
+{_ivfk_route_ctes()},
 scored AS (
   SELECT r.probe_id, a.vec_id,
          {duck_cosine('p.embedding', 'e.embedding')} AS sim
@@ -1124,6 +1147,146 @@ def q_vec_ann_recall(spark, sf_dir):
         "method",
         n_hits.cast("bigint").alias("hits"),
         (n_hits / F.lit(float(KNN_K))).alias("recall"),
+    )
+
+
+def _ann_cost_oracle() -> str:
+    """Candidate CTEs of all three bucketed ANN methods composed in
+    ONE statement (LSH: c/p0/pb; hash-sampled IVF: cent/asg/routed;
+    Lloyd IVF: kmeans fragments + asg_k/routed_k) — each imported
+    from the fragment its top-k oracle uses, so the cost audit counts
+    exactly the pair sets the searches score."""
+    from hive_similarity_join_spark.queries.vectors_q import (
+        kmeans_sql_fragments,
+    )
+
+    fr = kmeans_sql_fragments()
+    return f"""
+WITH {_ANN_CAND_CTES},
+{_IVF_CAND_CTES},
+{fr['with_body']},
+{_ivfk_route_ctes('asg_k', 'routed_k')},
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         CAST(sum(CASE WHEN vec_id < {N_PROBES} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_probes
+  FROM embeddings
+),
+lshc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT probe_id, c.vec_id
+    FROM pb JOIN c ON c.bkt = pb.bkt AND c.vec_id <> pb.probe_id
+  )
+),
+ivfc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM routed r JOIN asg a ON a.cell = r.cell AND a.vec_id <> r.probe_id
+),
+ivfkc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM routed_k r JOIN asg_k a
+    ON a.cell = r.cell AND a.vec_id <> r.probe_id
+),
+rows_out AS (
+  SELECT 'exact' AS method, b.n_probes * (b.n_corpus - 1) AS n_candidates
+  FROM base b
+  UNION ALL SELECT 'lsh', n FROM lshc
+  UNION ALL SELECT 'ivf', n FROM ivfc
+  UNION ALL SELECT 'ivfk', n FROM ivfkc
+)
+SELECT r.method,
+       CAST(r.n_candidates AS BIGINT) AS n_candidates,
+       CAST(b.n_probes * (b.n_corpus - 1) AS BIGINT) AS n_exact,
+       CAST(r.n_candidates AS DOUBLE)
+           / CAST(b.n_probes * (b.n_corpus - 1) AS DOUBLE) AS scan_frac
+FROM rows_out r, base b
+ORDER BY method
+"""
+
+
+@query("q_vec_ann_cost", oracle=_ann_cost_oracle())
+def q_vec_ann_cost(spark, sf_dir):
+    """The COST half of the ANN dashboard: exact-distance computations
+    per method (candidate pairs actually scored) vs the brute-force
+    baseline — q_vec_ann_recall says what each method finds, this key
+    says what each method READS to find it; an index rollout gates on
+    the ratio of the two. Methods: the three bucketed paths (lsh =
+    hyperplane buckets + multi-probe flips; ivf = nprobe hash-sampled
+    cells; ivfk = nprobe Lloyd-refined cells) plus the exact baseline
+    row (probes x (corpus-1), scan_frac 1.0 — the denominator,
+    emitted so the ratio is auditable). SQ8/PQ/IVFADC scan costs are
+    byte-width stories (codes vs full vectors), not candidate-count
+    stories, and are documented on their keys instead.
+
+    Anti-drift: each method's candidate relation is THE relation its
+    top-k search scores — operators/knn.py ann_candidates and
+    operators/ivf.py ivf_candidates / ivfk_candidates are the shared
+    bodies ann_topk / ivf_topk / ivf_topk_kmeans rank over, and the
+    oracle composes the same candidate CTEs the top-k oracles run.
+    Scale shape: three counts over relations the searches build
+    anyway; the audit itself adds one aggregate each."""
+    from hive_similarity_join_spark.operators.ivf import (
+        hash_sampled_centroids,
+        ivf_candidates,
+        ivfk_candidates,
+    )
+    from hive_similarity_join_spark.operators.knn import ann_candidates
+    from hive_similarity_join_spark.queries.vectors_q import (
+        KM_K,
+        KM_ROUNDS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES)
+    base = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") < N_PROBES, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_probes"),
+    )
+    cents = hash_sampled_centroids(e, IVF_CELLS)
+    legs = [
+        (
+            "lsh",
+            ann_candidates(e, probes, n_planes=4),
+        ),
+        (
+            "ivf",
+            ivf_candidates(e, probes, cents, nprobe=IVF_NPROBE),
+        ),
+        (
+            "ivfk",
+            ivfk_candidates(
+                e, probes, n_cells=KM_K, nprobe=IVF_NPROBE, rounds=KM_ROUNDS
+            ),
+        ),
+    ]
+    counts = base.select(
+        F.lit("exact").alias("method"),
+        (F.col("n_probes") * (F.col("n_corpus") - 1))
+        .cast("bigint")
+        .alias("n_candidates"),
+    )
+    for name, cand in legs:
+        counts = counts.unionAll(
+            cand.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+            ).select(F.lit(name).alias("method"), "n_candidates")
+        )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "method",
+            "n_candidates",
+            (F.col("n_probes") * (F.col("n_corpus") - 1))
+            .cast("bigint")
+            .alias("n_exact"),
+            (
+                F.col("n_candidates").cast("double")
+                / (F.col("n_probes") * (F.col("n_corpus") - 1)).cast("double")
+            ).alias("scan_frac"),
+        )
+        .orderBy("method")
     )
 
 

@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     # q_stream_session q_win_lag q_json_get ... — recompute from
     # CORRECTNESS_r0{1..11} at r12 start as always).
     "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
-    "q_text_gopher_rules", "q_dedup_lsh_band_sweep",
+    "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
 ]
 
 
