@@ -429,6 +429,16 @@ def test_heavy_key_job_count_tripwire(spark):
         #   the pinned prefix-scored relation
         "q_dedup_simhash_recall": 59,   # measured 47: exact-pair and
         #   simhash-pair generators each run ONCE into the audit join
+        # round-11 additions — measured r11
+        "q_dedup_lsh_band_sweep": 59,   # measured 47: ONE signature
+        #   relation feeds all three layouts' band structs; ONE
+        #   self-join on (layout, band, bsig) yields all candidates
+        "q_text_simhash_wide": 9,       # measured 7: one fingerprint
+        #   pass, 45 block-pair keys in one explode + one self-join
+        "q_dedup_simhash_wide_recall": 59,  # measured 47: same audit
+        #   composition discipline as the radius-3 row
+        "q_vec_ann_cost": 34,           # measured 27: three candidate
+        #   generators (lsh/ivf/ivfk incl. Lloyd rounds) counted once
     }
     over = {}
     for key, bound in bounds.items():
