@@ -32,9 +32,15 @@ from hive_similarity_join_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     simhash_pairs,
+    simhash_pairs_wide,
 )
-from hive_similarity_join_spark.operators.knn import ann_topk
-from hive_similarity_join_spark.operators.ivf import ivf_topk
+from hive_similarity_join_spark.operators.knn import ann_candidates, ann_topk
+from hive_similarity_join_spark.operators.ivf import (
+    ivf_candidates,
+    ivf_topk,
+    ivf_topk_kmeans,
+    ivfk_candidates,
+)
 
 __all__ = [
     "get_spark",
@@ -54,9 +60,14 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "simhash_pairs_wide",
     "connected_components",
     "connected_components_alternating",
     # similarity search
     "ann_topk",
+    "ann_candidates",
     "ivf_topk",
+    "ivf_candidates",
+    "ivf_topk_kmeans",
+    "ivfk_candidates",
 ]
