@@ -25,6 +25,40 @@ HEADLINERS: dict[str, str] = {
         "and NO BatchEvalPython/ArrowEvalPython anywhere — verification "
         "is whole-stage-codegen'd int-array intersection."
     ),
+    "q_dedup_lsh_band_sweep": (
+        "The banding S-curve audit. Look for: ONE self-join keyed on "
+        "(layout, band, bsig) serving all three bandings (the 14 band "
+        "structs of 2x8/4x4/8x2 explode from one signature relation), "
+        "explicit REPARTITION_BY_NUM around the candidate join "
+        "(AQE-coalesce exempt, same as minhash_lsh_pairs), the exact "
+        "t=0.8 truth side as the verified flagship subplan, and counts "
+        "as map-side-combined partial aggregates — no window, no "
+        "Python nodes."
+    ),
+    "q_text_simhash_wide": (
+        "Wide-radius SimHash pairs. Look for: the 60 conditional-sum "
+        "vote columns in ONE HashAggregate over (doc, token-hash) rows, "
+        "the 45-struct block-pair explode, one equi self-join on "
+        "(_bk, _v1, _v2), and bit_count(xor) verification inside "
+        "whole-stage codegen — blocking is lossless at Hamming<=8 by "
+        "pigeonhole, so there is no post-hoc recall correction stage."
+    ),
+    "q_vec_ann_cost": (
+        "The ANN scan-cost audit. Look for: three candidate generators "
+        "(hyperplane buckets + flips / hash-sampled IVF cells / Lloyd "
+        "kmeans cells) each feeding ONE count aggregate, probes always "
+        "on the broadcast side, centroid tables as literal projections "
+        "or 1-row broadcasts, and NO Window/TakeOrdered anywhere — the "
+        "audit counts candidates, it never ranks them."
+    ),
+    "q_text_gopher_rules": (
+        "Per-source repetition report. Look for: (doc_id, gram) counts "
+        "with map-side partial aggregation, the top-2-gram pick as "
+        "WindowGroupLimit over the HIGH-cardinality doc_id (rank-1 "
+        "filter; never the fact table through few tasks), one row per "
+        "doc into the tiny per-source rollup, and exact integer "
+        "cross-product flag arithmetic in the final projection."
+    ),
     "q_tpch_q5": (
         "Six-table star join. Look for: date predicates inside "
         "PushedFilters on the orders scan, ReadSchema pruned to the "
