@@ -152,6 +152,113 @@ def q_join_asof(spark, sf_dir):
 
 
 @query(
+    "q_join_asof_nearest",
+    oracle=f"""
+SELECT event_id, user_id, strftime(ts, '{_FMT}') AS ts,
+       nearest_click_id, direction
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         CASE
+           WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+           WHEN next_id IS NULL THEN prev_id
+           WHEN prev_id IS NULL THEN next_id
+           WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+             THEN prev_id
+           ELSE next_id END AS nearest_click_id,
+         CASE
+           WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+           WHEN next_id IS NULL THEN 'prev'
+           WHEN prev_id IS NULL THEN 'next'
+           WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+             THEN 'prev'
+           ELSE 'next' END AS direction
+  FROM (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER w_prev AS prev_id,
+           last_value(CASE WHEN event_type = 'click'
+                           THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                      IGNORE NULLS) OVER w_prev AS prev_us,
+           first_value(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS) OVER w_next AS next_id,
+           first_value(CASE WHEN event_type = 'click'
+                            THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                       IGNORE NULLS) OVER w_next AS next_us
+    FROM events
+    WINDOW
+      w_prev AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      w_next AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+  )
+) WHERE event_type = 'purchase'
+""",
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    purchase paired with the temporally closest click in EITHER
+    direction — ties and the equal-distance case prefer the earlier
+    side (deterministic, matches the backward key's strictly-earlier
+    convention). Completes the as-of family: q_join_asof is backward,
+    this key adds forward+nearest from the same single-shuffle shape.
+
+    Still no join: two frames (last prior / first later) over ONE
+    (user_id) partitioning and (ts, event_id) order — Spark plans both
+    frames in one WindowExec with one Exchange+Sort, linear in the
+    log. Distances compare as exact integer epoch MICROSECONDS
+    (unix_micros / epoch_us — both engines count the same integer), so
+    the prev/next pick can never drift on float rounding."""
+    e = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    ck_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    ck_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    prev_id = F.last(ck_id, ignorenulls=True).over(w_prev)
+    prev_us = F.last(ck_us, ignorenulls=True).over(w_prev)
+    next_id = F.first(ck_id, ignorenulls=True).over(w_next)
+    next_us = F.first(ck_us, ignorenulls=True).over(w_next)
+    here = F.unix_micros(F.col("ts"))
+    d = (
+        e.select(
+            "event_id", "user_id", "ts", "event_type",
+            prev_id.alias("prev_id"), prev_us.alias("prev_us"),
+            next_id.alias("next_id"), next_us.alias("next_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    prefer_prev = (here - F.col("prev_us")) <= (F.col("next_us") - here)
+    nearest = (
+        F.when(F.col("prev_id").isNull() & F.col("next_id").isNull(), F.lit(None))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(prefer_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    direction = (
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("next_id").isNull(), F.lit("prev"))
+        .when(F.col("prev_id").isNull(), F.lit("next"))
+        .when(prefer_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        nearest.alias("nearest_click_id"),
+        direction.alias("direction"),
+    )
+
+
+@query(
     "q_join_range",
     oracle="""
 SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,

@@ -606,3 +606,16 @@ def test_skew_kurtosis_broadcasts_group_means(spark):
     plan = explain_str(_q("q_agg_skew_kurtosis", spark), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Both as-of frames (last prior / first later click) share one
+    (user_id) partitioning and (ts, event_id) order — the plan must
+    contain exactly ONE exchange and ONE sort feeding ONE WindowExec
+    (a second exchange would mean the frames' specs diverged and the
+    log shuffles twice)."""
+    plan = explain_str(_q("q_join_asof_nearest", spark), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert plan.count("Window ") == 1, plan
+    assert "EvalPython" not in plan
