@@ -336,3 +336,109 @@ def q_multimodal_phash(spark, sf_dir):
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
+
+
+def _phash_recall_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS h
+  FROM documents
+  WHERE octet_length(
+            encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) > 0
+),
+exact AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM m a JOIN m b
+    ON a.h = b.h AND a.kind = b.kind AND a.doc_id < b.doc_id
+),
+ph AS (SELECT id1, id2 FROM ({ORACLES["q_multimodal_phash"]})),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM exact),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_phash_pairs FROM ph),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM ph p JOIN exact e ON e.id1 = p.id1 AND e.id2 = p.id2
+)
+SELECT ne.n_exact_pairs, np.n_phash_pairs, h.n_hits,
+       CASE WHEN ne.n_exact_pairs = 0 THEN NULL
+            ELSE CAST(h.n_hits AS DOUBLE)
+                 / CAST(ne.n_exact_pairs AS DOUBLE) END AS recall_exact,
+       CASE WHEN np.n_phash_pairs = 0 THEN NULL
+            ELSE CAST(np.n_phash_pairs - h.n_hits AS DOUBLE)
+                 / CAST(np.n_phash_pairs AS DOUBLE) END AS near_only_frac
+FROM ne, np, hits h
+"""
+
+
+@query("q_multimodal_phash_recall", oracle=_phash_recall_oracle())
+def q_multimodal_phash_recall(spark, sf_dir):
+    """The pHash family's quality row (completes the one-audit-per-
+    approximate-family discipline: MinHash -> lsh_recall, SimHash ->
+    simhash_recall, embedding-LSH -> threshold_curve, pHash -> this):
+    every byte-identical payload pair must surface as a pHash pair —
+    identical bytes hash identically, Hamming 0 shares every band, so
+    recall_exact is 1.0 BY CONSTRUCTION and this key AUDITS the
+    invariant instead of asserting it (a broken band expression or a
+    lost pin shows up here as recall < 1, not as a silent miss;
+    NULL when the corpus slice carries no byte-identical pair — the
+    synthetic sf0.01 slice has none, sf0.1 does).
+    near_only_frac reports the share of pHash pairs beyond exact
+    duplicates — the near-duplicate surplus the perceptual hash
+    exists to find.
+
+    Both generators are composed verbatim from verified keys: pairs
+    from q_multimodal_phash's builder, exact-duplicate pairs from the
+    same synthesize_media payload hashes q_multimodal_dedup groups on
+    (within kind, matching the pair key's blocking). Scale shape: the
+    exact side shuffles (hash, kind, id) only — never payload bytes —
+    and the audit joins two id-pair relations."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).filter(
+        F.octet_length("payload") > 0
+    )
+    m = media.select(
+        "media_id", "kind", F.md5("payload").alias("h")
+    )
+    a = m.select(F.col("media_id").alias("id1"), "kind", "h")
+    b = m.select(
+        F.col("media_id").alias("id2"),
+        F.col("kind").alias("kind2"),
+        F.col("h").alias("h2"),
+    )
+    exact = a.join(
+        b,
+        (F.col("h") == F.col("h2"))
+        & (F.col("kind") == F.col("kind2"))
+        & (F.col("id1") < F.col("id2")),
+    ).select("id1", "id2")
+    ph = q_multimodal_phash(spark, sf_dir).select("id1", "id2")
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+    np_ = ph.agg(F.count(F.lit(1)).cast("bigint").alias("n_phash_pairs"))
+    hits = ph.join(exact, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        ne.crossJoin(np_)
+        .crossJoin(hits)
+        .select(
+            "n_exact_pairs",
+            "n_phash_pairs",
+            "n_hits",
+            F.when(
+                F.col("n_exact_pairs") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.col("n_hits").cast("double")
+                / F.col("n_exact_pairs").cast("double")
+            ).alias("recall_exact"),
+            F.when(
+                F.col("n_phash_pairs") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                (F.col("n_phash_pairs") - F.col("n_hits")).cast("double")
+                / F.col("n_phash_pairs").cast("double")
+            ).alias("near_only_frac"),
+        )
+    )

@@ -102,7 +102,7 @@ PRIORITY: list[str] = [
     # CORRECTNESS_r0{1..11} at r12 start as always).
     "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
     "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
-    "q_join_asof_nearest",
+    "q_join_asof_nearest", "q_multimodal_phash_recall",
 ]
 
 
