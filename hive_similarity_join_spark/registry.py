@@ -104,7 +104,7 @@ PRIORITY: list[str] = [
     "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
     "q_join_asof_nearest", "q_multimodal_phash_recall",
     "q_events_anomaly_mad", "q_profile_table",
-    "q_dedup_sorted_neighborhood",
+    "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
 ]
 
 

@@ -356,6 +356,15 @@ HEADLINERS: dict[str, str] = {
         "single-partition sort, float tail limited to subtract/abs/"
         "multiply/compare."
     ),
+    "q_join_interval_overlap": (
+        "Unkeyed interval-overlap join made shuffle-shaped. Look for: "
+        "session_window aggregation into intervals, the bucket explode "
+        "(sequence over s div B .. e div B), an EQUI-join on bkt (never "
+        "BroadcastNestedLoopJoin), the exact overlap predicate PLUS the "
+        "max(s1,s2)-bucket attribution filter inside the join stage — "
+        "which is why NO HashAggregate-distinct over the pair relation "
+        "exists anywhere in the plan — and plain counting after."
+    ),
 }
 
 
