@@ -786,3 +786,124 @@ def incremental_gopher(
         merge_gopher,
         checkpoint_dir,
     )
+
+
+# ---- incremental median / MAD (TENTH mirror: q_events_anomaly_mad)
+
+MAD_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def mad_partials(batch: DataFrame) -> DataFrame:
+    """Exact value histogram of an events slice in integer cents —
+    `value` carries two decimal places (the q_events_outliers corpus
+    contract), so the count-per-cents histogram is a LOSSLESS, bounded
+    (O(types x distinct cents), independent of event count) and
+    SUMMABLE carry for a median/MAD, which is not otherwise a
+    decomposable aggregate. Precondition (as with the other mirrors'
+    documented contracts): value is non-null — the batch key counts
+    null-value rows in n_total while excluding them from the
+    percentiles, a split a histogram row with a null bucket would have
+    to carry separately."""
+    return (
+        batch.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def merge_mad(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    return merge_partials(carry, delta, ["event_type", "cents"], ["cnt"])
+
+
+def emit_mad(carry: DataFrame) -> DataFrame:
+    """q_events_anomaly_mad's exact output reconstructed from the
+    cents histogram. Bit-equality argument: a 2-decimal double IS the
+    correctly-rounded value of cents/100, so `cents/100.0` here equals
+    the original data double; percentile_disc(0.5) = smallest value
+    with cume_dist >= 0.5 = smallest cents with 2*cumsum(cnt) >= n
+    (cents order and double order agree — IEEE subtraction/division
+    are monotone and cent-granular values are far above double
+    resolution); the dev percentile orders by the DOUBLE dev exactly
+    as the batch key does, with Spark's default RANGE frame counting
+    peer rows the way cume_dist does; the outlier fence re-applies the
+    identical abs/multiply/compare double ops, weighted by cnt. All
+    windows here run over the BOUNDED carry, never an event log."""
+    wv = Window.partitionBy("event_type").orderBy("cents")
+    tots = carry.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_total")
+    )
+    c1 = carry.withColumn("cum", F.sum("cnt").over(wv)).join(tots, "event_type")
+    med = (
+        c1.filter(F.lit(2) * F.col("cum") >= F.col("n_total"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("med_cents"))
+        .select(
+            "event_type",
+            (F.col("med_cents") / F.lit(100.0)).alias("med_value"),
+        )
+    )
+    d = (
+        carry.join(med, "event_type")
+        .join(tots, "event_type")
+        .withColumn(
+            "dev",
+            F.abs(F.col("cents") / F.lit(100.0) - F.col("med_value")),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    mad = (
+        d.withColumn("cum", F.sum("cnt").over(wd))
+        .filter(F.lit(2) * F.col("cum") >= F.col("n_total"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad_value"))
+    )
+    is_out = F.when(
+        F.col("dev") > F.lit(3.0) * F.col("mad_value"), F.col("cnt")
+    ).otherwise(F.lit(0))
+    return (
+        d.join(mad, "event_type")
+        .groupBy("event_type", "med_value", "mad_value")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_total"),
+            F.sum(is_out).cast("bigint").alias("n_outliers"),
+            (
+                F.sum(is_out).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("outlier_frac"),
+        )
+        .select(
+            "event_type", "n_total", "med_value", "mad_value",
+            "n_outliers", "outlier_frac",
+        )
+        .orderBy("event_type")
+    )
+
+
+def incremental_mad(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous exact median/MAD anomaly-report maintenance over an
+    events stream (TENTH continuous-aggregate mirror): the carry is
+    the per-type cents histogram — the bounded-domain dual of the
+    qsketch mirror's bottom-K sample (exact when the value domain is
+    bounded, as 2-decimal metrics are; sampling when it is not). Read
+    the latest summary snapshot and call emit_mad for the report."""
+    return _make_query(
+        stream,
+        state_dir,
+        mad_partials,
+        MAD_CARRY_SCHEMA,
+        merge_mad,
+        checkpoint_dir,
+    )

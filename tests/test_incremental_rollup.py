@@ -439,3 +439,58 @@ def test_streaming_gopher_matches_batch_key(spark, dirs):
     assert _tuples(emit_gopher(carry)) == _tuples(
         q_text_gopher_rules(spark, SF_SMOKE)
     )
+
+
+def test_mad_epoch_chain_equals_batch_key(spark):
+    """Any-order merged cents-histogram carry must reproduce the batch
+    q_events_anomaly_mad report bit-identically — the histogram counts
+    are summable partials; epoch RETRIES are the versioned-carry
+    contract's job (read below_epoch), as with rollup/gapfill/ohlc."""
+    from hive_similarity_join_spark.queries.events_q import (
+        q_events_anomaly_mad,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_mad,
+        mad_partials,
+        merge_mad,
+    )
+
+    e = _events(spark)
+    carry = None
+    for sl in reversed(_epoch_slices(e)):
+        carry = merge_mad(carry, mad_partials(sl))
+    assert _tuples(emit_mad(carry)) == _tuples(
+        q_events_anomaly_mad(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_mad_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.events_q import (
+        q_events_anomaly_mad,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        MAD_CARRY_SCHEMA,
+        emit_mad,
+        incremental_mad,
+    )
+
+    e = _events(spark)
+    src = f"{dirs}/src"
+    for i in range(2):
+        e.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_mad(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(MAD_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_mad(carry)) == _tuples(
+        q_events_anomaly_mad(spark, SF_SMOKE)
+    )
