@@ -342,11 +342,14 @@ HEADLINERS: dict[str, str] = {
         "subplan, same as every audit key."
     ),
     "q_profile_table": (
-        "Column profile. Look for: ONE scan feeding a single wide "
-        "aggregate (Expand implements the 11 count-distinct paths with "
-        "map-side partials before the one shuffle), a 1-row result, "
-        "and the per-column rows produced by a literal stack/Generate "
-        "over that row — no per-column rescans, no driver loop."
+        "Column profile. Look for: ELEVEN independent single-column "
+        "branches unioned — each branch's ReadSchema prunes to exactly "
+        "one field (columnar parquet: total bytes == one full-width "
+        "scan), partial-aggregates its per-partition distincts "
+        "map-side, and emits one row. Deliberately NOT the wide "
+        "multi-distinct aggregate: its Expand replicates every row "
+        "|cols|+1x and hash-aggregates |cols|-wide tuples (22s vs ~3s "
+        "at sf0.1, within-boot A/B). No Expand node anywhere."
     ),
     "q_events_anomaly_mad": (
         "Median/MAD robust anomaly report. Look for: two grouped "
