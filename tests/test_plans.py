@@ -622,3 +622,25 @@ def test_asof_nearest_single_shuffle(spark):
     assert plan.count("+- Sort ") == 1, plan
     assert plan.count("Window ") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_profile_table_per_column_branches_no_expand(spark):
+    """q_profile_table must plan as per-column pruned branches — the
+    wide multi-distinct alternative puts an Expand in the plan that
+    replicates every row |cols|+1 times (A/B'd 22s vs ~3s at sf0.1
+    and dropped, r11). Each branch's scan must prune to one field."""
+    plan = explain_str(_q("q_profile_table", spark))
+    assert "Expand" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(reads) >= 11, plan
+    assert all(ln.count(":") <= 2 for ln in reads), reads  # one field each
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """The unkeyed interval-overlap join must pair on the bucket
+    equi-join, never fall back to a nested-loop over the session cross
+    product; and the max-start bucket attribution means NO distinct
+    aggregate over the pair relation exists."""
+    plan = explain_str(_q("q_join_interval_overlap", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
