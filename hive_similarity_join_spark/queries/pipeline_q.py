@@ -1068,16 +1068,34 @@ def q_join_interval_overlap(spark, sf_dir):
 
     Same-user session pairs cannot overlap by construction (the gap
     rule puts >= 30 min of silence between a user's consecutive
-    sessions), so u1 < u2 canonicalizes without loss."""
+    sessions), so u1 < u2 canonicalizes without loss.
+
+    event_sessions / overlap_histogram are shared verbatim with the
+    streaming mirror (streaming/incremental_sessions.py), so the
+    mirror cannot drift from the key it mirrors."""
     e = load_table(spark, sf_dir, "events")
-    sess = (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    return overlap_histogram(event_sessions(e))
+
+
+def event_sessions(events) -> "DataFrame":
+    """Gap-sessionized intervals (user_id, s, e) in exact epoch
+    microseconds — 30-min gap, the q_stream_session rule."""
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
         .agg(
             F.min(F.unix_micros("ts")).alias("s"),
             F.max(F.unix_micros("ts")).alias("e"),
         )
         .select("user_id", "s", "e")
     )
+
+
+def overlap_histogram(sess) -> "DataFrame":
+    """Concurrency histogram of an interval relation (user_id, s, e):
+    the bucketed overlap join + max-start attribution described in
+    q_join_interval_overlap's docstring."""
     spans = sess.select(
         "user_id",
         "s",

@@ -494,3 +494,90 @@ def test_streaming_mad_matches_batch_key(spark, dirs):
     assert _tuples(emit_mad(carry)) == _tuples(
         q_events_anomaly_mad(spark, SF_SMOKE)
     )
+
+
+def test_sessions_merge_any_order_and_replay_idempotent(spark):
+    """The session carry's single-linkage merge is associative,
+    commutative, AND idempotent: any epoch order reproduces the batch
+    q_join_interval_overlap histogram bit-identically, and a replayed
+    epoch through the RAW merge (no versioned-carry protection)
+    changes nothing — the third carry algebra in the mirror family
+    after summable counts and keyed idempotent rows."""
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        q_join_interval_overlap,
+    )
+    from hive_similarity_join_spark.streaming.incremental_sessions import (
+        emit_sessions,
+        merge_sessions,
+        session_partials,
+    )
+
+    e = _events(spark)
+    want = _tuples(q_join_interval_overlap(spark, SF_SMOKE))
+    slices = _epoch_slices(e)
+    carry = None
+    for sl in [slices[2], slices[0], slices[1]]:
+        carry = merge_sessions(carry, session_partials(sl))
+    assert _tuples(emit_sessions(carry)) == want
+    carry = merge_sessions(carry, session_partials(slices[0]))  # replay
+    assert _tuples(emit_sessions(carry)) == want
+
+
+def test_sessions_merge_bridges_cross_epoch_chains(spark):
+    """A chain 0 / 29min / 58min split across three epochs must fuse
+    into ONE session: the middle point bridges two islands that were
+    disjoint in their own epochs (gap 58min >= 30min) — the reducible-
+    clustering property the docstring claims, pinned on a literal."""
+    from hive_similarity_join_spark.streaming.incremental_sessions import (
+        emit_sessions,
+        merge_sessions,
+        session_partials,
+    )
+
+    MIN = 60 * 1_000_000
+    rows = [(0, 1), (29 * MIN, 2), (58 * MIN, 3)]
+    dfs = [
+        spark.createDataFrame(
+            [(7, t)], "user_id bigint, us bigint"
+        ).select("user_id", F.timestamp_micros("us").alias("ts"))
+        for t, _ in rows
+    ]
+    carry = None
+    for d in [dfs[0], dfs[2], dfs[1]]:  # ends first, bridge last
+        carry = merge_sessions(carry, session_partials(d))
+    got = [(r.user_id, r.s, r.e) for r in carry.collect()]
+    assert got == [(7, 0, 58 * MIN)]
+    hist = _tuples(emit_sessions(carry))
+    assert hist == [("0", "1")]  # one session, zero concurrency
+
+
+def test_streaming_sessions_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        q_join_interval_overlap,
+    )
+    from hive_similarity_join_spark.streaming.incremental_sessions import (
+        SESSIONS_CARRY_SCHEMA,
+        emit_sessions,
+        incremental_sessions,
+    )
+
+    e = _events(spark)
+    src = f"{dirs}/src"
+    for i in range(2):
+        e.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_sessions(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(SESSIONS_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_sessions(carry)) == _tuples(
+        q_join_interval_overlap(spark, SF_SMOKE)
+    )
