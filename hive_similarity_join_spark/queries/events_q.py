@@ -2157,3 +2157,102 @@ def q_events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------- winsorization (robust transform report)
+
+
+@query(
+    "q_events_winsorize",
+    oracle="""
+WITH pct AS (
+  SELECT event_type,
+         min(CASE WHEN cd05 >= 0.05 THEN value END) AS p05,
+         min(CASE WHEN cd05 >= 0.95 THEN value END) AS p95
+  FROM (
+    SELECT event_type, value,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+               AS cd05
+    FROM events
+  ) GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.value, p.p05, p.p95,
+         least(greatest(e.value, p.p05), p.p95) AS w
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       p05, p95,
+       CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_high,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS mean_raw,
+       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS mean_winsorized
+FROM c
+GROUP BY event_type, p05, p95
+ORDER BY event_type
+""",
+)
+def q_events_winsorize(spark, sf_dir):
+    """Winsorization report per event_type — the standard robust
+    TRANSFORM that complements q_events_anomaly_mad's detector: clip
+    `value` to the [p05, p95] discrete percentiles and report clip
+    counts plus the raw-vs-winsorized mean shift, the number that
+    says how much of a signal's mean is tail artifact before it
+    becomes a training feature.
+
+    Bit-exactness: the fences are DISCRETE order statistics (the
+    oracle spells out the cume_dist >= q pick, as in the MAD key);
+    clipping is least/greatest — pure comparisons selecting DATA
+    values, no arithmetic — so both sums run over identical exact
+    decimal casts and converge at one double division each.
+
+    Scale shape: one grouped sort-aggregate for the two fences
+    (group-count-sized result, the documented exact-percentile trade),
+    broadcast back over the streamed log, one partial-aggregated
+    shuffle for the report. No window over the fact table."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias(
+            "p05"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
+            "p95"
+        ),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    dec = "decimal(18,6)"
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_type", "p05", "p95", "value", w.alias("w")
+        )
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            (
+                F.sum(F.col("value").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            (
+                F.sum(F.col("w").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type", "n_total", "p05", "p95",
+            "n_clipped_low", "n_clipped_high",
+            "mean_raw", "mean_winsorized",
+        )
+        .orderBy("event_type")
+    )
