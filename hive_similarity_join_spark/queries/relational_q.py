@@ -2869,3 +2869,89 @@ def q_profile_table(spark, sf_dir):
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out.orderBy("col_name")
+
+
+# --------------------------------- join-key skew profile (data audit)
+
+_SKEW_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+_SKEW_TOP = 5
+
+
+def _skew_oracle() -> str:
+    ctes, selects = [], []
+    for c in _SKEW_COLS:
+        ctes.append(f"""
+g_{c} AS (SELECT {c} AS key_value, count(*) AS cnt
+          FROM lineitem GROUP BY 1),
+s_{c} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS d FROM g_{c}),
+t_{c} AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key_value)
+                      AS BIGINT) AS rnk,
+                 key_value, CAST(cnt AS BIGINT) AS cnt
+          FROM g_{c} ORDER BY cnt DESC, key_value LIMIT {_SKEW_TOP})""")
+        selects.append(
+            f"SELECT '{c}' AS col_name, rnk, key_value, cnt,"
+            f" CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac,"
+            f" CAST(n AS DOUBLE) / CAST(d AS DOUBLE) AS avg_rows_per_key"
+            f" FROM t_{c}, s_{c}"
+        )
+    return (
+        "WITH " + ",".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_name, rnk"
+    )
+
+
+@query("q_profile_skew", oracle=_skew_oracle())
+def q_profile_skew(spark, sf_dir):
+    """Join-key skew profile — the audit a 100 TB run reads BEFORE
+    choosing a join strategy: for each lineitem join key, the top-5
+    heaviest values with their row counts, each key's fraction of the
+    table, and the column's average rows-per-key. frac >> n/d on the
+    head keys is the signature that says salt this join / rely on AQE
+    skew handling; a flat head says a plain shuffle join partitions
+    evenly. Completes the profiling trio: q_schema_profile (nulls/
+    distincts), q_profile_table (typed ranges), q_profile_skew (key
+    distribution).
+
+    Scale shape, per column: one column-pruned scan into a
+    partial-aggregated count-per-key relation, consumed by (a) a
+    2-number stats aggregate broadcast back and (b) a global top-5 via
+    the sanctioned limit-then-rank shape (TakeOrderedAndProject:
+    per-partition heaps, rank attached AFTER the limit — never a
+    single-partition window over the key relation). Three 5-row
+    branches union. Determinism: ties break on key_value ascending,
+    identically in both engines."""
+    from hive_similarity_join_spark.operators.rank import ranked_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _SKEW_COLS:
+        g = li.groupBy(F.col(c).alias("key_value")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        stats = g.agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("d"),
+        )
+        top = ranked_topk(
+            g, [F.col("cnt").desc(), F.col("key_value")], _SKEW_TOP, "rnk"
+        )
+        parts.append(
+            top.crossJoin(F.broadcast(stats)).select(
+                F.lit(c).alias("col_name"),
+                "rnk",
+                "key_value",
+                "cnt",
+                (
+                    F.col("cnt").cast("double") / F.col("n").cast("double")
+                ).alias("frac"),
+                (
+                    F.col("n").cast("double") / F.col("d").cast("double")
+                ).alias("avg_rows_per_key"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("col_name", "rnk")

@@ -105,7 +105,7 @@ PRIORITY: list[str] = [
     "q_join_asof_nearest", "q_multimodal_phash_recall",
     "q_events_anomaly_mad", "q_profile_table",
     "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
-    "q_events_winsorize",
+    "q_events_winsorize", "q_profile_skew",
 ]
 
 
