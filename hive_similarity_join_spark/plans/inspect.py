@@ -125,6 +125,13 @@ def unpartitioned_window_violations(plan: str) -> list[str]:
             if cname in _AGG_NODES and re.fullmatch(
                 r"\[_ps_pid#\d+\]", agg_keys.get(cnum, "")
             ):
+                # NAMING CONVENTION (not a semantic check, ADVICE r11):
+                # `_ps_pid` is reserved repo-wide for the
+                # spark_partition_id() projection in grouped_prefix_scan
+                # partials — an aggregate grouped by it has at most
+                # n_partitions rows. Any operator that names an
+                # ORDINARY column _ps_pid would be waved through this
+                # gate; don't reuse the name (operators/scan.py owns it).
                 limited = True  # ≤ n_partitions rows by construction
                 break
         if not limited:

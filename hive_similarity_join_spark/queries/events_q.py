@@ -2070,10 +2070,15 @@ def q_events_time_to_convert(spark, sf_dir):
     "q_events_anomaly_mad",
     oracle="""
 WITH med AS (
+  -- value IS NOT NULL: Spark's percentile_disc excludes NULLs, but a
+  -- bare cume_dist window would count them in its denominator (DuckDB
+  -- orders NULLS LAST) — filter the subrelation so both sides stay
+  -- NULL-symmetric even if a regeneration introduces NULL values
+  -- (ADVICE r11; events.value is NOT NULL today, see schema_dump).
   SELECT event_type, min(value) AS med_value FROM (
     SELECT event_type, value,
            cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
-    FROM events
+    FROM events WHERE value IS NOT NULL
   ) WHERE cd >= 0.5 GROUP BY event_type
 ),
 d AS (
@@ -2085,7 +2090,7 @@ mad AS (
   SELECT event_type, min(dev) AS mad_value FROM (
     SELECT event_type, dev,
            cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd
-    FROM d
+    FROM d WHERE dev IS NOT NULL
   ) WHERE cd >= 0.5 GROUP BY event_type
 )
 SELECT d.event_type,
@@ -2166,6 +2171,8 @@ def q_events_anomaly_mad(spark, sf_dir):
     "q_events_winsorize",
     oracle="""
 WITH pct AS (
+  -- value IS NOT NULL mirrors Spark percentile_disc's NULL exclusion
+  -- (ADVICE r11 — see q_events_anomaly_mad's med CTE note).
   SELECT event_type,
          min(CASE WHEN cd05 >= 0.05 THEN value END) AS p05,
          min(CASE WHEN cd05 >= 0.95 THEN value END) AS p95
@@ -2173,7 +2180,7 @@ WITH pct AS (
     SELECT event_type, value,
            cume_dist() OVER (PARTITION BY event_type ORDER BY value)
                AS cd05
-    FROM events
+    FROM events WHERE value IS NOT NULL
   ) GROUP BY event_type
 ),
 c AS (

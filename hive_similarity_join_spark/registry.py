@@ -64,48 +64,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-11 window (positions 1-50) ----
-    # The precomputed rotation from the r10 checklist (CLAUDE.md +
-    # VERDICT r10 item #1), valid verbatim because all 50 r10 window
-    # keys landed full-green verdicts (CORRECTNESS_r10: 50 checked,
-    # 0 not green, 0 err — verified r11 start). Head: the 11 round-10
+    # ---- round-12 window (positions 1-50) ----
+    # The precomputed rotation from the r11 checklist (CLAUDE.md +
+    # VERDICT r11 item #1), valid verbatim because all 50 r11 window
+    # keys landed full-green verdicts (CORRECTNESS_r11: 50 checked,
+    # 0 not green, 0 err — verified r12 start). Head: the 13 round-11
     # additions in their staged order — none has ANY driver verdict.
-    "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
-    "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
-    "q_vec_knn_mrl", "q_events_time_to_convert", "q_agg_gini",
-    "q_report_supplier_scorecard", "q_multimodal_phash",
-    "q_dedup_simhash_recall",
-    # VERDICT r10 amendment: the three keys whose PLANS changed mid-r10
-    # (grouped_prefix_scan rebuild) but whose driver verdicts predate
-    # the change (r9/r8-era) — the stalest evidence in the suite.
-    "q_agg_weighted_median", "q_pack_sequences", "q_events_cusum",
-    # Backfill (36): oldest-latest-verdict keys, recomputed r11 start
-    # from CORRECTNESS_r0{1..10}. Oldest tier = the 24 remaining
-    # r6-era keys in CORRECTNESS_r06 file order, then the 12 oldest
-    # r7-era keys in CORRECTNESS_r07 file order per CLAUDE.md.
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_simjoin_overlap", "q_simjoin_edit", "q_simjoin_bag_jaccard",
-    "q_simjoin_topk", "q_scan_project",
-    "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
-    "q_simjoin_weighted_containment_rs", "q_events_gaps",
-    "q_simjoin_weighted_jaccard", "q_text_keyterms",
-    "q_vec_label_outliers", "q_dedup_cluster_sizes", "q_mixture_drift",
-    "q_stream_tumbling", "q_stream_sliding",
-    # ---- positions 51+ (round-12 head candidates) ----
-    # Stage round-11 additions here as they land; rotate to head at r12
-    # (then backfill with the next-oldest keys — the remaining 36
-    # r7-era keys in CORRECTNESS_r07 file order, starting
-    # q_stream_session q_win_lag q_json_get ... — recompute from
-    # CORRECTNESS_r0{1..11} at r12 start as always).
     "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
     "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
     "q_join_asof_nearest", "q_multimodal_phash_recall",
     "q_events_anomaly_mad", "q_profile_table",
     "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
     "q_events_winsorize", "q_profile_skew",
+    # Backfill (37): oldest-latest-verdict keys, recomputed r12 start
+    # from CORRECTNESS_r0{1..11} (tools snippet in CLAUDE.md). Oldest
+    # tier = the 36 remaining r7-era keys in CORRECTNESS_r07 file
+    # order, then the single next slot goes to the oldest r8-era key
+    # (q_vec_cosine, CORRECTNESS_r08 file order).
+    "q_stream_session", "q_win_lag", "q_json_get", "q_join_asof",
+    "q_join_range", "q_dedup_latest", "q_funnel_stages", "q_pivot",
+    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+    "q_join_multikey", "q_agg_global", "q_agg_groupby", "q_agg_distinct",
+    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_groupingsets",
+    "q_agg_cube", "q_agg_median", "q_agg_percentiles", "q_agg_histogram",
+    "q_win_rownum", "q_win_agg", "q_win_frame", "q_win_rankfuncs",
+    "q_orderby_limit", "q_union", "q_setops", "q_except", "q_distinct",
+    "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
+    "q_vec_cosine",
+    # ---- positions 51+ (round-13 head candidates) ----
+    # Stage round-12 additions here as they land; rotate to head at r13
+    # (then backfill with the next-oldest keys — the 48 remaining
+    # r8-era keys in CORRECTNESS_r08 file order, starting
+    # q_vec_knn_ivf q_bpe_merges q_bpe_segment q_dedup_semantic
+    # q_agg_cms_topk ... — recompute from CORRECTNESS_r0{1..12} at r13
+    # start as always).
 ]
 
 

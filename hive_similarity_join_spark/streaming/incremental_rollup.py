@@ -660,9 +660,11 @@ def merge_qsketch(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
     # most 2K rows. Dedup is by the (h, doc_id) KEY, not the full row
     # (ADVICE r10): a replayed epoch is idempotent either way, but a
     # doc_id reappearing with a CHANGED n_chars must not occupy two of
-    # the K slots — the latest epoch's value wins (max is a stand-in
-    # for "any deterministic pick"; the tested contract is append-only
-    # + replays, where both rows are identical and max is a no-op).
+    # the K slots — max(n_chars) is the DETERMINISTIC pick (order-free,
+    # so merges stay associative/commutative; it is NOT latest-wins —
+    # ADVICE r11). Under the tested append-only + replay contract both
+    # rows are identical and max is a no-op; if latest-wins were ever
+    # required, the carry would need an epoch column to arg-max on.
     return (
         carry.unionByName(delta)
         .groupBy("h", "doc_id")

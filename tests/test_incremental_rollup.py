@@ -456,6 +456,22 @@ def test_mad_epoch_chain_equals_batch_key(spark):
     )
 
     e = _events(spark)
+    # mad_partials' cents bucketing is lossless ONLY under the corpus
+    # 2-decimal contract — assert the round-trip here so a regenerated
+    # corpus with more precision fails this test loudly instead of
+    # silently drifting from the batch key (ADVICE r11; schema_dump
+    # checks the same contract at round start).
+    n_bad = (
+        e.select(
+            (
+                F.floor(F.col("value") * 100 + F.lit(0.5)) / 100.0
+                != F.col("value")
+            ).alias("bad")
+        )
+        .filter("bad")
+        .count()
+    )
+    assert n_bad == 0, "events.value is not cents-exact — mad mirror void"
     carry = None
     for sl in reversed(_epoch_slices(e)):
         carry = merge_mad(carry, mad_partials(sl))

@@ -90,60 +90,49 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round11_correctness_window_composition():
+def test_round12_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-11 contract (the rotation precomputed at r10 end +
-    the VERDICT r10 amendment, valid because CORRECTNESS_r10 was 50/50
-    full green): the 11 round-10 additions lead the window in their
-    staged order (none has any driver verdict), then the 3 keys whose
-    plans changed mid-r10 (grouped_prefix_scan) with pre-change
-    verdicts, then 36 oldest-latest-verdict keys backfill — the 24
-    remaining r6-era keys in CORRECTNESS_r06 file order, then the 12
-    oldest r7-era keys in CORRECTNESS_r07 file order. Round-11
-    additions stay at 51+ (verdicts in the round-12 rotation). A
-    PRIORITY edit that accidentally reorders the window fails here,
-    loudly."""
+    order. Round-12 contract (the rotation precomputed at r11 end,
+    valid verbatim because CORRECTNESS_r11 was 50/50 full green): the
+    13 round-11 additions lead the window in their staged order (none
+    has any driver verdict), then 37 oldest-latest-verdict keys
+    backfill — the 36 remaining r7-era keys in CORRECTNESS_r07 file
+    order, then the oldest r8-era key (q_vec_cosine, CORRECTNESS_r08
+    file order). Round-12 additions stay at 51+ (verdicts in the
+    round-13 rotation). A PRIORITY edit that accidentally reorders the
+    window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_agg_quantile_sketch"
-    assert head[10] == "q_dedup_simhash_recall"
-    assert head[11] == "q_agg_weighted_median"
-    assert head[13] == "q_events_cusum"
-    assert head[14] == "q_tpch_q4"
-    assert head[37] == "q_scan_project"
-    assert head[38] == "q_bpe_pairs"
-    assert head[49] == "q_stream_sliding"
-    staged_r10 = {
-        "q_agg_quantile_sketch", "q_vec_prefix_dim_recall",
-        "q_dedup_threshold_curve", "q_text_zipf_curve", "q_report_ab_test",
-        "q_vec_knn_mrl", "q_events_time_to_convert", "q_agg_gini",
-        "q_report_supplier_scorecard", "q_multimodal_phash",
-        "q_dedup_simhash_recall",
+    assert head[0] == "q_text_simhash_wide"
+    assert head[12] == "q_profile_skew"
+    assert head[13] == "q_stream_session"
+    assert head[48] == "q_ngram"
+    assert head[49] == "q_vec_cosine"
+    staged_r11 = {
+        "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
+        "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
+        "q_join_asof_nearest", "q_multimodal_phash_recall",
+        "q_events_anomaly_mad", "q_profile_table",
+        "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
+        "q_events_winsorize", "q_profile_skew",
     }
-    assert set(head[:11]) == staged_r10, set(head[:11]) ^ staged_r10
-    plan_changed = {"q_agg_weighted_median", "q_pack_sequences",
-                    "q_events_cusum"}
-    assert set(head[11:14]) == plan_changed, set(head[11:14]) ^ plan_changed
-    backfill_r6 = {
-        "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-        "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
-        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-        "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-        "q_tpch_q21", "q_tpch_q22", "q_simjoin_overlap", "q_simjoin_edit",
-        "q_simjoin_bag_jaccard", "q_simjoin_topk", "q_scan_project",
-    }
-    assert set(head[14:38]) == backfill_r6, set(head[14:38]) ^ backfill_r6
+    assert set(head[:13]) == staged_r11, set(head[:13]) ^ staged_r11
     backfill_r7 = {
-        "q_bpe_pairs", "q_text_novelty", "q_vec_knn_label",
-        "q_simjoin_weighted_containment_rs", "q_events_gaps",
-        "q_simjoin_weighted_jaccard", "q_text_keyterms",
-        "q_vec_label_outliers", "q_dedup_cluster_sizes", "q_mixture_drift",
-        "q_stream_tumbling", "q_stream_sliding",
+        "q_stream_session", "q_win_lag", "q_json_get", "q_join_asof",
+        "q_join_range", "q_dedup_latest", "q_funnel_stages", "q_pivot",
+        "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+        "q_join_multikey", "q_agg_global", "q_agg_groupby",
+        "q_agg_distinct", "q_agg_approx_distinct", "q_agg_rollup",
+        "q_agg_groupingsets", "q_agg_cube", "q_agg_median",
+        "q_agg_percentiles", "q_agg_histogram", "q_win_rownum",
+        "q_win_agg", "q_win_frame", "q_win_rankfuncs", "q_orderby_limit",
+        "q_union", "q_setops", "q_except", "q_distinct", "q_str_funcs",
+        "q_math_funcs", "q_date_funcs", "q_ngram",
     }
-    assert set(head[38:]) == backfill_r7, set(head[38:]) ^ backfill_r7
+    assert set(head[13:49]) == backfill_r7, set(head[13:49]) ^ backfill_r7
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):

@@ -26,6 +26,44 @@ KNOWN_VOLATILE = {
 }
 
 
+def check_value_contracts(sf_dir: str) -> int:
+    """Data contracts several keys assume but a round-boundary
+    regeneration could silently break (ADVICE r11):
+
+    - events.value has no NULLs (the percentile oracles were made
+      NULL-symmetric defensively, but the streaming MAD mirror and the
+      fence keys were only ever verified NULL-free);
+    - events.value is cents-exact: floor(value*100 + 0.5)/100 == value,
+      the precondition for incremental_rollup.mad_partials' integer
+      bucketing being bit-equal to the batch key's double percentile.
+    """
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        print("\n(no events table — value-contract checks skipped)")
+        return 0
+    value = pq.read_table(path, columns=["value"]).column("value")
+    problems = 0
+    n_null = value.null_count
+    if n_null:
+        print(f"\nCONTRACT BROKEN: events.value has {n_null} NULLs "
+              "(keys were verified NULL-free; audit percentile/MAD keys)")
+        problems += 1
+    cents = pc.floor(pc.add(pc.multiply(value, 100.0), 0.5))
+    bad = pc.sum(
+        pc.cast(pc.not_equal(pc.divide(cents, 100.0), value), "int64")
+    ).as_py() or 0
+    if bad:
+        print(f"\nCONTRACT BROKEN: events.value not cents-exact on {bad} "
+              "row(s) — mad_partials' integer bucketing no longer mirrors "
+              "the batch double percentile (incremental_rollup.py)")
+        problems += 1
+    if not problems:
+        print("\nevents.value contracts hold (no NULLs, cents-exact)")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     problems = 0
@@ -47,6 +85,7 @@ def main() -> int:
         print(f"\n{problems} unhandled physical-type change(s) — fix the loader first")
     else:
         print("\nall volatile columns are on known-handled legs")
+    problems += check_value_contracts(sf_dir)
     return 1 if problems else 0
 
 
