@@ -1,0 +1,278 @@
+"""Unigram-LM (SentencePiece-family) tokenizer-training query keys.
+
+The BPE trainer's sibling (operators/bpe.py trains by merging;
+operators/unigram.py trains by hard-EM over a seeded piece vocabulary
+— module docstring there has the full model definition and the
+bit-exactness argument: Viterbi DP in IEEE multiply/divide/compare
+only, no adds to FMA-fuse, no transcendentals).
+
+Three keys pin the full train loop end-to-end, mirroring the BPE key
+family (q_bpe_pairs / q_bpe_merges / q_bpe_segment):
+
+- ``q_unigram_lm_seed``  — the seeded piece vocabulary (stage 1).
+- ``q_unigram_lm_em``    — piece counts + probabilities after EM
+  rounds 1 and 2 (the first two M-steps, each from a full Viterbi
+  E-step over the word relation).
+- ``q_unigram_segment``  — the round-2 Viterbi segmentations of the
+  corpus vocabulary, with their (bit-deterministic) path scores.
+
+The oracle mirrors the DP with one generated CTE per character
+position per round (the ``_bpe_round_ctes`` device scaled up): both
+engines run the SAME multiply chain in the same association order and
+pick winners with the SAME lexicographic struct-min, so the doubles
+hash bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators import unigram as UG
+from hive_similarity_join_spark.registry import query
+from hive_similarity_join_spark.sources.loader import load_table
+
+_W = UG.MAX_WORD_LEN
+_P = UG.MAX_PIECE_LEN
+_K = UG.SEED_K_MULTI
+_SEED_TOP = 50
+_EM_TOP = 25
+_SEG_TOP = 50
+
+
+def _base_ctes() -> str:
+    """bags -> word-frequency -> substring-edge -> seed CTEs (shared
+    prefix of all three oracles)."""
+    return f"""bags AS MATERIALIZED (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_W}
+  GROUP BY 1
+),
+subs AS MATERIALIZED (
+  SELECT word, n, i - 1 AS src, i + l - 1 AS dst,
+         word[i : i + l - 1] AS piece
+  FROM wf, unnest(generate_series(1, len(word))) AS s(i),
+       unnest(generate_series(1, {_P})) AS t(l)
+  WHERE i + l - 1 <= len(word)
+),
+sc AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM subs GROUP BY 1
+),
+seed AS MATERIALIZED (
+  SELECT piece, cnt FROM sc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM sc WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {_K}
+  )
+)"""
+
+
+def _round_ctes(r: int, prev_pieces: str) -> str:
+    """One hard-EM round as SQL: probabilities from ``prev_pieces``
+    (piece, cnt), the Viterbi DP as one CTE per character position
+    (min of struct(ns, k, seg) — ns is the NEGATED probability
+    product, so struct-min is probability-max with (fewer pieces,
+    segmentation ASC) tie-break), the segmentation join-back, and the
+    M-step piece counts."""
+    parts = [
+        f"""pieces{r} AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS DOUBLE) /
+         (SELECT CAST(sum(cnt) AS DOUBLE) FROM {prev_pieces}) AS p
+  FROM {prev_pieces}
+)""",
+        f"""edges{r} AS MATERIALIZED (
+  SELECT s.word AS word, s.src AS src, s.dst AS dst,
+         s.piece AS piece, v.p AS p
+  FROM subs s JOIN pieces{r} v USING (piece)
+)""",
+        f"""dp{r}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(-1.0 AS DOUBLE) AS ns, 0 AS k, '' AS seg
+  FROM wf
+)""",
+    ]
+    for j in range(1, _W + 1):
+        lo = max(0, j - _P)
+        frontier = "\n      UNION ALL ".join(
+            f"SELECT word, pos, ns, k, seg FROM dp{r}_{i}"
+            for i in range(lo, j)
+        )
+        parts.append(f"""dp{r}_{j} AS MATERIALIZED (
+  SELECT word, {j} AS pos, best.ns AS ns, best.k AS k, best.seg AS seg
+  FROM (
+    SELECT a.word AS word,
+           min(struct_pack(
+               ns := a.ns * e.p,
+               k := a.k + 1,
+               seg := CASE WHEN a.pos = 0 THEN e.piece
+                           ELSE a.seg || ' ' || e.piece END)) AS best
+    FROM ({frontier}) a
+    JOIN edges{r} e
+      ON e.word = a.word AND e.src = a.pos AND e.dst = {j}
+    GROUP BY a.word
+  )
+)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT word, pos, ns, k, seg FROM dp{r}_{j}"
+        for j in range(1, _W + 1)
+    )
+    parts.append(f"""seg{r} AS MATERIALIZED (
+  SELECT wf.word AS word, wf.n AS n, d.k AS k, d.seg AS seg, d.ns AS ns
+  FROM wf JOIN (
+    {union}
+  ) d ON d.word = wf.word AND d.pos = len(wf.word)
+)""")
+    parts.append(f"""pc{r} AS MATERIALIZED (
+  SELECT t.piece AS piece, CAST(sum(n) AS BIGINT) AS cnt
+  FROM seg{r}, unnest(string_split(seg, ' ')) AS t(piece)
+  GROUP BY 1
+)""")
+    return ",\n".join(parts)
+
+
+_SEED_SQL = f"""
+WITH {_base_ctes()}
+SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
+       CAST(cnt AS DOUBLE) /
+       (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed) AS prob
+FROM seed
+ORDER BY cnt DESC, piece LIMIT {_SEED_TOP}
+"""
+
+_EM_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")}
+SELECT CAST(1 AS BIGINT) AS em_round, piece, cnt,
+       CAST(cnt AS DOUBLE) /
+       (SELECT CAST(sum(cnt) AS DOUBLE) FROM pc1) AS prob
+FROM (SELECT piece, cnt FROM pc1 ORDER BY cnt DESC, piece LIMIT {_EM_TOP})
+UNION ALL
+SELECT CAST(2 AS BIGINT), piece, cnt,
+       CAST(cnt AS DOUBLE) /
+       (SELECT CAST(sum(cnt) AS DOUBLE) FROM pc2) AS prob
+FROM (SELECT piece, cnt FROM pc2 ORDER BY cnt DESC, piece LIMIT {_EM_TOP})
+"""
+
+_SEG_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")}
+SELECT word, n, CAST(k AS BIGINT) AS n_pieces, seg AS segmented,
+       -ns AS score
+FROM seg2
+ORDER BY n DESC, word LIMIT {_SEG_TOP}
+"""
+
+
+@query("q_unigram_lm_seed", oracle=_SEED_SQL)
+def q_unigram_lm_seed(spark, sf_dir):
+    """Unigram-LM trainer stage 1 — the seeded piece vocabulary: every
+    substring (length 1..{P}) of every trainable word, occurrence-
+    weighted; ALL single chars kept (coverage guarantee) + the
+    top-{K} multi-char pieces by (count DESC, piece ASC). Emits the
+    top-{TOP} seed pieces with their counts and normalized
+    probabilities (one exact int->double cast + one IEEE divide —
+    bit-equal across engines).
+
+    Scale shape: the substring explode runs over the VOCABULARY-sized
+    word-frequency relation (the one corpus-sized pass is the word
+    count), the count is a piece-keyed partial-aggregated shuffle, and
+    both the multi-char top-k and the output top-k plan as
+    TakeOrderedAndProject. See operators/unigram.py for the full
+    trainer posture.""".format(P=_P, K=_K, TOP=_SEED_TOP)
+    d = load_table(spark, sf_dir, "documents")
+    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+    seed = UG.with_probs(UG.seed_pieces(UG.substrings(wf, _P), _K))
+    return (
+        seed.select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "cnt",
+            F.col("p").alias("prob"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_SEED_TOP)
+    )
+
+
+@query("q_unigram_lm_em", oracle=_EM_SQL)
+def q_unigram_lm_em(spark, sf_dir):
+    """The unigram-LM trainer's first two hard-EM rounds, pinned
+    bit-exactly: each round Viterbi-segments every trainable word
+    under the current piece probabilities (DP over character
+    positions — probability-max with (fewer pieces, segmentation ASC)
+    tie-break) and re-estimates probabilities from the occurrence-
+    weighted piece counts of those segmentations, pruning pieces that
+    earned no mass. Emits the top-{TOP} pieces of each round with
+    count and probability.
+
+    Determinism: the DP score is a pure IEEE multiply chain in fixed
+    association order, compared exactly — both engines compute
+    bit-identical candidate sets and pick identical winners (see
+    operators/unigram.py for why hard-EM is the exactness-compatible
+    EM variant). Counts are exact integers; each probability is one
+    divide.
+
+    Scale shape: per round, the piece relation BROADCASTS into the
+    vocab-sized substring-edge join, each word's edge list collects in
+    one word-keyed shuffle, and the whole DP runs inside a single
+    codegen'd higher-order expression per word (operators/unigram.py
+    viterbi_segment — two vocab-sized shuffles per E-step, no
+    per-layer joins); the M-step count is one piece-keyed shuffle.
+    Nothing after the initial word count touches the corpus.""".format(
+        TOP=_EM_TOP
+    )
+    d = load_table(spark, sf_dir, "documents")
+    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+    rounds, _seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    out = None
+    for r in (1, 2):
+        leg = (
+            rounds[r]
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(_EM_TOP)
+            .select(
+                F.lit(r).cast("bigint").alias("em_round"),
+                "piece",
+                "cnt",
+                F.col("p").alias("prob"),
+            )
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out
+
+
+@query("q_unigram_segment", oracle=_SEG_SQL)
+def q_unigram_segment(spark, sf_dir):
+    """The trained unigram tokenizer APPLIED (the q_bpe_segment
+    mirror): every trainable corpus word with its round-2 Viterbi
+    segmentation — word, occurrence count, piece count, space-joined
+    segmentation, and the segmentation's probability-product score
+    (bit-deterministic: the DP's own multiply chain, negated out of
+    the struct-min ordering key). Top-{TOP} words by (count DESC,
+    word ASC). Together with q_unigram_lm_em this pins the full
+    train-then-encode loop, exactly as q_bpe_merges + q_bpe_segment
+    pin BPE's.
+
+    Scale shape: identical to q_unigram_lm_em (the segmentation IS
+    round 2's E-step relation); the top-k is TakeOrderedAndProject
+    over the vocabulary.""".format(TOP=_SEG_TOP)
+    d = load_table(spark, sf_dir, "documents")
+    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    return (
+        seg.select(
+            "word",
+            "n",
+            F.col("k").cast("bigint").alias("n_pieces"),
+            F.col("seg").alias("segmented"),
+            (-F.col("ns")).alias("score"),
+        )
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_SEG_TOP)
+    )

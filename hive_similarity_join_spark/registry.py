@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     # q_vec_knn_ivf q_bpe_merges q_bpe_segment q_dedup_semantic
     # q_agg_cms_topk ... — recompute from CORRECTNESS_r0{1..12} at r13
     # start as always).
+    "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
 ]
 
 

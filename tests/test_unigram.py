@@ -1,0 +1,164 @@
+"""Unigram-LM trainer: equivalence with the single-node reference
+algorithm (hard-EM / Viterbi-EM — operators/unigram.py docstring has
+the model definition), checked EXACTLY, floats included: the reference
+runs the same IEEE multiply/divide/compare chain in Python (whose
+floats are IEEE doubles), so scores must match bit-for-bit, not
+approximately."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hive_similarity_join_spark.functions import text as TX
+from hive_similarity_join_spark.operators import unigram as UG
+from hive_similarity_join_spark.sources.loader import load_table
+from tests.conftest import SF_SMOKE
+
+W, P, K = UG.MAX_WORD_LEN, UG.MAX_PIECE_LEN, UG.SEED_K_MULTI
+
+
+def _ref_word_freqs(texts: list[str]) -> dict[str, int]:
+    cnt: Counter = Counter()
+    for t in texts:
+        for tok in re.split(r"\s+", t.lower()):
+            if tok and re.fullmatch(r"[a-z0-9]+", tok) and len(tok) <= W:
+                cnt[tok] += 1
+    return dict(cnt)
+
+
+def _ref_seed(words: dict[str, int]) -> dict[str, int]:
+    cnt: Counter = Counter()
+    for w, n in words.items():
+        for i in range(len(w)):
+            for l in range(1, P + 1):
+                if i + l <= len(w):
+                    cnt[w[i : i + l]] += n
+    seed = {p: c for p, c in cnt.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:K]
+    seed.update(dict(multi))
+    return seed
+
+
+def _ref_probs(counts: dict[str, int]) -> dict[str, tuple[int, float]]:
+    t = float(sum(counts.values()))
+    return {p: (c, float(c) / t) for p, c in counts.items()}
+
+
+def _ref_viterbi(
+    words: dict[str, int], probs: dict[str, tuple[int, float]]
+) -> dict[str, tuple[float, int, str]]:
+    """word -> (ns, k, seg): min-struct DP, same tuple ordering the
+    engines use (ns ASC = prob DESC, then k ASC, then seg ASC)."""
+    out = {}
+    for w in words:
+        dp: list[tuple[float, int, str] | None] = [(-1.0, 0, "")] + [
+            None
+        ] * len(w)
+        for j in range(1, len(w) + 1):
+            best = None
+            for l in range(1, min(P, j) + 1):
+                i = j - l
+                s = w[i:j]
+                if s in probs and dp[i] is not None:
+                    prev = dp[i]
+                    cand = (
+                        prev[0] * probs[s][1],
+                        prev[1] + 1,
+                        s if i == 0 else prev[2] + " " + s,
+                    )
+                    if best is None or cand < best:
+                        best = cand
+            dp[j] = best
+        assert dp[len(w)] is not None
+        out[w] = dp[len(w)]
+    return out
+
+
+def _ref_train(words: dict[str, int], rounds: int):
+    piece_rounds = [_ref_probs(_ref_seed(words))]
+    seg = None
+    for _ in range(rounds):
+        seg = _ref_viterbi(words, piece_rounds[-1])
+        cnt: Counter = Counter()
+        for w, n in words.items():
+            for p in seg[w][2].split(" "):
+                cnt[p] += n
+        piece_rounds.append(_ref_probs(dict(cnt)))
+    return piece_rounds, seg
+
+
+def _texts() -> list[str]:
+    return (
+        pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])[
+            "text"
+        ].tolist()
+    )
+
+
+def _spark_wf(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    return UG.word_freqs_plain(d, TX.bag_tokens("text"), W)
+
+
+def test_word_freqs_match_reference(spark):
+    got = {r.word: r.n for r in _spark_wf(spark).collect()}
+    assert got == _ref_word_freqs(_texts())
+
+
+def test_seed_pieces_and_probs_match_reference(spark):
+    wf = _spark_wf(spark)
+    got = {
+        r.piece: (r.cnt, r.p)
+        for r in UG.with_probs(
+            UG.seed_pieces(UG.substrings(wf, P), K)
+        ).collect()
+    }
+    ref = _ref_probs(_ref_seed(_ref_word_freqs(_texts())))
+    assert got == ref  # exact, probabilities bit-included
+
+
+def test_em_rounds_and_segmentation_match_reference(spark):
+    """Two full hard-EM rounds: per-round piece counts AND
+    probabilities match the reference exactly, and the final E-step's
+    segmentations (including the float path scores) are bit-equal."""
+    wf = _spark_wf(spark)
+    rounds, seg = UG.unigram_train(wf, 2, K, W, P)
+    ref_rounds, ref_seg = _ref_train(_ref_word_freqs(_texts()), 2)
+    for r in (1, 2):
+        got = {r_.piece: (r_.cnt, r_.p) for r_ in rounds[r].collect()}
+        assert got == ref_rounds[r], f"EM round {r} diverged"
+    got_seg = {r.word: (r.ns, r.k, r.seg, r.n) for r in seg.collect()}
+    ref_wf = _ref_word_freqs(_texts())
+    assert got_seg == {
+        w: (v[0], v[1], v[2], ref_wf[w]) for w, v in ref_seg.items()
+    }
+
+
+def test_round2_pieces_are_pruned_subset(spark):
+    """The M-step prunes: round-2 pieces are exactly the pieces used by
+    round-1 segmentations — a subset of the seed, and every word keeps
+    a segmentation path (the final position is always reachable)."""
+    wf = _spark_wf(spark)
+    rounds, seg = UG.unigram_train(wf, 2, K, W, P)
+    seed = {r.piece for r in rounds[0].collect()}
+    r2 = {r.piece for r in rounds[1].collect()}
+    assert r2 <= seed and len(r2) < len(seed)
+    n_words = wf.count()
+    assert seg.filter(F.col("seg").isNotNull()).count() == n_words
+
+
+def test_viterbi_prefers_probable_pieces():
+    """Planted check (no corpus): with one dominant multi-char piece,
+    Viterbi picks it; tie-break prefers fewer pieces then ASC string."""
+    words = {"abab": 1}
+    probs = {"ab": (8, 0.5), "a": (2, 0.125), "b": (2, 0.125), "ba": (4, 0.25)}
+    seg = _ref_viterbi(words, probs)
+    assert seg["abab"][2] == "ab ab"
+    assert seg["abab"][0] == -(0.5 * 0.5)
