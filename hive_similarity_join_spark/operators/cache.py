@@ -59,6 +59,67 @@ def batch_pinned(
             pass  # session already stopped — nothing to release
 
 
+_SESSION_PINS: dict[str, tuple[str, DataFrame]] = {}
+
+
+def session_pin(name: str, scope: str, build) -> DataFrame:
+    """Session-lifetime pin for a TINY relation shared across builder
+    entries (the audit family's exact-pair denominator — VERDICT r11
+    item 4: five recall audits each re-ran the flagship t=0.8
+    self-join; now the first audit in a session materializes it once
+    and the rest reuse the cached relation).
+
+    Deliberately narrower than :func:`pin`:
+
+    - keyed by ``name`` with at most ONE live relation per name; a new
+      ``scope`` (different sf_dir or a new SparkSession applicationId)
+      releases the previous pin first, so the cache cannot accumulate
+      one relation per (key x sf_dir) the way the r8 per-key leak did;
+    - NOT released by :func:`release_pins` at builder entry — that is
+      the point: the relation outlives the builder that built it. Only
+      id-pair-sized relations (a few MB at sf0.1) belong here;
+    - self-healing: ``spark.catalog.clearCache()`` (the plan-gate
+      tripwire loop does this between keys) silently drops the cached
+      data AND its CacheManager registration, so the pin re-persists
+      whenever the tracked DataFrame reports StorageLevel NONE.
+
+    Correctness is unaffected either way — the relation is
+    deterministic (bit-exact oracle contract), so a dropped pin just
+    recomputes cold.
+    """
+    cur = _SESSION_PINS.get(name)
+    if cur is not None and cur[0] == scope:
+        df = cur[1]
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                return df
+            df = df.persist()  # re-register after a clearCache()
+            _SESSION_PINS[name] = (scope, df)
+            return df
+        except Exception:
+            pass  # session died under us — rebuild below
+    if cur is not None:
+        try:
+            cur[1].unpersist()
+        except Exception:
+            pass  # stale session — nothing to release
+    df = build().persist()
+    _SESSION_PINS[name] = (scope, df)
+    return df
+
+
+def release_session_pins() -> int:
+    """Unpersist every session pin (test teardown / explicit reset)."""
+    global _SESSION_PINS
+    old, _SESSION_PINS = _SESSION_PINS, {}
+    for _, df in old.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(old)
+
+
 def pin(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist ``df`` and track it for release at the next builder entry."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()

@@ -45,18 +45,22 @@ PERM_B = (
 assert len(PERM_A) == len(PERM_B) == NUM_PERM
 
 
-def _minhash_sig_ctes() -> str:
+def _minhash_sig_ctes(src: str = "documents") -> str:
     """The shared DuckDB CTE pipeline every MinHash oracle opens with
     (tokenize -> rarest-first rank -> permutations -> signatures ->
     band signatures) — ONE definition so a change to the permutation
     scheme, tie-break, or band layout cannot silently diverge between
     the four consuming oracles (minhash pairs, incremental screen,
-    estimate audit, fuzzy decontamination)."""
+    estimate audit, fuzzy decontamination). ``src`` substitutes a
+    restricted corpus subquery (the sampled-denominator audit) — note
+    token ranks, and therefore signature values, are then computed
+    over THAT corpus's vocabulary, exactly like the Spark operator on
+    the same filtered DataFrame."""
     a_list = "[" + ", ".join(str(a) for a in PERM_A) + "]"
     b_list = "[" + ", ".join(str(b) for b in PERM_B) + "]"
     return f"""WITH tok AS (
   SELECT DISTINCT doc_id, t.tok
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  FROM {src}, unnest(string_split(lower(text), ' ')) AS t(tok)
   WHERE t.tok <> ''
 ),
 freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
@@ -372,10 +376,11 @@ WHERE d.doc_id % {new_mod} = {new_rem}
 """
 
 
-def duck_minhash_oracle(threshold: float) -> str:
-    """DuckDB mirror of minhash_lsh_pairs on the documents table."""
+def duck_minhash_oracle(threshold: float, src: str = "documents") -> str:
+    """DuckDB mirror of minhash_lsh_pairs on the documents table (or a
+    restricted ``src`` subquery — the sampled audit)."""
     return f"""
-{MINHASH_SIG_CTES},
+{_minhash_sig_ctes(src)},
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b

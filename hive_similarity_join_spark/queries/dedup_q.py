@@ -2219,6 +2219,37 @@ def q_docs_dup_matrix(spark, sf_dir):
 # ---------------- LSH dedup recall/precision audit
 
 
+def exact_pair_graph(spark, sf_dir):
+    """The flagship exact t=0.8 Jaccard pair relation (id1, id2),
+    SESSION-pinned (operators/cache.py:session_pin) so the five recall
+    audits that all use it as their truth denominator
+    (q_dedup_lsh_recall, q_dedup_lsh_band_sweep, the two
+    q_dedup_simhash_*_recall rows, q_dedup_sorted_neighborhood)
+    materialize it ONCE per (session, sf_dir) instead of each
+    re-running the full exact self-join — VERDICT r11 item 4 (~100s of
+    the 679s suite was five recomputes of the same pair graph). The
+    relation is two id columns, ~965k rows at sf0.1 — a few MB, safe
+    to keep cached for the session; a different sf_dir or a new
+    session releases it first.
+
+    Audit semantics are unchanged: this is still the already-
+    hash-verified flagship key composed verbatim (same builder, same
+    oracle CTE), so the audits cannot drift from what they audit, and
+    a dropped pin (clearCache) degrades to recompute, never to a
+    different answer."""
+    from hive_similarity_join_spark.operators.cache import session_pin
+    from hive_similarity_join_spark.queries.similarity_q import (
+        q_simjoin_jaccard_self,
+    )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_pin(
+        "exact_pair_graph_t08",
+        scope,
+        lambda: q_simjoin_jaccard_self(spark, sf_dir).select("id1", "id2"),
+    )
+
+
 def _lsh_recall_oracle() -> str:
     from hive_similarity_join_spark.registry import ORACLES
 
@@ -2256,11 +2287,7 @@ def q_dedup_lsh_recall(spark, sf_dir):
     joins two id-pair relations — trivial next to generating them.
     This is the dial-tuning dashboard for (bands, rows): re-run per
     corpus before committing a dedup config at 100 TB."""
-    from hive_similarity_join_spark.queries.similarity_q import (
-        q_simjoin_jaccard_self,
-    )
-
-    exact = q_simjoin_jaccard_self(spark, sf_dir).select("id1", "id2")
+    exact = exact_pair_graph(spark, sf_dir)
     lsh = q_dedup_minhash_lsh(spark, sf_dir).select("id1", "id2")
     ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
@@ -2281,6 +2308,133 @@ def q_dedup_lsh_recall(spark, sf_dir):
             (
                 F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
             ).alias("recall"),
+        )
+    )
+
+
+# ------- sampled-denominator LSH recall audit (the 100 TB posture)
+
+# Deterministic md5-bucket doc sample: first hex char of md5(doc_id)
+# in 0-3 -> 4/16 = 25% of docs, ~6.25% of pairs. Both engines compute
+# md5 of the decimal doc_id string identically (the q_agg_quantile_
+# sketch / CDC-coin device), so the sample is bit-identical.
+_SAMPLE_HEX = ("0", "1", "2", "3")
+_SAMPLED_SRC = (
+    "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),"
+    f" 1, 1) IN {_SAMPLE_HEX!r})"
+)
+
+
+def _sampled_docs_pred():
+    return F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).isin(*_SAMPLE_HEX)
+
+
+def _lsh_recall_sampled_oracle() -> str:
+    from hive_similarity_join_spark.queries.similarity_q import (
+        _jaccard_oracle,
+    )
+
+    exact_sql = _jaccard_oracle(
+        MINHASH_T, left_src=_SAMPLED_SRC, right_src=_SAMPLED_SRC
+    )
+    lsh_sql = duck_minhash_oracle(MINHASH_T, src=_SAMPLED_SRC)
+    return f"""
+WITH exact AS ({exact_sql}),
+lsh AS ({lsh_sql}),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled
+       FROM {_SAMPLED_SRC} s),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_sampled FROM exact),
+nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh_sampled FROM lsh),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits_sampled
+  FROM lsh l JOIN exact e ON e.id1 = l.id1 AND e.id2 = l.id2
+)
+SELECT nd.n_docs, ns.n_docs_sampled,
+       CAST(ns.n_docs_sampled AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
+           AS sample_frac,
+       ne.n_exact_sampled, nl.n_lsh_sampled, h.n_hits_sampled,
+       CAST(h.n_hits_sampled AS DOUBLE) / CAST(nl.n_lsh_sampled AS DOUBLE)
+           AS precision_sampled,
+       CAST(h.n_hits_sampled AS DOUBLE) / CAST(ne.n_exact_sampled AS DOUBLE)
+           AS recall_sampled
+FROM nd, ns, ne, nl, hits h
+"""
+
+
+@query("q_dedup_lsh_recall_sampled", oracle=_lsh_recall_sampled_oracle())
+def q_dedup_lsh_recall_sampled(spark, sf_dir):
+    """The SAMPLED-denominator recall audit — the 100 TB posture of
+    q_dedup_lsh_recall (VERDICT r11 item 4): at full scale the exact
+    t=0.8 pair graph IS a cluster-day dedup job, so re-running it just
+    to measure recall is not a runnable audit. Instead, restrict the
+    corpus to a deterministic md5-bucket sample of docs (first hex
+    char of md5(doc_id) in 0-3 -> 25% of docs, so the exact generator
+    runs on ~1/16 of the pair work) and measure LSH recall/precision
+    INSIDE the sample: both generators — the exact kernel and the
+    banded MinHash join, the same operators as the full keys — run on
+    the sampled subcorpus, and the recall is a ratio estimator of the
+    full number (a true pair survives sampling iff both endpoints do;
+    MinHash collision probability is a property of the pair's Jaccard,
+    not of which other docs are present — the per-doc signatures DO
+    re-rank tokens against the sample vocabulary, which re-randomizes
+    the permutations but not the collision statistics).
+
+    Sampling error, measured at sf0.01 against the full audit
+    (q_dedup_lsh_recall, recall 0.7901): sampled recall 0.7867 on 140
+    of 500 docs — |error| 0.003 for ~13x less exact-join work
+    ((140/500)^2 of the pair volume); tests/test_sampled_audit.py pins
+    sampled-vs-full agreement at smoke scale each run. Precision
+    stays 1.0 by construction (LSH candidates are verified at exact
+    Jaccard).
+
+    Scale shape: identical to the full keys (prefix-filtered kernel,
+    banded equi-join) on a 4x smaller doc relation; the sample
+    predicate is one md5 per row, pushed into both scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(_sampled_docs_pred())
+    exact = similarity_join(
+        sampled, "doc_id", "text", threshold=MINHASH_T, measure="jaccard"
+    ).select("id1", "id2")
+    lsh = minhash_lsh_pairs(
+        sampled, "doc_id", "text", threshold=MINHASH_T
+    ).select("id1", "id2")
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ns = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    ne = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_sampled")
+    )
+    nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_sampled"))
+    hits = lsh.join(exact, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits_sampled")
+    )
+    return (
+        nd.crossJoin(ns)
+        .crossJoin(ne)
+        .crossJoin(nl)
+        .crossJoin(hits)
+        .select(
+            "n_docs",
+            "n_docs_sampled",
+            (
+                F.col("n_docs_sampled").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("sample_frac"),
+            "n_exact_sampled",
+            "n_lsh_sampled",
+            "n_hits_sampled",
+            (
+                F.col("n_hits_sampled").cast("double")
+                / F.col("n_lsh_sampled").cast("double")
+            ).alias("precision_sampled"),
+            (
+                F.col("n_hits_sampled").cast("double")
+                / F.col("n_exact_sampled").cast("double")
+            ).alias("recall_sampled"),
         )
     )
 
@@ -2356,9 +2510,6 @@ def q_dedup_lsh_band_sweep(spark, sf_dir):
     the already-hash-verified exact key composed verbatim."""
     from hive_similarity_join_spark.operators.dedup import minhash_signatures
     from hive_similarity_join_spark.operators.partitions import parallelism
-    from hive_similarity_join_spark.queries.similarity_q import (
-        q_simjoin_jaccard_self,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text")
@@ -2410,7 +2561,7 @@ def q_dedup_lsh_band_sweep(spark, sf_dir):
         .repartition(n_part, "_nb", "id1", "id2")
         .distinct()
     )
-    truth = q_simjoin_jaccard_self(spark, sf_dir).select(
+    truth = exact_pair_graph(spark, sf_dir).select(
         "id1", "id2", F.lit(1).alias("_hit")
     )
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
@@ -2592,11 +2743,7 @@ def _simhash_recall_audit(spark, sf_dir, sh_builder):
     keys composed verbatim, so the audit cannot drift from what it
     audits; the intersection joins two id-pair relations — trivial
     next to generating them."""
-    from hive_similarity_join_spark.queries.similarity_q import (
-        q_simjoin_jaccard_self,
-    )
-
-    exact = q_simjoin_jaccard_self(spark, sf_dir).select("id1", "id2")
+    exact = exact_pair_graph(spark, sf_dir)
     sh = sh_builder(spark, sf_dir).select("id1", "id2")
     ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     ns = sh.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
@@ -2718,10 +2865,6 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
     relation (gap <= w), one pass for all three windows. The exact
     pair graph (the recall denominator) composes the already-verified
     flagship key, like every audit in this family."""
-    from hive_similarity_join_spark.queries.similarity_q import (
-        q_simjoin_jaccard_self,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     arrs = docs.select(
         "doc_id", F.array_sort(TX.set_tokens("text")).alias("toks")
@@ -2783,7 +2926,7 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
         aggs.append(F.sum(hit).cast("bigint").alias(f"c_{w}"))
         aggs.append(F.sum(ver).cast("bigint").alias(f"p_{w}"))
     stats = j.agg(*aggs)
-    nt = q_simjoin_jaccard_self(spark, sf_dir).agg(
+    nt = exact_pair_graph(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
     stack_args = ", ".join(

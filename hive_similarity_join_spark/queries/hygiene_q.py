@@ -1193,6 +1193,158 @@ def q_mixture_drift(spark, sf_dir):
     )
 
 
+# ----------------- iterative domain reweighting (DoReMi-flavored)
+
+
+def _mixture_reweight_oracle() -> str:
+    from hive_similarity_join_spark.operators.reweight import (
+        ETA,
+        KEEP,
+        MIX,
+        REWEIGHT_ROUNDS,
+        SCALE,
+        SMOOTH_DEN,
+        duck_reweight_ctes,
+    )
+
+    rw_ctes, rw_final = duck_reweight_ctes("lossx", REWEIGHT_ROUNDS)
+    # silence unused-name lint for constants documented in the key
+    _ = (ETA, KEEP, MIX, SMOOTH_DEN)
+    return f"""
+WITH bags AS (
+  SELECT doc_id, source, {TX.duck_bag()} AS bag FROM documents
+),
+occ AS (
+  SELECT doc_id, source, t.i AS pos, bag[t.i] AS tok
+  FROM bags, unnest(generate_series(1, len(bag))) AS t(i)
+),
+bgw AS (
+  SELECT doc_id, source, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_ref
+  FROM occ
+),
+b AS (SELECT * FROM bgw WHERE w2 IS NOT NULL),
+refv AS (SELECT DISTINCT w1, w2 FROM b WHERE is_ref),
+loss_raw AS (
+  SELECT b.source,
+         CAST(count(*) AS BIGINT) AS n_heldout_bigrams,
+         CAST(sum(CASE WHEN r.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+  FROM b LEFT JOIN refv r ON r.w1 = b.w1 AND r.w2 = b.w2
+  WHERE NOT b.is_ref
+  GROUP BY b.source
+),
+lossx AS (
+  SELECT source, n_heldout_bigrams, n_oov,
+         CAST((n_oov * {SCALE}) // n_heldout_bigrams AS BIGINT)
+             AS loss_scaled
+  FROM loss_raw
+),
+{rw_ctes},
+shares AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+totw AS (SELECT CAST(count(*) AS HUGEINT) * {SCALE} AS t FROM lossx)
+SELECT l.source, s.n_docs,
+       CAST(s.n_docs AS DOUBLE) / CAST(nd.total AS DOUBLE) AS base_share,
+       l.n_heldout_bigrams, l.n_oov, l.loss_scaled,
+       f.weight_scaled,
+       CAST(f.weight_scaled AS DOUBLE) / CAST(totw.t AS DOUBLE)
+           AS weight_frac,
+       (CAST(f.weight_scaled AS DOUBLE) / CAST(totw.t AS DOUBLE))
+           / (CAST(s.n_docs AS DOUBLE) / CAST(nd.total AS DOUBLE))
+           AS rate_multiplier
+FROM lossx l
+JOIN {rw_final} f USING (source)
+JOIN shares s USING (source)
+CROSS JOIN nd CROSS JOIN totw
+"""
+
+
+@query("q_mixture_reweight", oracle=_mixture_reweight_oracle())
+def q_mixture_reweight(spark, sf_dir):
+    """Iterative domain-mixture reweighting (DoReMi-flavored) — closes
+    the loop q_mixture_drift only diagnoses (VERDICT r11 item 5): from
+    a per-domain loss proxy to per-domain sample-rate multipliers in
+    REWEIGHT_ROUNDS exact multiplicative-weights rounds
+    (operators/reweight.py — positive-integer arithmetic throughout,
+    so DuckDB mirrors every round bit-exactly; exp is linearized to
+    (SCALE + ETA*loss), a monotone MW update needing no
+    transcendentals).
+
+    The loss proxy is a held-out bigram OOV rate, itself exact: docs
+    split 50/50 by an md5(doc_id) coin into reference/held-out halves;
+    a held-out bigram occurrence is OOV iff its (w1, w2) type never
+    appears in the reference half; loss_scaled = (n_oov * SCALE) DIV
+    n_heldout_bigrams. Production pipelines would plug per-domain
+    proxy-model log-loss (q_text_bigram_lm's ppl) into the same
+    update; the OOV rate is the transcendental-free stand-in with the
+    same ordering (under-modeled domains score high on both).
+
+    Output per domain: the corpus share (base_share), the loss proxy,
+    the converged weight (weight_frac, mass-normalized), and
+    rate_multiplier = weight_frac / base_share — the number a sampler
+    multiplies each domain's inclusion rate by. Smoothing (9:1 toward
+    uniform each round) floors every domain's weight near SCALE/10, so
+    no domain starves — DoReMi's u-mixing, in integers.
+
+    Scale shape: the corpus is touched once — bigrams from ONE
+    doc-partitioned lead window (the q_text_bigram_lm shape), the
+    reference-vocabulary probe is a bigram-type-keyed shuffle join
+    (AQE may broadcast the vocab when small), and the per-domain
+    rollup is a partial agg to D rows. The MW rounds then iterate on
+    the PINNED D-row loss relation: per round one map + one 1-row sum
+    broadcast back — nothing corpus-sized is ever re-read, the PCA
+    power-iteration discipline."""
+    from hive_similarity_join_spark.operators.reweight import (
+        SCALE,
+        heldout_oov_loss,
+        multiplicative_reweight,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    loss = pin(heldout_oov_loss(d))
+    weights = multiplicative_reweight(loss)
+    shares = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    totw = loss.agg(
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.lit(SCALE).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    base_share = F.col("n_docs").cast("double") / F.col("total").cast(
+        "double"
+    )
+    weight_frac = F.col("weight_scaled").cast("double") / F.col("t").cast(
+        "double"
+    )
+    return (
+        loss.join(weights, "source")
+        .join(F.broadcast(shares), "source")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(totw))
+        .select(
+            "source",
+            "n_docs",
+            base_share.alias("base_share"),
+            "n_heldout_bigrams",
+            "n_oov",
+            "loss_scaled",
+            "weight_scaled",
+            weight_frac.alias("weight_frac"),
+            (weight_frac / base_share).alias("rate_multiplier"),
+        )
+    )
+
+
 # ------------------------- fuzzy (MinHash-LSH) decontamination
 
 

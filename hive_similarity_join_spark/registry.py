@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     # q_agg_cms_topk ... — recompute from CORRECTNESS_r0{1..12} at r13
     # start as always).
     "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
+    "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
 ]
 
 

@@ -442,6 +442,10 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_dedup_sorted_neighborhood": 46,  # measured 37: rank (two-pass
         #   scan) + neighbor equi-join + ONE exact-pair generator run
         #   for the recall denominator
+        # round-12 additions — measured r12
+        "q_dedup_lsh_recall_sampled": 80,   # measured 64: BOTH generators
+        #   (exact kernel + banded LSH) run once on the sampled subcorpus;
+        #   red if the sample predicate stops pruning a generator
     }
     over = {}
     for key, bound in bounds.items():
@@ -449,6 +453,47 @@ def test_heavy_key_job_count_tripwire(spark):
         if n > bound:
             over[key] = (n, bound)
     assert not over, f"job-count regressions (got, bound): {over}"
+
+
+def test_audit_family_shares_pinned_exact_pairs(spark):
+    """VERDICT r11 item 4: the five recall audits share ONE
+    session-pinned exact t=0.8 pair relation (dedup_q.exact_pair_graph
+    over cache.session_pin). Cold, the first audit materializes the
+    pin inside its own jobs (measured 52 at smoke); every later audit
+    in the same session reuses the cached relation — measured 12 jobs
+    vs 37 cold for q_dedup_simhash_wide_recall. A lost pin (released
+    at builder entry, a consumer bypassing the helper, or a scope-key
+    regression rebuilding per key) puts the exact generator's ~25 jobs
+    back into every audit and trips the warm bound. Unlike _jobs_for,
+    no clearCache between the two keys — the warmth IS the test."""
+    from hive_similarity_join_spark.operators.cache import (
+        release_session_pins,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs_keep_cache(key, tag):
+        group = f"warmpin-{tag}"
+        sc.setJobGroup(group, group)
+        try:
+            QUERIES[key](spark, SF_SMOKE).count()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    spark.catalog.clearCache()
+    release_session_pins()
+    try:
+        jobs_keep_cache("q_dedup_lsh_recall", "cold")  # materializes pin
+        warm = jobs_keep_cache("q_dedup_simhash_wide_recall", "warm")
+        assert warm <= 20, (
+            f"q_dedup_simhash_wide_recall ran {warm} jobs with the "
+            "exact-pair pin warm (measured 12; cold is 37) — the session "
+            "pin is not being reused"
+        )
+    finally:
+        release_session_pins()
+        spark.catalog.clearCache()
 
 
 def test_decontaminate_broadcasts_eval_side(spark):
