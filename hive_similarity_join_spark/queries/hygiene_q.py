@@ -1196,22 +1196,13 @@ def q_mixture_drift(spark, sf_dir):
 # ----------------- iterative domain reweighting (DoReMi-flavored)
 
 
-def _mixture_reweight_oracle() -> str:
-    from hive_similarity_join_spark.operators.reweight import (
-        ETA,
-        KEEP,
-        MIX,
-        REWEIGHT_ROUNDS,
-        SCALE,
-        SMOOTH_DEN,
-        duck_reweight_ctes,
-    )
+def _reweight_loss_ctes() -> str:
+    """Shared DuckDB CTE block (bags .. lossx) mirroring
+    operators/reweight.heldout_oov_loss — ONE definition so the
+    reweighting key and the apply key cannot desync on the proxy."""
+    from hive_similarity_join_spark.operators.reweight import SCALE
 
-    rw_ctes, rw_final = duck_reweight_ctes("lossx", REWEIGHT_ROUNDS)
-    # silence unused-name lint for constants documented in the key
-    _ = (ETA, KEEP, MIX, SMOOTH_DEN)
-    return f"""
-WITH bags AS (
+    return f"""bags AS (
   SELECT doc_id, source, {TX.duck_bag()} AS bag FROM documents
 ),
 occ AS (
@@ -1240,7 +1231,19 @@ lossx AS (
          CAST((n_oov * {SCALE}) // n_heldout_bigrams AS BIGINT)
              AS loss_scaled
   FROM loss_raw
-),
+)"""
+
+
+def _mixture_reweight_oracle() -> str:
+    from hive_similarity_join_spark.operators.reweight import (
+        REWEIGHT_ROUNDS,
+        SCALE,
+        duck_reweight_ctes,
+    )
+
+    rw_ctes, rw_final = duck_reweight_ctes("lossx", REWEIGHT_ROUNDS)
+    return f"""
+WITH {_reweight_loss_ctes()},
 {rw_ctes},
 shares AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -1341,6 +1344,177 @@ def q_mixture_reweight(spark, sf_dir):
             "weight_scaled",
             weight_frac.alias("weight_frac"),
             (weight_frac / base_share).alias("rate_multiplier"),
+        )
+    )
+
+
+def _mixture_reweight_apply_oracle() -> str:
+    from hive_similarity_join_spark.operators.reweight import (
+        REWEIGHT_ROUNDS,
+        SCALE,
+        duck_reweight_ctes,
+    )
+
+    rw_ctes, rw_final = duck_reweight_ctes("lossx", REWEIGHT_ROUNDS)
+    return f"""
+WITH {_reweight_loss_ctes()},
+{rw_ctes},
+shares AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+totw AS (SELECT CAST(count(*) AS HUGEINT) * {SCALE} AS t FROM lossx),
+coin AS (
+  SELECT doc_id, source,
+         CAST(concat('0x',
+              substr(md5('rw' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u32
+  FROM documents
+),
+sel AS (
+  SELECT c.source
+  FROM coin c
+  JOIN {rw_final} f USING (source)
+  JOIN shares s USING (source)
+  CROSS JOIN nd CROSS JOIN totw
+  WHERE CAST(c.u32 AS HUGEINT) * totw.t * s.n_docs
+        < CAST(f.weight_scaled AS HUGEINT) * nd.total * 4294967296
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_selected
+  FROM sel GROUP BY source
+),
+ts AS (
+  SELECT CAST(coalesce(sum(n_selected), 0) AS BIGINT) AS total_selected
+  FROM per
+)
+SELECT s.source, s.n_docs,
+       CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected,
+       least(1.0, CAST(f.weight_scaled * nd.total AS DOUBLE)
+                  / CAST(totw.t * s.n_docs AS DOUBLE)) AS target_rate,
+       CAST(coalesce(p.n_selected, 0) AS DOUBLE)
+           / CAST(s.n_docs AS DOUBLE) AS achieved_rate,
+       CAST(coalesce(p.n_selected, 0) AS DOUBLE)
+           / CAST(ts.total_selected AS DOUBLE) AS achieved_share
+FROM shares s
+JOIN {rw_final} f USING (source)
+LEFT JOIN per p USING (source)
+CROSS JOIN nd CROSS JOIN totw CROSS JOIN ts
+"""
+
+
+@query("q_mixture_reweight_apply", oracle=_mixture_reweight_apply_oracle())
+def q_mixture_reweight_apply(spark, sf_dir):
+    """APPLY the DoReMi weights: turn q_mixture_reweight's converged
+    per-domain weights into a deterministic resampled corpus and
+    report what the sampler actually achieved — the last arc of the
+    mixture loop (diagnose: q_mixture_drift -> optimize:
+    q_mixture_reweight -> apply: this key). Each doc flips an
+    independent md5 coin ('rw'-salted so its bits are independent of
+    the loss proxy's reference/held-out split coin) and is kept iff
+    u32 / 2^32 < target_rate, where target_rate = min(1,
+    weight_frac / base_share) — the inclusion test is a pure integer
+    cross-multiplication (u32 * total_weight * n_docs_d <
+    weight_d * total_docs * 2^32), so selection is bit-deterministic
+    on both engines and REPRODUCIBLE at any scale: re-running the
+    sampler on the same corpus selects the same docs, the property a
+    100 TB pipeline needs to resume a half-written resample.
+
+    Per domain: target_rate vs achieved_rate (binomial realization of
+    the coin at this corpus size) and achieved_share of the resampled
+    corpus — the drift between target mixture and achieved mixture IS
+    the report; a sampler bug (wrong cap, correlated coin, swapped
+    ratio) shows up as achieved_rate far from target_rate.
+
+    Scale shape: weights come from the D-row MW iteration (pinned loss
+    relation, see q_mixture_reweight); the corpus pass is ONE map —
+    broadcast-join the D-row rates, one md5 per row, integer compare —
+    then a per-domain partial-agg count. No shuffle of the corpus,
+    no second pass."""
+    from hive_similarity_join_spark.operators.reweight import (
+        SCALE,
+        heldout_oov_loss,
+        multiplicative_reweight,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    loss = pin(heldout_oov_loss(d))
+    weights = multiplicative_reweight(loss)
+    shares = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    totw = loss.agg(
+        (
+            F.count(F.lit(1)).cast("decimal(38,0)")
+            * F.lit(SCALE).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    rates = (
+        shares.join(weights, "source")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(totw))
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("rw"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d38 = "decimal(38,0)"
+    sel = (
+        d.select("doc_id", "source", u32.alias("u32"))
+        .join(F.broadcast(rates), "source")
+        .filter(
+            F.col("u32").cast(d38) * F.col("t") * F.col("n_docs").cast(d38)
+            < F.col("weight_scaled").cast(d38)
+            * F.col("total").cast(d38)
+            * F.lit(4294967296).cast(d38)
+        )
+        .select("source")
+    )
+    per = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected")
+    )
+    ts = per.agg(
+        F.coalesce(F.sum("n_selected"), F.lit(0))
+        .cast("bigint")
+        .alias("total_selected")
+    )
+    n_sel = F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint")
+    return (
+        shares.join(weights, "source")
+        .join(per, "source", "left")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(totw))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "source",
+            "n_docs",
+            n_sel.alias("n_selected"),
+            F.least(
+                F.lit(1.0),
+                (F.col("weight_scaled").cast(d38) * F.col("total").cast(d38))
+                .cast("double")
+                / (F.col("t") * F.col("n_docs").cast(d38)).cast("double"),
+            ).alias("target_rate"),
+            (n_sel.cast("double") / F.col("n_docs").cast("double")).alias(
+                "achieved_rate"
+            ),
+            (
+                n_sel.cast("double")
+                / F.col("total_selected").cast("double")
+            ).alias("achieved_share"),
         )
     )
 

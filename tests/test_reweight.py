@@ -99,3 +99,24 @@ def test_converges_on_planted_two_domain_corpus(spark):
         {d: lrows[d]["loss_scaled"] for d in lrows}, REWEIGHT_ROUNDS
     )
     assert got == ref
+
+
+def test_apply_key_sampler_invariants(spark):
+    """q_mixture_reweight_apply on the smoke corpus: the deterministic
+    coin must realize rates close to target (binomial at n_docs per
+    domain), never select outside [0, n_docs], and the achieved shares
+    must partition the resampled corpus."""
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        q_mixture_reweight_apply,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_mixture_reweight_apply(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["achieved_share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        assert 0.0 < r["target_rate"] <= 1.0
+        # 4-sigma binomial envelope: sd <= 0.5/sqrt(n_docs)
+        sd = 0.5 / (r["n_docs"] ** 0.5)
+        assert abs(r["achieved_rate"] - r["target_rate"]) <= 4 * sd + 1e-9
