@@ -2395,12 +2395,18 @@ def q_dedup_lsh_recall_sampled(spark, sf_dir):
     predicate is one md5 per row, pushed into both scans."""
     docs = load_table(spark, sf_dir, "documents")
     sampled = docs.filter(_sampled_docs_pred())
-    exact = similarity_join(
-        sampled, "doc_id", "text", threshold=MINHASH_T, measure="jaccard"
-    ).select("id1", "id2")
-    lsh = minhash_lsh_pairs(
-        sampled, "doc_id", "text", threshold=MINHASH_T
-    ).select("id1", "id2")
+    # Each generator feeds two consumers (its count + the hits join);
+    # pin (registry-scoped) so neither runs twice within the audit.
+    exact = pin(
+        similarity_join(
+            sampled, "doc_id", "text", threshold=MINHASH_T, measure="jaccard"
+        ).select("id1", "id2")
+    )
+    lsh = pin(
+        minhash_lsh_pairs(
+            sampled, "doc_id", "text", threshold=MINHASH_T
+        ).select("id1", "id2")
+    )
     nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     ns = sampled.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")

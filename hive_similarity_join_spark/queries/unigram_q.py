@@ -15,6 +15,8 @@ family (q_bpe_pairs / q_bpe_merges / q_bpe_segment):
   E-step over the word relation).
 - ``q_unigram_segment``  — the round-2 Viterbi segmentations of the
   corpus vocabulary, with their (bit-deterministic) path scores.
+- ``q_unigram_encode_docs`` — the trained tokenizer's per-document
+  token budget (the q_bpe_encode_docs mirror).
 
 The oracle mirrors the DP with one generated CTE per character
 position per round (the ``_bpe_round_ctes`` device scaled up): both
@@ -169,6 +171,25 @@ ORDER BY n DESC, word LIMIT {_SEG_TOP}
 """
 
 
+_ENC_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")},
+occ AS (
+  SELECT doc_id, t.tok AS word
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_W}
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(s.k) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(s.k) AS compression
+FROM occ o JOIN seg2 s ON s.word = o.word
+GROUP BY o.doc_id
+"""
+
+
 @query("q_unigram_lm_seed", oracle=_SEED_SQL)
 def q_unigram_lm_seed(spark, sf_dir):
     """Unigram-LM trainer stage 1 — the seeded piece vocabulary: every
@@ -275,4 +296,48 @@ def q_unigram_segment(spark, sf_dir):
         )
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(_SEG_TOP)
+    )
+
+
+@query("q_unigram_encode_docs", oracle=_ENC_SQL)
+def q_unigram_encode_docs(spark, sf_dir):
+    """The trained unigram tokenizer's per-document budget (the
+    q_bpe_encode_docs mirror, completing the 4-key family symmetry
+    with BPE): for every doc, its trainable word count, character
+    count, unigram token count under the round-2 Viterbi
+    segmentations, and the chars-per-token compression ratio — the
+    tokens-per-document planning artifact a sequence packer consumes
+    (q_pack_sequences packs token budgets, not char budgets).
+    Occurrence-weighted: each word occurrence costs its
+    segmentation's piece count.
+
+    Determinism: integer counts joined through the word relation
+    (every trainable occurrence matches exactly one segmented word);
+    the single double division per row has identical association on
+    both engines.
+
+    Scale shape: the segmented vocabulary (vocab-sized) BROADCASTS
+    into the per-occurrence join — the corpus-sized relation never
+    shuffles on the word key; per-doc aggregation is the only
+    corpus-sized shuffle, keyed on doc_id. The EM training upstream
+    is q_unigram_lm_em's plan verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    occ = d.select(
+        "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
+    ).filter(
+        F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= _W)
+    )
+    return (
+        occ.join(F.broadcast(seg.select("word", "k")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("k").cast("bigint").alias("n_unigram_tokens"),
+            (
+                F.sum(F.length("word")).cast("double") / F.sum("k")
+            ).alias("compression"),
+        )
     )

@@ -100,7 +100,7 @@ PRIORITY: list[str] = [
     # start as always).
     "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
     "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
-    "q_mixture_reweight_apply",
+    "q_mixture_reweight_apply", "q_unigram_encode_docs",
 ]
 
 

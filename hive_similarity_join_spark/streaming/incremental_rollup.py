@@ -909,3 +909,80 @@ def incremental_mad(
         merge_mad,
         checkpoint_dir,
     )
+
+
+# ---- mixture-composition monitor (TWELFTH mirror: q_mixture_drift)
+
+MIXTURE_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def mixture_partials(batch: DataFrame) -> DataFrame:
+    """Per-(source, lang) doc counts of a documents slice — the
+    finest-grain partial of q_mixture_drift (queries/hygiene_q.py):
+    both marginals and the corpus total are derivable from the cell
+    counts, so the carry holds ONLY cells. COUNT sums, so merging is
+    exact in any epoch order."""
+    return batch.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def merge_mixture(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    return merge_partials(carry, delta, ["source", "lang"], ["cnt"])
+
+
+def emit_mixture(carry: DataFrame) -> DataFrame:
+    """q_mixture_drift's exact output from the (source, lang) carry:
+    marginals and the total re-derive from the cells (never stored, so
+    they cannot desync), and every share is the batch key's identical
+    single int/int division — bit-equal emission."""
+    per_src = carry.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("src_total")
+    )
+    per_lang = carry.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("lang_total")
+    )
+    n_all = carry.agg(F.sum("cnt").cast("bigint").alias("total"))
+    src_share = F.col("cnt").cast("double") / F.col("src_total")
+    corpus_share = F.col("lang_total").cast("double") / F.col("total")
+    return (
+        carry.join(F.broadcast(per_src), "source")
+        .join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "lang",
+            F.col("cnt").cast("bigint").alias("n"),
+            src_share.alias("src_share"),
+            corpus_share.alias("corpus_share"),
+            (src_share / corpus_share).alias("share_ratio"),
+        )
+    )
+
+
+def incremental_mixture(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous corpus-composition monitoring over a documents
+    stream (TWELFTH continuous-aggregate mirror): the live form of the
+    q_mixture_drift report a multi-source ingest watches to catch a
+    crawler or source feed skewing the mixture MID-INGEST, not at the
+    next batch audit — the diagnose arc of the mixture loop
+    (q_mixture_reweight optimizes, q_mixture_reweight_apply samples)
+    running continuously. Carry is O(sources x langs) cells; per epoch
+    one map-side-combined shuffle of the slice plus the cell-sized
+    merge. Read the latest summary snapshot and call emit_mixture."""
+    return _make_query(
+        stream,
+        state_dir,
+        mixture_partials,
+        MIXTURE_CARRY_SCHEMA,
+        merge_mixture,
+        checkpoint_dir,
+    )

@@ -597,3 +597,54 @@ def test_streaming_sessions_matches_batch_key(spark, dirs):
     assert _tuples(emit_sessions(carry)) == _tuples(
         q_join_interval_overlap(spark, SF_SMOKE)
     )
+
+
+def test_mixture_epoch_chain_equals_batch_key(spark):
+    """Any epoch order must reproduce the batch q_mixture_drift report
+    bit-identically — (source, lang) cell counts are decomposable, and
+    marginals/total re-derive from the merged cells at emit time."""
+    from hive_similarity_join_spark.queries.hygiene_q import q_mixture_drift
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_mixture,
+        merge_mixture,
+        mixture_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    carry = None
+    for sl in reversed(slices):
+        carry = merge_mixture(carry, mixture_partials(sl))
+    assert _tuples(emit_mixture(carry)) == _tuples(
+        q_mixture_drift(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_mixture_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.hygiene_q import q_mixture_drift
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        MIXTURE_CARRY_SCHEMA,
+        emit_mixture,
+        incremental_mixture,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    src = f"{dirs}/src"
+    for i in range(2):
+        d.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_mixture(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(MIXTURE_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_mixture(carry)) == _tuples(
+        q_mixture_drift(spark, SF_SMOKE)
+    )
