@@ -75,10 +75,30 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def lsh_pair_graph(spark, sf_dir):
+    """The production MinHash-LSH pair relation (id1, id2, sim) at
+    t=MINHASH_T, SESSION-pinned like exact_pair_graph: the flagship
+    dedup key and its recall audit both need it, so whichever runs
+    first in a session materializes it once (~20 MB at sf0.1). Same
+    degrade-to-recompute contract — see exact_pair_graph."""
+    from hive_similarity_join_spark.operators.cache import session_pin
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_pin(
+        "lsh_pair_graph_t08",
+        scope,
+        lambda: minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            threshold=MINHASH_T,
+        ),
+    )
+
+
 @query("q_dedup_minhash_lsh", oracle=duck_minhash_oracle(MINHASH_T))
 def q_dedup_minhash_lsh(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=MINHASH_T)
+    return lsh_pair_graph(spark, sf_dir)
 
 
 NEW_MOD, NEW_REM = 10, 7
@@ -2288,7 +2308,7 @@ def q_dedup_lsh_recall(spark, sf_dir):
     This is the dial-tuning dashboard for (bands, rows): re-run per
     corpus before committing a dedup config at 100 TB."""
     exact = exact_pair_graph(spark, sf_dir)
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("id1", "id2")
+    lsh = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
     ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     nl = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
     hits = (

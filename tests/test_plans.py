@@ -316,6 +316,51 @@ def test_batch_pinned_scope_unpersists_even_on_raise(spark):
     assert not df.storageLevel.useMemory
 
 
+def test_session_pin_scope_and_self_healing(spark):
+    """session_pin (r12, the audit-family shared denominator): same
+    (name, scope) returns the SAME cached relation without rebuilding;
+    a scope change (new sf_dir / new session) releases the old pin and
+    rebuilds; clearCache() is self-healed by re-persisting the tracked
+    DataFrame; release_session_pins() empties the tier."""
+    from hive_similarity_join_spark.operators.cache import (
+        release_session_pins,
+        session_pin,
+    )
+
+    release_session_pins()
+    builds = []
+
+    # distinct ROW COUNTS per tag: an alias-only difference would
+    # canonicalize away and make the old pin report the new pin's
+    # cache entry as its own
+    def build(tag, n):
+        def f():
+            builds.append(tag)
+            return spark.range(n).selectExpr("id AS id_pin")
+
+        return f
+
+    try:
+        a = session_pin("t_pin", "scope1", build("a", 5))
+        a.count()
+        assert a.storageLevel.useMemory
+        b = session_pin("t_pin", "scope1", build("b", 5))
+        assert b is a and builds == ["a"]  # cached, no rebuild
+        # self-healing after a cache wipe
+        spark.catalog.clearCache()
+        assert not a.storageLevel.useMemory
+        c = session_pin("t_pin", "scope1", build("c", 5))
+        assert c.storageLevel.useMemory and builds == ["a"]  # re-persisted
+        # scope change releases and rebuilds
+        d = session_pin("t_pin", "scope2", build("d", 7))
+        assert builds == ["a", "d"]
+        assert not a.storageLevel.useMemory
+        assert d.storageLevel.useMemory
+    finally:
+        assert release_session_pins() >= 1
+        spark.catalog.clearCache()
+
+
 def test_low_cardinality_window_detector_fixtures():
     """The r10 detector: flags a window over the raw fact partitioned
     only by a low-card column, clears the same spec when the mainline
