@@ -149,6 +149,13 @@ def multiplicative_reweight(
                     f" DIV {SMOOTH_DEN} AS {_D38})"
                 ).alias("_w"),
             )
+            # Lazy lineage truncation (the pagerank/CC device): without
+            # it each round's broadcast subplans re-nest the previous
+            # rounds' broadcasts and the JOB count grows ~3x per round
+            # (measured 204 jobs at 5 rounds; 38 with the checkpoint).
+            # The relation is D rows, so the checkpoint is
+            # memory-trivial; values are unchanged.
+            .localCheckpoint(eager=False)
         )
     return w.select(
         F.col("_dom").alias(domain_col),

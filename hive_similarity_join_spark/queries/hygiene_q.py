@@ -676,25 +676,27 @@ def q_bpe_pairs(spark, sf_dir):
 _BPE_ROUNDS = 3
 
 
-def _bpe_round_ctes(r: int) -> str:
+def _bpe_round_ctes(r: int, p: str = "") -> str:
     """One BPE training round as SQL: decode symbols, count adjacent
     pairs (overlap-inclusive, weighted by word count), pick the winner
     by (count DESC, left, right), apply it with plain replace() —
-    greedy left-to-right non-overlapping, exactly the reference merge."""
+    greedy left-to-right non-overlapping, exactly the reference merge.
+    ``p`` prefixes every CTE name (q_tokenizer_compare composes these
+    with the unigram trainer's CTEs, whose pc{{r}} names collide)."""
     return f"""
-sy{r} AS (
-  SELECT w, n, string_split(trim(w, '|'), '||') AS sy FROM w{r}
+{p}sy{r} AS (
+  SELECT w, n, string_split(trim(w, '|'), '||') AS sy FROM {p}w{r}
 ),
-pc{r} AS (
+{p}pc{r} AS (
   SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
-  FROM sy{r}, unnest(generate_series(1, len(sy) - 1)) AS t(i)
+  FROM {p}sy{r}, unnest(generate_series(1, len(sy) - 1)) AS t(i)
   GROUP BY 1, 2
 ),
-b{r} AS (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
-w{r + 1} AS (
+{p}b{r} AS (SELECT a, b, cnt FROM {p}pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+{p}w{r + 1} AS (
   SELECT replace(s.w, '|' || t.a || '||' || t.b || '|',
                  '|' || t.a || t.b || '|') AS w, s.n
-  FROM w{r} s CROSS JOIN b{r} t
+  FROM {p}w{r} s CROSS JOIN {p}b{r} t
 )"""
 
 

@@ -341,3 +341,124 @@ def q_unigram_encode_docs(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+def _tokenizer_compare_oracle() -> str:
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        _BPE_ROUNDS,
+        _bpe_round_ctes,
+    )
+
+    bpe_rounds = ",".join(
+        _bpe_round_ctes(r, p="zz") for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")},
+zzw1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{bpe_rounds},
+bseg AS (
+  SELECT replace(w, '|', '') AS word,
+         len(string_split(trim(w, '|'), '||')) AS n_sym
+  FROM zzw{_BPE_ROUNDS + 1}
+),
+occ AS (
+  SELECT d.source, t.tok AS word
+  FROM documents d, unnest({TX.duck_bag()}) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_W}
+)
+SELECT o.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(b.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(u.k) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(b.n_sym) AS DOUBLE) / count(*) AS bpe_fertility,
+       CAST(sum(u.k) AS DOUBLE) / count(*) AS unigram_fertility,
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(b.n_sym)
+           AS bpe_compression,
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(u.k)
+           AS unigram_compression,
+       CAST(sum(u.k) AS DOUBLE) / sum(b.n_sym) AS token_ratio
+FROM occ o JOIN bseg b USING (word) JOIN seg2 u USING (word)
+GROUP BY o.source
+"""
+
+
+@query("q_tokenizer_compare", oracle=_tokenizer_compare_oracle())
+def q_tokenizer_compare(spark, sf_dir):
+    """Tokenizer-family bake-off, per source: the SAME trainable word
+    relation (regex-gated, length-capped) trains BOTH production
+    tokenizer families — BPE (operators/bpe.py, merge-based) and
+    unigram-LM (operators/unigram.py, hard-EM) — and this key reports
+    what each costs on each corpus slice: occurrence-weighted fertility
+    (tokens per word), compression (chars per token), and the
+    unigram/BPE token-count ratio. This is the selection report a
+    training-data platform reads before standardizing a tokenizer:
+    fertility drives context-window budget (and therefore
+    q_pack_sequences' packing), and a per-source spread in token_ratio
+    flags slices where the two families diverge (e.g. templated
+    sources that BPE merges collapse but seed substrings don't).
+
+    Exactness: both segmented vocabularies assign every trainable word
+    an exact integer piece count (single-char coverage on the unigram
+    side, replace-based merges on the BPE side), counts sum exactly,
+    and every reported rate is ONE int/int double division. The oracle
+    composes both trainers' already-verified CTE pipelines over a
+    SHARED wf relation (the BPE leg's CTEs namespaced zz* — its pc{{r}}
+    names collide with the unigram E-step's).
+
+    Scale shape: both trainers run on the vocabulary-sized wf sketch;
+    the only corpus-sized passes are the initial word count and the
+    per-occurrence stats join, where BOTH segmented vocabularies
+    broadcast. At 100 TB this is two tokenizer trainings + one corpus
+    map — the comparison is practically free next to either training."""
+    from hive_similarity_join_spark.operators import bpe
+    from hive_similarity_join_spark.operators.cache import pin
+    from hive_similarity_join_spark.queries.hygiene_q import _BPE_ROUNDS
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    _rounds, useg = UG.unigram_train(wf, 2, _K, _W, _P)
+    bfinal = bpe.bpe_apply_rounds_lazy(
+        wf.select(bpe.encode_chars("word").alias("w"), "n"), _BPE_ROUNDS
+    )
+    bseg = bfinal.select(
+        F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),
+        F.size(bpe.decode_symbols("w")).alias("n_sym"),
+    )
+    occ = d.select(
+        "source", F.explode(TX.bag_tokens("text")).alias("word")
+    ).filter(
+        F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= _W)
+    )
+    return (
+        occ.join(F.broadcast(bseg), "word")
+        .join(F.broadcast(useg.select("word", "k")), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("k").cast("bigint").alias("n_unigram_tokens"),
+            (F.sum("n_sym").cast("double") / F.count(F.lit(1))).alias(
+                "bpe_fertility"
+            ),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias(
+                "unigram_fertility"
+            ),
+            (
+                F.sum(F.length("word")).cast("double") / F.sum("n_sym")
+            ).alias("bpe_compression"),
+            (F.sum(F.length("word")).cast("double") / F.sum("k")).alias(
+                "unigram_compression"
+            ),
+            (F.sum("k").cast("double") / F.sum("n_sym")).alias(
+                "token_ratio"
+            ),
+        )
+    )

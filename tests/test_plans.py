@@ -492,6 +492,15 @@ def test_heavy_key_job_count_tripwire(spark):
         #   (exact kernel + banded LSH) pinned, each runs once on the
         #   sampled subcorpus; red if a pin is lost or the sample
         #   predicate stops pruning a generator
+        "q_mixture_reweight": 50,           # measured 38: pinned D-row
+        #   loss relation + per-round lazy localCheckpoint — without the
+        #   checkpoint the nested round broadcasts re-run each other and
+        #   the count explodes ~3x per round (204 measured)
+        "q_mixture_reweight_apply": 60,     # measured 46: reweight chain
+        #   + ONE corpus coin pass with the D-row rates broadcast
+        "q_tokenizer_compare": 80,          # measured 64: BOTH tokenizer
+        #   trainings on the shared pinned wf + one corpus stats join
+        #   with both segmented vocabularies broadcast
     }
     over = {}
     for key, bound in bounds.items():
