@@ -41,6 +41,65 @@ REWEIGHT_ROUNDS = 5
 _D38 = "decimal(38,0)"
 
 
+def doc_bigrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(_dom, w1, w2, is_ref): every ordered bigram occurrence of every
+    doc, tagged with the md5(id) reference/held-out coin — the shared
+    front of the batch loss proxy and the streaming mirror's partials
+    (streaming/incremental_rollup.py reweight_partials), so the two
+    cannot drift on tokenization or the split."""
+    occ = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("_dom"),
+        F.posexplode(TX.bag_tokens(text_col)).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("_id").orderBy("pos")
+    return occ.select(
+        "_dom",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(wdoc).alias("w2"),
+        (
+            F.substring(
+                F.md5(F.col("_id").cast("string").cast("binary")), 1, 1
+            )
+            < "8"
+        ).alias("is_ref"),
+    ).filter(F.col("w2").isNotNull())
+
+
+def oov_loss_from_parts(refv: DataFrame, held: DataFrame) -> DataFrame:
+    """Per-domain OOV loss from a reference-vocabulary relation
+    (w1, w2) and a held-out occurrence-count relation (_dom, w1, w2,
+    cnt) — the back half of the loss proxy, shared with the streaming
+    mirror (whose carry stores exactly these two relations). All
+    occurrences of a bigram TYPE share OOV status, so summing counts
+    per type equals counting occurrences row by row."""
+    probed = held.join(
+        refv.withColumn("_hit", F.lit(1)), ["w1", "w2"], "left"
+    )
+    return (
+        probed.groupBy("_dom")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_heldout_bigrams"),
+            F.sum(F.when(F.col("_hit").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("_dom").alias("source"),
+            "n_heldout_bigrams",
+            "n_oov",
+            F.expr(
+                f"CAST((n_oov * {SCALE}) DIV n_heldout_bigrams AS BIGINT)"
+            ).alias("loss_scaled"),
+        )
+    )
+
+
 def heldout_oov_loss(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -59,46 +118,17 @@ def heldout_oov_loss(
     Scale shape: bigrams from ONE id-partitioned lead window, the
     reference-vocabulary probe is a bigram-type-keyed shuffle join,
     the rollup partial-aggregates to one row per domain."""
-    occ = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(domain_col).alias("_dom"),
-        F.posexplode(TX.bag_tokens(text_col)).alias("pos", "tok"),
-    )
-    wdoc = Window.partitionBy("_id").orderBy("pos")
-    bg = occ.select(
-        "_dom",
-        F.col("tok").alias("w1"),
-        F.lead("tok").over(wdoc).alias("w2"),
-        (
-            F.substring(
-                F.md5(F.col("_id").cast("string").cast("binary")), 1, 1
-            )
-            < "8"
-        ).alias("is_ref"),
-    ).filter(F.col("w2").isNotNull())
+    bg = doc_bigrams(docs, id_col, domain_col, text_col)
     refv = bg.filter(F.col("is_ref")).select("w1", "w2").distinct()
-    probed = (
+    held = (
         bg.filter(~F.col("is_ref"))
-        .select("_dom", "w1", "w2")
-        .join(refv.withColumn("_hit", F.lit(1)), ["w1", "w2"], "left")
+        .groupBy("_dom", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    return (
-        probed.groupBy("_dom")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_heldout_bigrams"),
-            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_oov"),
-        )
-        .select(
-            F.col("_dom").alias(domain_col),
-            "n_heldout_bigrams",
-            "n_oov",
-            F.expr(
-                f"CAST((n_oov * {SCALE}) DIV n_heldout_bigrams AS BIGINT)"
-            ).alias("loss_scaled"),
-        )
-    )
+    loss = oov_loss_from_parts(refv, held)
+    if domain_col != "source":
+        loss = loss.withColumnRenamed("source", domain_col)
+    return loss
 
 
 def multiplicative_reweight(
@@ -160,6 +190,48 @@ def multiplicative_reweight(
     return w.select(
         F.col("_dom").alias(domain_col),
         F.col("_w").cast("bigint").alias("weight_scaled"),
+    )
+
+
+def reweight_report(loss: DataFrame, shares: DataFrame) -> DataFrame:
+    """q_mixture_reweight's output relation from a (source,
+    n_heldout_bigrams, n_oov, loss_scaled) loss relation and a
+    (source, n_docs) shares relation — ONE definition shared by the
+    batch key and the streaming mirror's emit, so the two cannot
+    drift on the MW rounds or the share arithmetic. Callers pin
+    ``loss`` (the MW rounds and the totals reference it repeatedly)."""
+    weights = multiplicative_reweight(loss)
+    nd = shares.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    totw = loss.agg(
+        (
+            F.count(F.lit(1)).cast(_D38)
+            * F.lit(SCALE).cast(_D38)
+        )
+        .cast(_D38)
+        .alias("t")
+    )
+    base_share = F.col("n_docs").cast("double") / F.col("total").cast(
+        "double"
+    )
+    weight_frac = F.col("weight_scaled").cast("double") / F.col("t").cast(
+        "double"
+    )
+    return (
+        loss.join(weights, "source")
+        .join(F.broadcast(shares), "source")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(totw))
+        .select(
+            "source",
+            "n_docs",
+            base_share.alias("base_share"),
+            "n_heldout_bigrams",
+            "n_oov",
+            "loss_scaled",
+            "weight_scaled",
+            weight_frac.alias("weight_frac"),
+            (weight_frac / base_share).alias("rate_multiplier"),
+        )
     )
 
 

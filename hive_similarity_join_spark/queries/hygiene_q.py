@@ -1305,49 +1305,16 @@ def q_mixture_reweight(spark, sf_dir):
     broadcast back — nothing corpus-sized is ever re-read, the PCA
     power-iteration discipline."""
     from hive_similarity_join_spark.operators.reweight import (
-        SCALE,
         heldout_oov_loss,
-        multiplicative_reweight,
+        reweight_report,
     )
 
     d = load_table(spark, sf_dir, "documents")
     loss = pin(heldout_oov_loss(d))
-    weights = multiplicative_reweight(loss)
     shares = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    totw = loss.agg(
-        (
-            F.count(F.lit(1)).cast("decimal(38,0)")
-            * F.lit(SCALE).cast("decimal(38,0)")
-        )
-        .cast("decimal(38,0)")
-        .alias("t")
-    )
-    base_share = F.col("n_docs").cast("double") / F.col("total").cast(
-        "double"
-    )
-    weight_frac = F.col("weight_scaled").cast("double") / F.col("t").cast(
-        "double"
-    )
-    return (
-        loss.join(weights, "source")
-        .join(F.broadcast(shares), "source")
-        .crossJoin(F.broadcast(nd))
-        .crossJoin(F.broadcast(totw))
-        .select(
-            "source",
-            "n_docs",
-            base_share.alias("base_share"),
-            "n_heldout_bigrams",
-            "n_oov",
-            "loss_scaled",
-            "weight_scaled",
-            weight_frac.alias("weight_frac"),
-            (weight_frac / base_share).alias("rate_multiplier"),
-        )
-    )
+    return reweight_report(loss, shares)
 
 
 def _mixture_reweight_apply_oracle() -> str:

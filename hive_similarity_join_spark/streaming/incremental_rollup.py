@@ -986,3 +986,117 @@ def incremental_mixture(
         merge_mixture,
         checkpoint_dir,
     )
+
+
+# -- continuous DoReMi weights (THIRTEENTH mirror: q_mixture_reweight)
+
+REWEIGHT_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),   # 'r' ref-vocab / 'h' held / 'd' doc-count
+        T.StructField("source", T.StringType()),
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def reweight_partials(batch: DataFrame) -> DataFrame:
+    """Three partial relations of a documents slice in one tagged
+    carry: the slice's reference-half bigram TYPES ('r' rows — cnt
+    carries the type's occurrence count but only existence matters),
+    the held-out-half per-(source, w1, w2) occurrence counts ('h'),
+    and per-source doc counts ('d'). Bigram extraction and the md5
+    ref/held coin are operators/reweight.py doc_bigrams — the batch
+    key's own front, shared so the mirror cannot drift on
+    tokenization or the split. A doc's half-assignment is a pure
+    function of doc_id, so every partial is decomposable: counts sum,
+    and the ref-vocab rows are union-dedup (sum keeps existence)."""
+    from hive_similarity_join_spark.operators.reweight import doc_bigrams
+
+    bg = doc_bigrams(batch)
+    ref = (
+        bg.filter(F.col("is_ref"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.lit("r").alias("kind"), F.lit("").alias("source"),
+            "w1", "w2", "cnt",
+        )
+    )
+    held = (
+        bg.filter(~F.col("is_ref"))
+        .groupBy("_dom", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.lit("h").alias("kind"), F.col("_dom").alias("source"),
+            "w1", "w2", "cnt",
+        )
+    )
+    docs = (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.lit("d").alias("kind"), "source",
+            F.lit("").alias("w1"), F.lit("").alias("w2"), "cnt",
+        )
+    )
+    return ref.unionByName(held).unionByName(docs)
+
+
+def merge_reweight(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    return merge_partials(carry, delta, ["kind", "source", "w1", "w2"], ["cnt"])
+
+
+def emit_reweight(carry: DataFrame) -> DataFrame:
+    """q_mixture_reweight's exact output from the carry: the loss
+    proxy re-derives from the 'r'/'h' relations
+    (operators/reweight.py oov_loss_from_parts — all occurrences of a
+    bigram type share OOV status, so per-type counts reproduce the
+    per-occurrence numbers exactly), shares from the 'd' rows, and
+    the MW rounds + report are the batch key's own reweight_report.
+    Emission cost is O(bigram types), never O(docs); the MW loop runs
+    on the D-row loss relation. Unlike most mirrors' O(groups) emit,
+    the ref-vocab probe makes this emit a real join — the price of a
+    loss proxy that is NOT decomposable per domain (a later reference
+    doc can flip an earlier held-out bigram from OOV to in-vocab;
+    storing per-type counts instead of a per-domain scalar is what
+    keeps the mirror exact under that retraction)."""
+    from hive_similarity_join_spark.operators.cache import pin
+    from hive_similarity_join_spark.operators.reweight import (
+        oov_loss_from_parts,
+        reweight_report,
+    )
+
+    refv = carry.filter(F.col("kind") == "r").select("w1", "w2")
+    held = carry.filter(F.col("kind") == "h").select(
+        F.col("source").alias("_dom"), "w1", "w2", "cnt"
+    )
+    shares = carry.filter(F.col("kind") == "d").select(
+        "source", F.col("cnt").cast("bigint").alias("n_docs")
+    )
+    loss = pin(oov_loss_from_parts(refv, held))
+    return reweight_report(loss, shares)
+
+
+def incremental_reweight(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous DoReMi domain weights over a documents stream
+    (THIRTEENTH continuous-aggregate mirror): live mixture
+    optimization — as docs arrive, the carry accumulates the
+    reference vocabulary, the held-out per-type counts, and the doc
+    counts, and every snapshot emits the SAME converged weights the
+    batch q_mixture_reweight computes on the corpus so far. The full
+    mixture loop (diagnose q_mixture_drift -> optimize this ->
+    apply q_mixture_reweight_apply) now runs continuously. Carry is
+    O(bigram types); read the latest summary snapshot and call
+    emit_reweight for the weights."""
+    return _make_query(
+        stream,
+        state_dir,
+        reweight_partials,
+        REWEIGHT_CARRY_SCHEMA,
+        merge_reweight,
+        checkpoint_dir,
+    )

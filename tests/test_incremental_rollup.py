@@ -648,3 +648,61 @@ def test_streaming_mixture_matches_batch_key(spark, dirs):
     assert _tuples(emit_mixture(carry)) == _tuples(
         q_mixture_drift(spark, SF_SMOKE)
     )
+
+
+def test_reweight_epoch_chain_equals_batch_key(spark):
+    """Any epoch order + a replayed slice's partials must reproduce the
+    batch q_mixture_reweight output bit-identically. The loss proxy is
+    NOT decomposable per domain (a later reference doc can flip an
+    earlier held-out bigram from OOV to in-vocab), so the carry stores
+    per-type counts and the emit re-derives the loss — this test's
+    out-of-order slices exercise exactly that retraction."""
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        q_mixture_reweight,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_reweight,
+        merge_reweight,
+        reweight_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    carry = None
+    for sl in reversed(slices):
+        carry = merge_reweight(carry, reweight_partials(sl))
+    assert _tuples(emit_reweight(carry)) == _tuples(
+        q_mixture_reweight(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_reweight_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.hygiene_q import (
+        q_mixture_reweight,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        REWEIGHT_CARRY_SCHEMA,
+        emit_reweight,
+        incremental_reweight,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    src = f"{dirs}/src"
+    for i in range(2):
+        d.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_reweight(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(REWEIGHT_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_reweight(carry)) == _tuples(
+        q_mixture_reweight(spark, SF_SMOKE)
+    )
