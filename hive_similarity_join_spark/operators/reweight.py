@@ -149,6 +149,19 @@ def multiplicative_reweight(
     Magnitude bound: w <= TOTAL, u <= TOTAL * (SCALE + ETA * SCALE),
     u * TOTAL < 1e28 for D <= 100 domains — inside decimal(38,0) /
     HUGEINT on both engines."""
+    rounds_w = _mw_rounds(loss, domain_col, loss_col, rounds)
+    return rounds_w[-1].select(
+        F.col("_dom").alias(domain_col),
+        F.col("_w").cast("bigint").alias("weight_scaled"),
+    )
+
+
+def _mw_rounds(
+    loss: DataFrame, domain_col: str, loss_col: str, rounds: int
+) -> list[DataFrame]:
+    """The MW loop, returning the weights relation AFTER each round
+    (internal: columns _dom, _loss, _w) — multiplicative_reweight
+    takes the last, the trace key unions them all."""
     base = loss.select(
         F.col(domain_col).alias("_dom"),
         F.col(loss_col).cast(_D38).alias("_loss"),
@@ -159,6 +172,7 @@ def multiplicative_reweight(
         .alias("_tot")
     )
     w = base.select("_dom", "_loss", F.lit(SCALE).cast(_D38).alias("_w"))
+    out = []
     for _ in range(rounds):
         u = w.select(
             "_dom",
@@ -187,10 +201,30 @@ def multiplicative_reweight(
             # memory-trivial; values are unchanged.
             .localCheckpoint(eager=False)
         )
-    return w.select(
-        F.col("_dom").alias(domain_col),
-        F.col("_w").cast("bigint").alias("weight_scaled"),
-    )
+        out.append(w)
+    return out
+
+
+def multiplicative_reweight_trace(
+    loss: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss_scaled",
+    rounds: int = REWEIGHT_ROUNDS,
+) -> DataFrame:
+    """(mw_round, domain, weight_scaled) for every round 1..rounds —
+    the convergence trajectory multiplicative_reweight's final answer
+    summarizes. Same loop, every intermediate relation emitted."""
+    out = None
+    for r, w in enumerate(
+        _mw_rounds(loss, domain_col, loss_col, rounds), 1
+    ):
+        leg = w.select(
+            F.lit(r).cast("bigint").alias("mw_round"),
+            F.col("_dom").alias(domain_col),
+            F.col("_w").cast("bigint").alias("weight_scaled"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
 
 
 def reweight_report(loss: DataFrame, shares: DataFrame) -> DataFrame:

@@ -1317,6 +1317,51 @@ def q_mixture_reweight(spark, sf_dir):
     return reweight_report(loss, shares)
 
 
+def _mixture_reweight_trace_oracle() -> str:
+    from hive_similarity_join_spark.operators.reweight import (
+        REWEIGHT_ROUNDS,
+        duck_reweight_ctes,
+    )
+
+    rw_ctes, _ = duck_reweight_ctes("lossx", REWEIGHT_ROUNDS)
+    legs = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS mw_round, source,"
+        f" CAST(w AS BIGINT) AS weight_scaled FROM rw_w{r}"
+        for r in range(1, REWEIGHT_ROUNDS + 1)
+    )
+    return f"""
+WITH {_reweight_loss_ctes()},
+{rw_ctes}
+{legs}
+"""
+
+
+@query("q_mixture_reweight_trace", oracle=_mixture_reweight_trace_oracle())
+def q_mixture_reweight_trace(spark, sf_dir):
+    """The MW convergence TRAJECTORY q_mixture_reweight's final answer
+    summarizes: (mw_round, source, weight_scaled) after every one of
+    the REWEIGHT_ROUNDS rounds — the q_unigram_lm_em of the mixture
+    loop (per-round state oracle-checked, not just the fixed point).
+    This is the artifact that shows WHERE the update settles: by which
+    round the hard domains' gains flatten (round count is a tuning
+    knob; too few rounds under-corrects, and the smoothed fixed point
+    is visible as consecutive rounds agreeing). Same exact integer
+    arithmetic as the parent key — every round's weights are
+    bit-deterministic, and the DuckDB oracle simply reads the rounds
+    its CTE chain already materializes.
+
+    Scale shape: identical to q_mixture_reweight (the rounds exist in
+    its plan too); emitting them all costs rounds x D extra rows."""
+    from hive_similarity_join_spark.operators.reweight import (
+        heldout_oov_loss,
+        multiplicative_reweight_trace,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    loss = pin(heldout_oov_loss(d))
+    return multiplicative_reweight_trace(loss)
+
+
 def _mixture_reweight_apply_oracle() -> str:
     from hive_similarity_join_spark.operators.reweight import (
         REWEIGHT_ROUNDS,

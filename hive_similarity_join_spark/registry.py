@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
     "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
     "q_mixture_reweight_apply", "q_unigram_encode_docs",
-    "q_tokenizer_compare",
+    "q_tokenizer_compare", "q_mixture_reweight_trace",
 ]
 
 
