@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
     "q_mixture_reweight_apply", "q_unigram_encode_docs",
     "q_tokenizer_compare", "q_mixture_reweight_trace",
+    "q_dedup_blocking_ensemble",
 ]
 
 

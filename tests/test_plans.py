@@ -501,6 +501,11 @@ def test_heavy_key_job_count_tripwire(spark):
         "q_tokenizer_compare": 80,          # measured 64: BOTH tokenizer
         #   trainings on the shared pinned wf + one corpus stats join
         #   with both segmented vocabularies broadcast
+        "q_dedup_blocking_ensemble": 165,   # measured 130 cold: FOUR
+        #   generators (exact truth + lsh + simhash-wide + snm), each
+        #   materialized once into its session/registry pin, then pure
+        #   id-pair set algebra; red if a pin is lost and a generator
+        #   re-runs per union/stat branch
     }
     over = {}
     for key, bound in bounds.items():
