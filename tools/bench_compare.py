@@ -98,6 +98,25 @@ def main() -> int:
     else:
         print("no per-key deviation beyond the global factor — "
               "differences are boot noise")
+    # The fast direction matters too: a key that got >Nx FASTER than the
+    # boot factor may have silently lost coverage (a generator
+    # short-circuiting, an accidentally-empty join side) — the wall
+    # clock can't tell that apart from a win, so point at the anchors.
+    fast = sorted(
+        (
+            (k, ratios[k])
+            for k in ratios
+            if ratios[k] < factor / DEVIATION_X
+            and max(cand[k], base[k]) >= MIN_SECONDS
+        ),
+        key=lambda kv: kv[1],
+    )
+    if fast:
+        print(f"\nkeys > {DEVIATION_X}x FASTER than the global factor "
+              "(verify row counts vs FIXTURES.md anchors — a silent "
+              "coverage loss looks exactly like a speedup):")
+        for k, r in fast:
+            print(f"  {factor/r:6.1f}x  {k}: {base[k]:.2f}s -> {cand[k]:.2f}s")
     return 1 if errored else 0
 
 
