@@ -8,6 +8,8 @@ corpus (VERDICT r11 item 5's done-criterion).
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.operators.reweight import (
@@ -120,3 +122,27 @@ def test_apply_key_sampler_invariants(spark):
         # 4-sigma binomial envelope: sd <= 0.5/sqrt(n_docs)
         sd = 0.5 / (r["n_docs"] ** 0.5)
         assert abs(r["achieved_rate"] - r["target_rate"]) <= 4 * sd + 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    losses=st.lists(
+        st.integers(min_value=0, max_value=SCALE), min_size=2, max_size=6
+    ),
+    rounds=st.integers(min_value=1, max_value=7),
+)
+def test_mw_property_exact_vs_reference(spark, losses, rounds):
+    """Property form of the exact-equality test: ANY loss vector (full
+    [0, SCALE] range, 2-6 domains) and ANY round count produce weights
+    bit-equal to the single-node integer reference — the integer
+    arithmetic has no data-dependent branch that could diverge."""
+    lm = {f"d{i}": l for i, l in enumerate(losses)}
+    loss_df = spark.createDataFrame(
+        [(d, 0, 0, l) for d, l in lm.items()],
+        "source string, n_heldout_bigrams long, n_oov long, loss_scaled long",
+    )
+    got = {
+        r["source"]: r["weight_scaled"]
+        for r in multiplicative_reweight(loss_df, rounds=rounds).collect()
+    }
+    assert got == _reference_mw(lm, rounds)
