@@ -99,6 +99,11 @@ def session_pin(name: str, scope: str, build) -> DataFrame:
         except Exception:
             pass  # session died under us — rebuild below
     if cur is not None:
+        # Drop the dict entry BEFORE build(): if build() raises, the
+        # tier must be empty for this name, or a later call with the
+        # old scope would resurrect and re-persist the stale relation
+        # (ADVICE r12).
+        del _SESSION_PINS[name]
         try:
             cur[1].unpersist()
         except Exception:

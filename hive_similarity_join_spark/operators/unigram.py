@@ -251,6 +251,109 @@ def viterbi_segment(
     )
 
 
+#: Accumulator element type of the n-best DP: per position, the sorted
+#: list of up to NB best partial-segmentation structs (empty list =
+#: unreachable position, the n-best analogue of the 1-best NULL slot).
+_NBEST_STATE = "array<array<struct<ns:double,k:int,seg:string>>>"
+
+
+def viterbi_nbest_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    nb: int,
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """(word, n, nb_eff, rank, k, seg, ns): each word's ``nb`` BEST
+    segmentations under ``pieces`` (piece, p) — the n-best Viterbi DP
+    behind subword regularization (Kudo, ACL 2018 §3: sample among the
+    n-best segmentations instead of always emitting the argmax).
+    ``rank`` is 1-based (rank 1 = the 1-best path, identical to
+    ``viterbi_segment``'s winner), ``nb_eff`` the number of distinct
+    segmentations found (< nb for words with fewer paths).
+
+    Same exactness contract as the 1-best DP (module docstring): every
+    path score is a pure IEEE multiply chain in fixed association
+    order; ranking compares (ns ASC = probability DESC, k ASC, seg
+    ASC) — and because a segmentation string uniquely identifies its
+    path, the candidate order is TOTAL, so both engines keep identical
+    n-best lists at every position. No sums, no transcendentals.
+
+    DP semantics (mirrored by the oracle's per-position row_number
+    CTEs): ``dp[j] = the nb lexicographically-least structs over all
+    (i, piece) edges ending at j and all structs s in dp[i]`` of
+    ``struct(ns=s.ns*p, k=s.k+1, seg=s.seg||' '||piece)``. Plan shape
+    is viterbi_segment's verbatim — pieces broadcast into the edge
+    join, one word-keyed collect, the whole DP one codegen'd
+    higher-order expression per word (candidate lists are ≤
+    nb x max_piece_len structs per position; ``array_sort`` + ``slice``
+    is the struct-lexicographic top-k) — so the E-step stays two
+    vocab-sized shuffles at any corpus size."""
+    edges = substrings(words, max_piece_len).join(
+        F.broadcast(pieces.select("piece", "p")), "piece"
+    )
+    es_rel = edges.groupBy("word").agg(
+        F.collect_list(F.struct("src", "dst", "piece", "p")).alias("es")
+    )
+
+    def step(acc, j):
+        def expand(e):
+            base = F.array(
+                F.struct(
+                    (F.lit(-1.0).cast("double") * e["p"]).alias("ns"),
+                    F.lit(1).alias("k"),
+                    e["piece"].alias("seg"),
+                )
+            )
+            ext = F.transform(
+                F.element_at(acc, e["src"]),
+                lambda s: F.struct(
+                    (s["ns"] * e["p"]).alias("ns"),
+                    (s["k"] + 1).alias("k"),
+                    F.concat(s["seg"], F.lit(" "), e["piece"]).alias("seg"),
+                ),
+            )
+            return F.when(e["src"] == 0, base).otherwise(ext)
+
+        cands = F.flatten(
+            F.transform(
+                F.filter(
+                    F.col("es"),
+                    lambda e: (e["dst"] == j)
+                    & (
+                        (e["src"] == 0)
+                        | (F.size(F.element_at(acc, e["src"])) > 0)
+                    ),
+                ),
+                expand,
+            )
+        )
+        return F.concat(
+            acc, F.array(F.slice(F.array_sort(cands), 1, nb))
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.expr(f"CAST(array() AS {_NBEST_STATE})"),
+        step,
+    )
+    best = F.element_at(dp, F.length("word"))
+    exploded = words.join(es_rel, "word").select(
+        "word",
+        "n",
+        F.size(best).alias("nb_eff"),
+        F.posexplode(best).alias("pos0", "cand"),
+    )
+    return exploded.select(
+        "word",
+        "n",
+        "nb_eff",
+        (F.col("pos0") + 1).alias("rank"),
+        F.col("cand")["k"].alias("k"),
+        F.col("cand")["seg"].alias("seg"),
+        F.col("cand")["ns"].alias("ns"),
+    )
+
+
 def piece_counts(segmented: DataFrame) -> DataFrame:
     """M-step counts: (piece, cnt) occurrence-weighted over the Viterbi
     segmentations — pieces absent from every segmentation drop out

@@ -3187,10 +3187,16 @@ def q_dedup_blocking_ensemble(spark, sf_dir):
     u_stats = stats(u_all, "u_np", "u_nh")
     out = None
     for gen, gdf in gens.items():
+        # Leave-one-out unions need ONLY the hits count — a full
+        # stats() would also run the discarded pair-count branch and
+        # evaluate the unpinned union twice (ADVICE r12).
+        w_hits = wo[gen].join(exact, ["id1", "id2"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("w_nh")
+        )
         leg = (
             stats(gdf, "np", "nh")
             .crossJoin(u_stats)
-            .crossJoin(stats(wo[gen], "w_np", "w_nh").select("w_nh"))
+            .crossJoin(w_hits)
             .crossJoin(F.broadcast(nt))
             .select(
                 F.lit(gen).alias("generator"),

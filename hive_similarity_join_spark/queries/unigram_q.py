@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from hive_similarity_join_spark.functions import text as TX
 from hive_similarity_join_spark.operators import unigram as UG
+from hive_similarity_join_spark.operators.cache import pin
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 
@@ -74,14 +75,12 @@ seed AS MATERIALIZED (
 )"""
 
 
-def _round_ctes(r: int, prev_pieces: str) -> str:
-    """One hard-EM round as SQL: probabilities from ``prev_pieces``
-    (piece, cnt), the Viterbi DP as one CTE per character position
-    (min of struct(ns, k, seg) — ns is the NEGATED probability
-    product, so struct-min is probability-max with (fewer pieces,
-    segmentation ASC) tie-break), the segmentation join-back, and the
-    M-step piece counts."""
-    parts = [
+def _model_ctes(r: int, prev_pieces: str) -> list[str]:
+    """The round-``r`` MODEL as SQL — normalized piece probabilities
+    from ``prev_pieces`` (piece, cnt) and the substring-edge join —
+    shared by the 1-best DP (``_round_ctes``) and the n-best DP
+    (``_nbest_ctes``)."""
+    return [
         f"""pieces{r} AS MATERIALIZED (
   SELECT piece, CAST(cnt AS DOUBLE) /
          (SELECT CAST(sum(cnt) AS DOUBLE) FROM {prev_pieces}) AS p
@@ -92,6 +91,17 @@ def _round_ctes(r: int, prev_pieces: str) -> str:
          s.piece AS piece, v.p AS p
   FROM subs s JOIN pieces{r} v USING (piece)
 )""",
+    ]
+
+
+def _round_ctes(r: int, prev_pieces: str) -> str:
+    """One hard-EM round as SQL: probabilities from ``prev_pieces``
+    (piece, cnt), the Viterbi DP as one CTE per character position
+    (min of struct(ns, k, seg) — ns is the NEGATED probability
+    product, so struct-min is probability-max with (fewer pieces,
+    segmentation ASC) tie-break), the segmentation join-back, and the
+    M-step piece counts."""
+    parts = _model_ctes(r, prev_pieces) + [
         f"""dp{r}_0 AS MATERIALIZED (
   SELECT word, 0 AS pos, CAST(-1.0 AS DOUBLE) AS ns, 0 AS k, '' AS seg
   FROM wf
@@ -132,6 +142,61 @@ def _round_ctes(r: int, prev_pieces: str) -> str:
   SELECT t.piece AS piece, CAST(sum(n) AS BIGINT) AS cnt
   FROM seg{r}, unnest(string_split(seg, ' ')) AS t(piece)
   GROUP BY 1
+)""")
+    return ",\n".join(parts)
+
+
+def _nbest_ctes(r: int, nb: int) -> str:
+    """The round-``r`` N-BEST Viterbi DP as SQL (assumes ``edges{r}``
+    from ``_model_ctes``): per character position, the top-``nb``
+    partial segmentations per word by (ns ASC = probability DESC,
+    k ASC, seg ASC) — a row_number CTE per position instead of the
+    1-best struct-min, the exact relational mirror of
+    operators/unigram.py viterbi_nbest_segment's array_sort+slice.
+    Ends in ``nseg{r}`` (word, n, nb_eff, rank, k, seg, ns)."""
+    parts = [
+        f"""ndp{r}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(-1.0 AS DOUBLE) AS ns, 0 AS k, '' AS seg
+  FROM wf
+)"""
+    ]
+    for j in range(1, _W + 1):
+        lo = max(0, j - _P)
+        frontier = "\n      UNION ALL ".join(
+            f"SELECT word, pos, ns, k, seg FROM ndp{r}_{i}"
+            for i in range(lo, j)
+        )
+        seg_expr = (
+            "CASE WHEN a.pos = 0 THEN e.piece "
+            "ELSE a.seg || ' ' || e.piece END"
+        )
+        parts.append(f"""ndp{r}_{j} AS MATERIALIZED (
+  SELECT word, {j} AS pos, ns, k, seg FROM (
+    SELECT a.word AS word, a.ns * e.p AS ns, a.k + 1 AS k,
+           {seg_expr} AS seg,
+           row_number() OVER (
+             PARTITION BY a.word
+             ORDER BY a.ns * e.p ASC, a.k + 1 ASC, {seg_expr} ASC
+           ) AS rnk
+    FROM ({frontier}) a
+    JOIN edges{r} e
+      ON e.word = a.word AND e.src = a.pos AND e.dst = {j}
+  ) WHERE rnk <= {nb}
+)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT word, pos, ns, k, seg FROM ndp{r}_{j}"
+        for j in range(1, _W + 1)
+    )
+    parts.append(f"""nseg{r} AS MATERIALIZED (
+  SELECT wf.word AS word, wf.n AS n,
+         CAST(count(*) OVER (PARTITION BY wf.word) AS INT) AS nb_eff,
+         CAST(row_number() OVER (
+           PARTITION BY wf.word ORDER BY d.ns, d.k, d.seg
+         ) AS INT) AS rank,
+         d.k AS k, d.seg AS seg, d.ns AS ns
+  FROM wf JOIN (
+    {union}
+  ) d ON d.word = wf.word AND d.pos = len(wf.word)
 )""")
     return ",\n".join(parts)
 
@@ -339,6 +404,203 @@ def q_unigram_encode_docs(spark, sf_dir):
             (
                 F.sum(F.length("word")).cast("double") / F.sum("k")
             ).alias("compression"),
+        )
+    )
+
+
+_NB = 3
+_NBEST_TOP = 40
+
+
+def _nbest_model_ctes() -> str:
+    """Shared oracle prefix of the two subword-regularization keys:
+    train one hard-EM round (pc1 — the same model q_unigram_segment's
+    round-2 pass segments under), normalize it (pieces2/edges2), and
+    run the n-best DP to ``nseg2``."""
+    model2 = ",\n".join(_model_ctes(2, "pc1"))
+    return (
+        f"{_base_ctes()},\n"
+        f"{_round_ctes(1, 'seed')},\n"
+        f"{model2},\n"
+        f"{_nbest_ctes(2, _NB)}"
+    )
+
+
+_NBEST_SQL = f"""
+WITH {_nbest_model_ctes()},
+top_words AS (
+  SELECT word FROM wf ORDER BY n DESC, word LIMIT {_NBEST_TOP}
+)
+SELECT s.word, s.n, CAST(s.nb_eff AS BIGINT) AS nb_eff,
+       CAST(s.rank AS BIGINT) AS rank,
+       CAST(s.k AS BIGINT) AS n_pieces, s.seg AS segmented,
+       -s.ns AS score
+FROM nseg2 s JOIN top_words USING (word)
+"""
+
+
+@query("q_unigram_nbest", oracle=_NBEST_SQL)
+def q_unigram_nbest(spark, sf_dir):
+    """Subword regularization stage 1 — the N-BEST segmentation
+    lattice (Kudo, ACL 2018 §3): for the top-{TOP} trainable words,
+    the {NB} best segmentations under the trained round-2 unigram
+    model (the SAME model q_unigram_segment's Viterbi pass uses), each
+    with its 1-based rank, piece count and probability-product score.
+    Rank 1 reproduces q_unigram_segment's winner exactly; ranks 2..{NB}
+    are the alternatives a regularized trainer samples among — and
+    nb_eff < {NB} flags words whose lattice has fewer paths than
+    requested (short words), the degenerate case a sampler must
+    handle.
+
+    Exactness: the n-best DP is the 1-best DP's contract verbatim
+    (IEEE multiply chains in fixed association order, total
+    (ns, k, seg) candidate order because a segmentation string
+    uniquely identifies its path) — both engines keep bit-identical
+    top-{NB} lists at every DP position, so the emitted lists match
+    row-for-row. See operators/unigram.py viterbi_nbest_segment.
+
+    Scale shape: identical to the 1-best E-step — pieces broadcast,
+    one word-keyed collect, the DP inside one codegen'd expression per
+    word with a {NB}x wider accumulator; two vocab-sized shuffles
+    total, nothing corpus-sized after the word count.""".format(
+        TOP=_NBEST_TOP, NB=_NB
+    )
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    rounds, _seg = UG.unigram_train(wf, 1, _K, _W, _P)
+    nseg = UG.viterbi_nbest_segment(wf, rounds[1], _NB, _P)
+    top = (
+        wf.orderBy(F.desc("n"), F.asc("word")).limit(_NBEST_TOP)
+        .select("word")
+    )
+    return nseg.join(F.broadcast(top), "word").select(
+        "word",
+        "n",
+        F.col("nb_eff").cast("bigint").alias("nb_eff"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("k").cast("bigint").alias("n_pieces"),
+        F.col("seg").alias("segmented"),
+        (-F.col("ns")).alias("score"),
+    )
+
+
+_ENC_SAMPLED_SQL = f"""
+WITH {_nbest_model_ctes()},
+occ AS (
+  SELECT doc_id, i AS tpos, bag[i] AS word
+  FROM bags, unnest(generate_series(1, len(bag))) AS s(i)
+  WHERE regexp_full_match(bag[i], '[a-z0-9]+') AND len(bag[i]) <= {_W}
+),
+coin AS (
+  SELECT doc_id, word,
+         CAST(concat('0x',
+              substr(md5('useg:' || CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(tpos AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u32
+  FROM occ
+),
+pick AS (
+  SELECT c.doc_id, c.word, s.k AS k_s, v.k AS k_v
+  FROM coin c
+  JOIN nseg2 s ON s.word = c.word AND s.rank = 1 + c.u32 % s.nb_eff
+  JOIN nseg2 v ON v.word = c.word AND v.rank = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(k_s) AS BIGINT) AS n_sampled_tokens,
+       CAST(sum(k_v) AS BIGINT) AS n_viterbi_tokens,
+       CAST(sum(k_s) AS DOUBLE) / sum(k_v) AS sampling_overhead
+FROM pick GROUP BY doc_id
+"""
+
+
+@query("q_unigram_encode_sampled", oracle=_ENC_SAMPLED_SQL)
+def q_unigram_encode_sampled(spark, sf_dir):
+    """Subword regularization stage 2 — the SAMPLED-segmentation
+    encode (q_unigram_encode_docs' regularized sibling): every word
+    OCCURRENCE flips an independent deterministic md5 coin
+    ('useg:'-salted over (doc_id, token position), so repeated words
+    in a doc sample independently) and takes segmentation rank
+    ``1 + u32 % nb_eff`` from its n-best list — uniform over the
+    n-best, exactly SentencePiece's sampling regime in the alpha→0
+    limit (Kudo, ACL 2018 §3.2; uniform keeps the choice in pure
+    integer arithmetic, where alpha-weighted sampling would need
+    cross-engine float SUMS of path probabilities — the exactness
+    wall operators/unigram.py's module docstring documents for soft
+    EM). Per doc: word/char counts, the sampled token budget next to
+    the deterministic Viterbi budget, and their ratio — the
+    regularization overhead a packing pipeline (q_pack_sequences)
+    must provision for, since sampled encodes are what the model
+    actually trains on.
+
+    Determinism: the coin is bit-identical hex on both engines, rank
+    selection is integer modulo, both joins hit exactly one n-best
+    row per occurrence (1 <= 1 + u32 % nb_eff <= nb_eff), and the
+    only double is the final per-doc division.
+
+    Scale shape: the n-best vocabulary (vocab x {NB} rows) BROADCASTS
+    twice into the per-occurrence map — the corpus never shuffles on
+    the word key; the doc_id partial-agg is the one corpus-sized
+    shuffle, exactly q_unigram_encode_docs' plan with one md5 and one
+    modulo more per occurrence.""".format(NB=_NB)
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    rounds, _seg = UG.unigram_train(wf, 1, _K, _W, _P)
+    nseg = pin(UG.viterbi_nbest_segment(wf, rounds[1], _NB, _P))
+    u32 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("useg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (F.col("tpos0") + 1).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u32")
+    )
+    occ = (
+        d.select(
+            "doc_id",
+            F.posexplode(TX.bag_tokens("text")).alias("tpos0", "word"),
+        )
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= _W)
+        )
+        .select("doc_id", "word", u32)
+    )
+    samp = nseg.select(
+        F.col("word").alias("w_s"), "nb_eff", "rank",
+        F.col("k").alias("k_s"),
+    )
+    vit = nseg.filter(F.col("rank") == 1).select(
+        F.col("word").alias("w_v"), F.col("k").alias("k_v")
+    )
+    return (
+        occ.join(
+            F.broadcast(samp),
+            (F.col("word") == F.col("w_s"))
+            & (F.col("rank") == 1 + F.col("u32") % F.col("nb_eff")),
+        )
+        .join(F.broadcast(vit), F.col("word") == F.col("w_v"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("k_s").cast("bigint").alias("n_sampled_tokens"),
+            F.sum("k_v").cast("bigint").alias("n_viterbi_tokens"),
+            (F.sum("k_s").cast("double") / F.sum("k_v")).alias(
+                "sampling_overhead"
+            ),
         )
     )
 

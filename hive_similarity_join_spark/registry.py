@@ -64,45 +64,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-12 window (positions 1-50) ----
-    # The precomputed rotation from the r11 checklist (CLAUDE.md +
-    # VERDICT r11 item #1), valid verbatim because all 50 r11 window
-    # keys landed full-green verdicts (CORRECTNESS_r11: 50 checked,
-    # 0 not green, 0 err — verified r12 start). Head: the 13 round-11
-    # additions in their staged order — none has ANY driver verdict.
-    "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
-    "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
-    "q_join_asof_nearest", "q_multimodal_phash_recall",
-    "q_events_anomaly_mad", "q_profile_table",
-    "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
-    "q_events_winsorize", "q_profile_skew",
-    # Backfill (37): oldest-latest-verdict keys, recomputed r12 start
-    # from CORRECTNESS_r0{1..11} (tools snippet in CLAUDE.md). Oldest
-    # tier = the 36 remaining r7-era keys in CORRECTNESS_r07 file
-    # order, then the single next slot goes to the oldest r8-era key
-    # (q_vec_cosine, CORRECTNESS_r08 file order).
-    "q_stream_session", "q_win_lag", "q_json_get", "q_join_asof",
-    "q_join_range", "q_dedup_latest", "q_funnel_stages", "q_pivot",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
-    "q_join_multikey", "q_agg_global", "q_agg_groupby", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_groupingsets",
-    "q_agg_cube", "q_agg_median", "q_agg_percentiles", "q_agg_histogram",
-    "q_win_rownum", "q_win_agg", "q_win_frame", "q_win_rankfuncs",
-    "q_orderby_limit", "q_union", "q_setops", "q_except", "q_distinct",
-    "q_str_funcs", "q_math_funcs", "q_date_funcs", "q_ngram",
-    "q_vec_cosine",
-    # ---- positions 51+ (round-13 head candidates) ----
-    # Stage round-12 additions here as they land; rotate to head at r13
-    # (then backfill with the next-oldest keys — the 48 remaining
-    # r8-era keys in CORRECTNESS_r08 file order, starting
-    # q_vec_knn_ivf q_bpe_merges q_bpe_segment q_dedup_semantic
-    # q_agg_cms_topk ... — recompute from CORRECTNESS_r0{1..12} at r13
-    # start as always).
+    # ---- round-13 window (positions 1-50) ----
+    # The precomputed rotation from the r12 checklist (CLAUDE.md +
+    # VERDICT r12 item #1), valid verbatim because all 50 r12 window
+    # keys landed green verdicts (CORRECTNESS_r12: 49 full + the
+    # rows-only-by-design HLL key, 0 failures, 0 err — verified r13
+    # start). Head: the 10 round-12 additions in their staged order —
+    # none has ANY driver verdict.
     "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
     "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
     "q_mixture_reweight_apply", "q_unigram_encode_docs",
     "q_tokenizer_compare", "q_mixture_reweight_trace",
     "q_dedup_blocking_ensemble",
+    # Backfill (40): oldest-latest-verdict keys, recomputed r13 start
+    # from CORRECTNESS_r0{1..12}: the 48 r8-era keys in CORRECTNESS_r08
+    # file order; the first 40 fit, the last 8 (q_dedup_near
+    # q_dedup_ngram q_dedup_minhash_lsh q_text_simhash q_dedup_connected
+    # q_dedup_connected_star q_dedup_representatives q_dedup_embedding)
+    # spill to the r14 window.
+    "q_vec_knn_ivf", "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic",
+    "q_agg_cms_topk", "q_decontaminate_bloom", "q_events_pattern",
+    "q_bpe_encode_docs", "q_join_skew_salted", "q_vec_knn_pq",
+    "q_vec_knn_ivfadc", "q_pipeline_llm_corpus", "q_merge_upsert",
+    "q_dq_checks", "q_text_encode", "q_decontaminate", "q_search_bm25",
+    "q_text_inverted_index", "q_docs_to_chunks", "q_corpus_profile",
+    "q_minhash_estimate", "q_simjoin_dice", "q_simjoin_cosine",
+    "q_simjoin_grouped", "q_simjoin_edit_scalable", "q_vec_l2",
+    "q_vec_centroid", "q_text_langid", "q_text_quality",
+    "q_text_tokencount", "q_text_fingerprint", "q_text_repetition",
+    "q_unpivot", "q_split_train_val", "q_sample_mixture",
+    "q_sample_stratified", "q_shuffle_export", "q_simjoin_jaccard_self",
+    "q_simjoin_jaccard_rs", "q_dedup_exact",
+    # ---- positions 51+ (round-14 head candidates) ----
+    # Stage round-13 additions here as they land; rotate to head at r14
+    # (then backfill with the next-oldest keys — the 8 spilled r8-era
+    # keys above first, then the oldest r9-era keys in CORRECTNESS_r09
+    # file order — recompute from CORRECTNESS_r0{1..13} at r14 start as
+    # always).
+    "q_unigram_nbest", "q_unigram_encode_sampled",
 ]
 
 

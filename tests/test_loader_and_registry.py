@@ -90,49 +90,52 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round12_correctness_window_composition():
+def test_round13_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-12 contract (the rotation precomputed at r11 end,
-    valid verbatim because CORRECTNESS_r11 was 50/50 full green): the
-    13 round-11 additions lead the window in their staged order (none
-    has any driver verdict), then 37 oldest-latest-verdict keys
-    backfill — the 36 remaining r7-era keys in CORRECTNESS_r07 file
-    order, then the oldest r8-era key (q_vec_cosine, CORRECTNESS_r08
-    file order). Round-12 additions stay at 51+ (verdicts in the
-    round-13 rotation). A PRIORITY edit that accidentally reorders the
-    window fails here, loudly."""
+    order. Round-13 contract (the rotation precomputed at r12 end,
+    valid verbatim because CORRECTNESS_r12 was 49 full green + the
+    rows-only-by-design HLL key, 0 failures): the 10 round-12 additions
+    lead the window in their staged order (none has any driver
+    verdict), then 40 oldest-latest-verdict keys backfill — the first
+    40 of the 48 r8-era keys in CORRECTNESS_r08 file order (the last 8,
+    q_dedup_near … q_dedup_embedding, spill to r14). Round-13 additions
+    stay at 51+ (verdicts in the round-14 rotation). A PRIORITY edit
+    that accidentally reorders the window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_text_simhash_wide"
-    assert head[12] == "q_profile_skew"
-    assert head[13] == "q_stream_session"
-    assert head[48] == "q_ngram"
-    assert head[49] == "q_vec_cosine"
-    staged_r11 = {
-        "q_text_simhash_wide", "q_dedup_simhash_wide_recall",
-        "q_text_gopher_rules", "q_dedup_lsh_band_sweep", "q_vec_ann_cost",
-        "q_join_asof_nearest", "q_multimodal_phash_recall",
-        "q_events_anomaly_mad", "q_profile_table",
-        "q_dedup_sorted_neighborhood", "q_join_interval_overlap",
-        "q_events_winsorize", "q_profile_skew",
+    assert head[0] == "q_unigram_lm_seed"
+    assert head[9] == "q_dedup_blocking_ensemble"
+    assert head[10] == "q_vec_knn_ivf"
+    assert head[48] == "q_simjoin_jaccard_rs"
+    assert head[49] == "q_dedup_exact"
+    staged_r12 = {
+        "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
+        "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
+        "q_mixture_reweight_apply", "q_unigram_encode_docs",
+        "q_tokenizer_compare", "q_mixture_reweight_trace",
+        "q_dedup_blocking_ensemble",
     }
-    assert set(head[:13]) == staged_r11, set(head[:13]) ^ staged_r11
-    backfill_r7 = {
-        "q_stream_session", "q_win_lag", "q_json_get", "q_join_asof",
-        "q_join_range", "q_dedup_latest", "q_funnel_stages", "q_pivot",
-        "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
-        "q_join_multikey", "q_agg_global", "q_agg_groupby",
-        "q_agg_distinct", "q_agg_approx_distinct", "q_agg_rollup",
-        "q_agg_groupingsets", "q_agg_cube", "q_agg_median",
-        "q_agg_percentiles", "q_agg_histogram", "q_win_rownum",
-        "q_win_agg", "q_win_frame", "q_win_rankfuncs", "q_orderby_limit",
-        "q_union", "q_setops", "q_except", "q_distinct", "q_str_funcs",
-        "q_math_funcs", "q_date_funcs", "q_ngram",
+    assert set(head[:10]) == staged_r12, set(head[:10]) ^ staged_r12
+    backfill_r8 = {
+        "q_vec_knn_ivf", "q_bpe_merges", "q_bpe_segment",
+        "q_dedup_semantic", "q_agg_cms_topk", "q_decontaminate_bloom",
+        "q_events_pattern", "q_bpe_encode_docs", "q_join_skew_salted",
+        "q_vec_knn_pq", "q_vec_knn_ivfadc", "q_pipeline_llm_corpus",
+        "q_merge_upsert", "q_dq_checks", "q_text_encode",
+        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
+        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
+        "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
+        "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
+        "q_text_langid", "q_text_quality", "q_text_tokencount",
+        "q_text_fingerprint", "q_text_repetition", "q_unpivot",
+        "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
+        "q_shuffle_export", "q_simjoin_jaccard_self",
+        "q_simjoin_jaccard_rs", "q_dedup_exact",
     }
-    assert set(head[13:49]) == backfill_r7, set(head[13:49]) ^ backfill_r7
+    assert set(head[10:50]) == backfill_r8, set(head[10:50]) ^ backfill_r8
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):

@@ -356,6 +356,20 @@ def test_session_pin_scope_and_self_healing(spark):
         assert builds == ["a", "d"]
         assert not a.storageLevel.useMemory
         assert d.storageLevel.useMemory
+        # a FAILED rebuild on scope change must leave the tier empty for
+        # the name — the old-scope entry may not silently resurrect
+        # (ADVICE r12: pop before build())
+        def boom():
+            raise RuntimeError("build failed")
+
+        try:
+            session_pin("t_pin", "scope3", boom)
+        except RuntimeError:
+            pass
+        assert not d.storageLevel.useMemory  # old pin was released
+        e = session_pin("t_pin", "scope2", build("e", 7))
+        assert builds == ["a", "d", "e"]  # rebuilt, NOT resurrected d
+        assert e is not d
     finally:
         assert release_session_pins() >= 1
         spark.catalog.clearCache()

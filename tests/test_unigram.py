@@ -162,3 +162,61 @@ def test_viterbi_prefers_probable_pieces():
     seg = _ref_viterbi(words, probs)
     assert seg["abab"][2] == "ab ab"
     assert seg["abab"][0] == -(0.5 * 0.5)
+
+
+def _ref_nbest(
+    words: dict[str, int], probs: dict[str, tuple[int, float]], nb: int
+) -> dict[str, list[tuple[float, int, str]]]:
+    """word -> sorted n-best list of (ns, k, seg): per position keep
+    the nb lexicographically-least structs — the reference for
+    viterbi_nbest_segment, same tuple ordering as the engines."""
+    out = {}
+    for w in words:
+        dp: list[list[tuple[float, int, str]]] = [[(-1.0, 0, "")]] + [
+            [] for _ in w
+        ]
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(P, j) + 1):
+                i = j - l
+                s = w[i:j]
+                if s in probs and dp[i]:
+                    for prev in dp[i]:
+                        cands.append(
+                            (
+                                prev[0] * probs[s][1],
+                                prev[1] + 1,
+                                s if i == 0 else prev[2] + " " + s,
+                            )
+                        )
+            dp[j] = sorted(cands)[:nb]
+        assert dp[len(w)]
+        out[w] = dp[len(w)]
+    return out
+
+
+def test_nbest_matches_reference_and_rank1_is_viterbi(spark):
+    """viterbi_nbest_segment vs the single-node reference, EXACT
+    (float scores bit-included): per word the full (rank -> (ns, k,
+    seg)) list and nb_eff match, and the rank-1 row is bit-identical
+    to the 1-best DP's winner — the invariant that makes sampled
+    encodes degrade to deterministic encodes at alpha->0, nb=1."""
+    NB = 3
+    wf = _spark_wf(spark)
+    rounds, _seg = UG.unigram_train(wf, 1, K, W, P)
+    got_rows = UG.viterbi_nbest_segment(wf, rounds[1], NB, P).collect()
+    got: dict[str, dict[int, tuple[float, int, str]]] = {}
+    nb_eff: dict[str, int] = {}
+    for r in got_rows:
+        got.setdefault(r.word, {})[r.rank] = (r.ns, r.k, r.seg)
+        nb_eff[r.word] = r.nb_eff
+    ref_words = _ref_word_freqs(_texts())
+    ref_rounds, _ = _ref_train(ref_words, 1)
+    ref = _ref_nbest(ref_words, ref_rounds[1], NB)
+    assert set(got) == set(ref)
+    for w, lst in ref.items():
+        assert nb_eff[w] == len(lst)
+        assert got[w] == {i + 1: v for i, v in enumerate(lst)}
+    ref_v = _ref_viterbi(ref_words, ref_rounds[1])
+    for w, v in ref_v.items():
+        assert got[w][1] == v
