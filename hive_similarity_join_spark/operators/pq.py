@@ -213,6 +213,133 @@ def adc_topk(
     return _rerank(cand, k)
 
 
+def _centroid_table(centroids: list[list[float]]) -> Column:
+    """The IVF centroid list as ONE literal nested-array column
+    (cells x dim doubles, a few KB of plan — the same inlining budget
+    as ivf._cell_dists), indexable by ``element_at(.., cell + 1)``."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivfadc_residual_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the production FAISS IVFADC
+    (Jégou et al., TPAMI 2011 §IV.B): PQ quantizes ``x − c_cell(x)``
+    instead of ``x``. Residuals concentrate near the origin (the
+    coarse quantizer has removed the between-cell variance), so the
+    same 4-byte code budget spends its resolution on the
+    within-cell detail that actually ranks neighbors — the accuracy
+    ``ivfadc_topk``'s raw-vector leg leaves on the table WHEN the
+    data has cluster structure (r12 VERDICT gap #5; q_vec_ann_recall
+    / q_vec_ann_cost carry both legs so the gain is measured, not
+    asserted — and on the isotropic synthetic embeddings it measures
+    ~zero, as theory predicts: the gain is the between-cell variance
+    removed, see the key docstring in queries/dedup_q.py).
+
+    Determinism (the pq.py contract verbatim): residual = one IEEE
+    subtraction per element against the SAME literal centroid values
+    both engines route with; codebooks are the hash-sampled rows'
+    RESIDUAL subvectors (same (md5('m:'+id), id) sample order as the
+    raw leg — the order is id-hash-only, so the two legs index
+    identical rows); distance tables are per (probe, cell) — the query
+    residual differs per probed cell, ADC's one structural change —
+    and the ADC fold, tie-breaks and exact-cosine rerank are shared
+    with the raw leg.
+
+    Scale shape: identical to ``ivfadc_topk`` — scan nprobe/n_cells of
+    the corpus, read 4-byte codes, rerank top candidates against raw
+    vectors — plus an nprobe-x-wider (still M x K-row) table build per
+    probe and one centroid lookup per scanned code. The residual
+    relation is a projection fused into the encode scan, never
+    materialized corpus-wide."""
+    from hive_similarity_join_spark.operators.ivf import (
+        _cell_dists,
+        assign_cells,
+    )
+
+    ct = _centroid_table(centroids)
+    v = V.as_double(vec_col)
+
+    cells = assign_cells(corpus, centroids, id_col, vec_col).select(
+        "vec_id", "cell"
+    )
+    raw = corpus.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    resid = raw.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(ct, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ).alias("rv"),
+    )
+    cb = codebook_relation(resid, "vec_id", "rv")
+    indexed = encode(resid, cb, "vec_id", "rv").select("vec_id", "cd").join(
+        cells, "vec_id"
+    )
+
+    p_raw = probes.select(F.col(id_col).alias("probe_id"), v.alias("_p"))
+    top_cells = F.slice(
+        F.array_sort(_cell_dists(F.col("_p"), centroids)), 1, nprobe
+    )
+    prout = (
+        p_raw.select("probe_id", "_p", F.explode(top_cells).alias("_tc"))
+        .select("probe_id", "_p", F.col("_tc.cell").alias("cell"))
+        .select(
+            "probe_id",
+            "cell",
+            "_p",
+            F.zip_with(
+                F.col("_p"),
+                F.element_at(ct, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ).alias("pr"),
+        )
+    )
+    ex = prout.select(
+        "probe_id", "cell", F.explode(_subspaces(F.col("pr"))).alias("_s")
+    ).select(
+        "probe_id", "cell", F.col("_s.m").alias("m"), F.col("_s.sv").alias("pv")
+    )
+    celltab = ex.join(F.broadcast(cb), "m").select(
+        "probe_id", "cell", "m", "c", _d2(F.col("pv"), F.col("sv")).alias("d2")
+    )
+    rows = celltab.groupBy("probe_id", "cell", "m").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "d2"))), lambda s: s["d2"]
+        ).alias("dl")
+    )
+    dt = rows.groupBy("probe_id", "cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "dl"))), lambda s: s["dl"]
+        ).alias("_dt")
+    )
+    ptab = prout.select("probe_id", "cell", "_p").join(
+        dt, ["probe_id", "cell"]
+    )
+
+    scored = (
+        F.broadcast(ptab)
+        .join(indexed, "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", "_p", _adc_fold().alias("adist"))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cand = scored.withColumn("_cr", F.row_number().over(wc)).filter(
+        F.col("_cr") <= n_candidates
+    )
+    return _rerank(cand.join(raw, "vec_id"), k)
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     # keys above first, then the oldest r9-era keys in CORRECTNESS_r09
     # file order — recompute from CORRECTNESS_r0{1..13} at r14 start as
     # always).
-    "q_unigram_nbest", "q_unigram_encode_sampled",
+    "q_unigram_nbest", "q_unigram_encode_sampled", "q_vec_knn_ivfadc_res",
 ]
 
 
