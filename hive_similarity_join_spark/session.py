@@ -85,5 +85,11 @@ def get_spark(
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
             )
         except Exception:
+            # Swallows exactly one failure mode: conf.set on a session
+            # whose owner marked the knob non-modifiable (locked-down /
+            # Connect-style sessions raise CANNOT_MODIFY_CONFIG). The
+            # session still works; shuffle sizing falls back to the
+            # owner's value — correctness never depends on it
+            # (CLAUDE.md non-negotiable #3).
             pass
     return spark
