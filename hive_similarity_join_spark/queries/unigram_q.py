@@ -75,34 +75,36 @@ seed AS MATERIALIZED (
 )"""
 
 
-def _model_ctes(r: int, prev_pieces: str) -> list[str]:
+def _model_ctes(r: int, prev_pieces: str, p: str = "") -> list[str]:
     """The round-``r`` MODEL as SQL — normalized piece probabilities
     from ``prev_pieces`` (piece, cnt) and the substring-edge join —
-    shared by the 1-best DP (``_round_ctes``) and the n-best DP
-    (``_nbest_ctes``)."""
+    shared by the 1-best DP (``_round_ctes``), the n-best DP
+    (``_nbest_ctes``) and the vocab sweep (``p``-prefixed names)."""
     return [
-        f"""pieces{r} AS MATERIALIZED (
+        f"""{p}pieces{r} AS MATERIALIZED (
   SELECT piece, CAST(cnt AS DOUBLE) /
          (SELECT CAST(sum(cnt) AS DOUBLE) FROM {prev_pieces}) AS p
   FROM {prev_pieces}
 )""",
-        f"""edges{r} AS MATERIALIZED (
+        f"""{p}edges{r} AS MATERIALIZED (
   SELECT s.word AS word, s.src AS src, s.dst AS dst,
          s.piece AS piece, v.p AS p
-  FROM subs s JOIN pieces{r} v USING (piece)
+  FROM subs s JOIN {p}pieces{r} v USING (piece)
 )""",
     ]
 
 
-def _round_ctes(r: int, prev_pieces: str) -> str:
+def _round_ctes(r: int, prev_pieces: str, p: str = "") -> str:
     """One hard-EM round as SQL: probabilities from ``prev_pieces``
     (piece, cnt), the Viterbi DP as one CTE per character position
     (min of struct(ns, k, seg) — ns is the NEGATED probability
     product, so struct-min is probability-max with (fewer pieces,
     segmentation ASC) tie-break), the segmentation join-back, and the
-    M-step piece counts."""
-    parts = _model_ctes(r, prev_pieces) + [
-        f"""dp{r}_0 AS MATERIALIZED (
+    M-step piece counts. ``p`` prefixes every CTE name so several
+    independent trainings (the vocab sweep) compose in one statement;
+    the default "" keeps the single-training oracles' text verbatim."""
+    parts = _model_ctes(r, prev_pieces, p) + [
+        f"""{p}dp{r}_0 AS MATERIALIZED (
   SELECT word, 0 AS pos, CAST(-1.0 AS DOUBLE) AS ns, 0 AS k, '' AS seg
   FROM wf
 )""",
@@ -110,10 +112,10 @@ def _round_ctes(r: int, prev_pieces: str) -> str:
     for j in range(1, _W + 1):
         lo = max(0, j - _P)
         frontier = "\n      UNION ALL ".join(
-            f"SELECT word, pos, ns, k, seg FROM dp{r}_{i}"
+            f"SELECT word, pos, ns, k, seg FROM {p}dp{r}_{i}"
             for i in range(lo, j)
         )
-        parts.append(f"""dp{r}_{j} AS MATERIALIZED (
+        parts.append(f"""{p}dp{r}_{j} AS MATERIALIZED (
   SELECT word, {j} AS pos, best.ns AS ns, best.k AS k, best.seg AS seg
   FROM (
     SELECT a.word AS word,
@@ -123,24 +125,24 @@ def _round_ctes(r: int, prev_pieces: str) -> str:
                seg := CASE WHEN a.pos = 0 THEN e.piece
                            ELSE a.seg || ' ' || e.piece END)) AS best
     FROM ({frontier}) a
-    JOIN edges{r} e
+    JOIN {p}edges{r} e
       ON e.word = a.word AND e.src = a.pos AND e.dst = {j}
     GROUP BY a.word
   )
 )""")
     union = "\n    UNION ALL ".join(
-        f"SELECT word, pos, ns, k, seg FROM dp{r}_{j}"
+        f"SELECT word, pos, ns, k, seg FROM {p}dp{r}_{j}"
         for j in range(1, _W + 1)
     )
-    parts.append(f"""seg{r} AS MATERIALIZED (
+    parts.append(f"""{p}seg{r} AS MATERIALIZED (
   SELECT wf.word AS word, wf.n AS n, d.k AS k, d.seg AS seg, d.ns AS ns
   FROM wf JOIN (
     {union}
   ) d ON d.word = wf.word AND d.pos = len(wf.word)
 )""")
-    parts.append(f"""pc{r} AS MATERIALIZED (
+    parts.append(f"""{p}pc{r} AS MATERIALIZED (
   SELECT t.piece AS piece, CAST(sum(n) AS BIGINT) AS cnt
-  FROM seg{r}, unnest(string_split(seg, ' ')) AS t(piece)
+  FROM {p}seg{r}, unnest(string_split(seg, ' ')) AS t(piece)
   GROUP BY 1
 )""")
     return ",\n".join(parts)
@@ -724,3 +726,114 @@ def q_tokenizer_compare(spark, sf_dir):
             ),
         )
     )
+
+
+_SWEEP_SIZES = (30, 60, 120)
+
+
+def _vocab_sweep_oracle() -> str:
+    """Three independent 2-round trainings over the SHARED wf/subs/sc
+    relations, one CTE namespace per seed size, each reduced to one
+    corpus-level stats row."""
+    parts = []
+    legs = []
+    for k in _SWEEP_SIZES:
+        p = f"v{k}_"
+        parts.append(f"""{p}seed AS MATERIALIZED (
+  SELECT piece, cnt FROM sc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM sc WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {k}
+  )
+)""")
+        parts.append(_round_ctes(1, f"{p}seed", p))
+        parts.append(_round_ctes(2, f"{p}pc1", p))
+        legs.append(f"""SELECT CAST({k} AS BIGINT) AS k_multi,
+       (SELECT CAST(count(*) AS BIGINT) FROM {p}seed) AS seed_vocab,
+       (SELECT CAST(count(*) AS BIGINT) FROM {p}pc2) AS final_vocab,
+       CAST(sum(n * k) AS BIGINT) AS n_tokens,
+       CAST(sum(n * len(word)) AS BIGINT) AS n_chars,
+       CAST(sum(n * k) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility,
+       CAST(sum(n * len(word)) AS DOUBLE) / CAST(sum(n * k) AS DOUBLE)
+           AS compression
+FROM {p}seg2""")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {_base_ctes()},
+{body}
+{union}
+"""
+
+
+@query("q_unigram_vocab_sweep", oracle=_vocab_sweep_oracle())
+def q_unigram_vocab_sweep(spark, sf_dir):
+    """Vocabulary-SIZE sweep for the unigram-LM tokenizer — the
+    selection report the tokenizer family was missing (the LSH family
+    has its band sweep, SNM its window sweep; this is the same
+    measured-tradeoff pattern for the vocab-size knob every LLM
+    tokenizer decision starts from): train the full 2-round hard-EM
+    pipeline at seed sizes k_multi in {SIZES} over the SAME word
+    relation and report, per size: seed and post-pruning vocabulary
+    sizes, corpus token/char budgets, occurrence-weighted fertility
+    (tokens per word — drives context-window cost) and compression
+    (chars per token). Bigger vocabularies buy lower fertility at the
+    price of embedding-table rows; the sweep prices that curve on
+    THIS corpus instead of assuming it (the shipped k_multi={K} is
+    the middle row).
+
+    Exactness: three full trainings under the established unigram
+    contract (IEEE multiply/divide/compare DP, exact integer counts);
+    the per-size stats are exact bigint sums over the final
+    segmentation relation with one int/int double divide each. The
+    oracle namespaces each training's CTE chain (v30_/v60_/v120_) over
+    the SHARED substring-count relations, so both engines train on
+    identical inputs.
+
+    Scale shape: the corpus-sized pass (word count) runs ONCE and is
+    pinned; each training is the vocab-sized E/M loop of
+    q_unigram_lm_em (two vocab-sized shuffles per E-step, piece
+    relation broadcast); the sweep's added cost over one training is
+    two more vocab-sized loops — at 100 TB the sweep is three
+    tokenizer trainings on one shared word sketch, the cheap way to
+    buy the vocab decision.""".format(SIZES=set(_SWEEP_SIZES), K=_K)
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    out = None
+    for k in _SWEEP_SIZES:
+        rounds, seg = UG.unigram_train(wf, 2, k, _W, _P)
+        seed_n = rounds[0].agg(
+            F.count(F.lit(1)).cast("bigint").alias("seed_vocab")
+        )
+        final_n = rounds[2].agg(
+            F.count(F.lit(1)).cast("bigint").alias("final_vocab")
+        )
+        stats = seg.agg(
+            F.sum(F.col("n") * F.col("k")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * F.length("word"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum("n").cast("bigint").alias("n_occ"),
+        )
+        leg = (
+            stats.crossJoin(F.broadcast(seed_n))
+            .crossJoin(F.broadcast(final_n))
+            .select(
+                F.lit(k).cast("bigint").alias("k_multi"),
+                "seed_vocab",
+                "final_vocab",
+                "n_tokens",
+                "n_chars",
+                (
+                    F.col("n_tokens").cast("double")
+                    / F.col("n_occ").cast("double")
+                ).alias("fertility"),
+                (
+                    F.col("n_chars").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("compression"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
