@@ -903,6 +903,124 @@ def q_bpe_encode_docs(spark, sf_dir):
     )
 
 
+# ------------------------------------- BPE merge-count (vocab) sweep
+
+_BPE_SWEEP_ROUNDS = 6
+_BPE_SWEEP_SNAPSHOTS = (0, 2, 4, 6)
+
+
+def _bpe_rounds_sweep_oracle() -> str:
+    """One 6-round lazy merge chain (bs_-prefixed CTEs), snapshot legs
+    reading the words relation after 0/2/4/6 merges."""
+    chain = ",".join(
+        _bpe_round_ctes(r, p="bs_")
+        for r in range(1, _BPE_SWEEP_ROUNDS + 1)
+    )
+    legs = []
+    for r in _BPE_SWEEP_SNAPSHOTS:
+        legs.append(f"""SELECT CAST({r} AS BIGINT) AS n_merges,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM (
+          SELECT unnest(string_split(trim(w, '|'), '||')) AS s
+          FROM bs_w{r + 1}
+       )) AS vocab_symbols,
+       CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS BIGINT)
+           AS n_tokens,
+       CAST(sum(n * len(replace(w, '|', ''))) AS BIGINT) AS n_chars,
+       CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS DOUBLE)
+           / CAST(sum(n) AS DOUBLE) AS fertility,
+       CAST(sum(n * len(replace(w, '|', ''))) AS DOUBLE)
+           / CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS DOUBLE)
+           AS compression
+FROM bs_w{r + 1}""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS (
+  SELECT t.tok AS word, count(*) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+')
+  GROUP BY 1
+),
+bs_w1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{chain}
+{union}
+"""
+
+
+@query("q_bpe_rounds_sweep", oracle=_bpe_rounds_sweep_oracle())
+def q_bpe_rounds_sweep(spark, sf_dir):
+    """Merge-COUNT sweep for the BPE tokenizer — q_unigram_vocab_sweep's
+    BPE sibling, completing the tokenizer-selection pair (unigram
+    prices the seed-vocabulary knob; this prices BPE's only knob, the
+    number of learned merges): one lazy 6-round training chain,
+    snapshotted after 0/2/4/6 merges, reporting per snapshot the
+    in-use symbol vocabulary (distinct symbols across the segmented
+    word relation — characters + merged units), corpus token/char
+    budgets, occurrence-weighted fertility and compression. The
+    0-merge row is the character-level anchor (compression exactly
+    1.0, fertility = mean word length); each merge monotonically
+    lowers fertility and grows the symbol vocabulary — the curve that
+    tells a tokenizer rollout where the marginal merge stops paying.
+
+    Determinism: the established BPE contract (exact integer pair
+    counts, (count DESC, left, right) winner, replace()-based greedy
+    merge — operators/bpe.py); every reported stat is exact bigint
+    sums with one int/int double divide.
+
+    Scale shape: the whole sweep runs on the vocabulary-sized word
+    sketch (the one corpus pass is the word count, pinned); snapshots
+    share the single lazy merge chain (Spark reuses the common
+    subplans via exchange reuse), so the sweep costs one 6-round
+    training plus four vocab-sized aggregates."""
+    from hive_similarity_join_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    # word_freqs already returns the char-ENCODED (w, n) relation
+    words = pin(bpe.word_freqs(d, TX.bag_tokens("text")))
+    out = None
+    cur = words
+    r = 0
+    for target in _BPE_SWEEP_SNAPSHOTS:
+        while r < target:
+            cur = bpe.apply_merge(cur, bpe.best_pair(cur))
+            r += 1
+        sy = bpe.decode_symbols("w")
+        nsym = F.size(sy)
+        wlen = F.length(F.replace(F.col("w"), F.lit("|"), F.lit("")))
+        stats = cur.agg(
+            F.sum(F.col("n") * nsym).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * wlen).cast("bigint").alias("n_chars"),
+            F.sum("n").cast("bigint").alias("n_occ"),
+        )
+        vocab = cur.select(F.explode(sy).alias("s")).agg(
+            F.countDistinct("s").cast("bigint").alias("vocab_symbols")
+        )
+        leg = (
+            stats.crossJoin(F.broadcast(vocab)).select(
+                F.lit(target).cast("bigint").alias("n_merges"),
+                "vocab_symbols",
+                "n_tokens",
+                "n_chars",
+                (
+                    F.col("n_tokens").cast("double")
+                    / F.col("n_occ").cast("double")
+                ).alias("fertility"),
+                (
+                    F.col("n_chars").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("compression"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 # -------------------------------------------------- corpus novelty
 
 _NOVELTY_N = 3
