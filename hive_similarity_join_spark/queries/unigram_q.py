@@ -837,3 +837,104 @@ def q_unigram_vocab_sweep(spark, sf_dir):
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+_TOK_PACK_BUDGET = 512
+
+
+_PACK_TOKENS_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")},
+occ AS (
+  SELECT doc_id, t.tok AS word
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_W}
+),
+per AS (
+  SELECT o.doc_id, CAST(sum(s.k) AS BIGINT) AS toks
+  FROM occ o JOIN seg2 s ON s.word = o.word
+  GROUP BY o.doc_id
+),
+bud AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(p.toks, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / {_TOK_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS start_offset
+FROM bud
+"""
+
+
+@query("q_pack_sequences_tokens", oracle=_PACK_TOKENS_SQL)
+def q_pack_sequences_tokens(spark, sf_dir):
+    """Sequence packing on TOKEN budgets — the composition
+    q_unigram_encode_docs' and q_pack_sequences' docstrings both point
+    at ("you pack token budgets, not char budgets; this is where the
+    two meet"): each doc's budget is its unigram token count under the
+    trained round-2 model (docs with no trainable words pack at
+    budget 0 — LEFT join, they still get a slot), docs are laid
+    end-to-end per source in doc_id order, and bins cut every
+    {BUDGET} tokens. This is the actual pretraining shard layout;
+    the char-budget key remains as the tokenizer-free approximation
+    whose bin drift vs this key shows what char-proxy packing costs.
+
+    Exactness: per-doc budgets are exact integer sums through the
+    broadcast segmented vocabulary; the running sum is exact bigint;
+    bin_id is the established floor(start / budget.0) device both
+    engines compute identically on exactly-representable ints.
+
+    Scale shape: the corpus-sized running sum uses
+    operators/scan.py grouped_prefix_scan (two-pass distributed scan,
+    full cluster width — the same r10 de-weak as q_pack_sequences; a
+    plain window partitioned by the handful of sources would funnel
+    the corpus through |sources| tasks); the token-budget join
+    broadcasts the vocab-sized segmentation; EM training upstream is
+    q_unigram_lm_em's plan verbatim.""".format(BUDGET=_TOK_PACK_BUDGET)
+    from hive_similarity_join_spark.operators.scan import (
+        grouped_prefix_scan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    occ = d.select(
+        "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
+    ).filter(
+        F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= _W)
+    )
+    per = (
+        occ.join(F.broadcast(seg.select("word", "k")), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("k").cast("bigint").alias("toks"))
+    )
+    bud = (
+        d.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("toks"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    cum = grouped_prefix_scan(
+        bud, ["source"], ["doc_id"], [("n_tokens", "sum", "_incl")]
+    )
+    start = F.col("_incl") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / F.lit(float(_TOK_PACK_BUDGET)))
+        .cast("bigint")
+        .alias("bin_id"),
+        start.cast("bigint").alias("start_offset"),
+    )

@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "q_unigram_nbest", "q_unigram_encode_sampled", "q_vec_knn_ivfadc_res",
     "q_dedup_ensemble_representatives", "q_vec_pq_distortion_res",
     "q_unigram_vocab_sweep", "q_bpe_rounds_sweep",
+    "q_pack_sequences_tokens",
 ]
 
 
