@@ -1100,3 +1100,90 @@ def incremental_reweight(
         merge_reweight,
         checkpoint_dir,
     )
+
+
+# ---- continuous sequence packing (FOURTEENTH mirror: q_pack_sequences)
+
+PACK_CARRY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def pack_partials(batch: DataFrame) -> DataFrame:
+    """Per-doc packing inputs of a documents slice — (doc_id, source,
+    n_chars), each row a pure function of its document."""
+    return batch.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def merge_pack(carry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Union + dedup by the doc_id KEY (max is a deterministic pick;
+    duplicate rows are bit-identical anyway since the columns are pure
+    functions of the doc) — associative, commutative, idempotent, so
+    epochs arrive in any order and replays cannot double-pack a doc.
+    Carry is O(docs) rows of three scalars — the gopher mirror's
+    class, and unavoidable: a doc's bin depends on the prefix sum of
+    ALL smaller-id docs in its source, including ones that arrive
+    LATER (packing is not a per-group decomposable aggregate; the
+    doc-level set is its finest decomposition)."""
+    if carry is None:
+        merged = delta
+    else:
+        merged = carry.unionByName(delta)
+    return merged.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        F.max("n_chars").alias("n_chars"),
+    )
+
+
+def emit_pack(carry: DataFrame) -> DataFrame:
+    """q_pack_sequences' exact output from the doc carry — the batch
+    key's own grouped_prefix_scan layout (two-pass distributed running
+    sum, no low-cardinality window) over the packed-so-far corpus:
+    every snapshot IS the shard layout of the data that has arrived,
+    and a late doc re-binning its source's suffix is the documented
+    semantics (stable shard prefixes need id-ordered arrival, which
+    the versioned-carry contract does not require)."""
+    from hive_similarity_join_spark.operators.scan import (
+        grouped_prefix_scan,
+    )
+    from hive_similarity_join_spark.queries.pipeline_q import PACK_BUDGET
+
+    cum = grouped_prefix_scan(
+        carry, ["source"], ["doc_id"], [("n_chars", "sum", "_incl")]
+    )
+    start = F.col("_incl") - F.col("n_chars")
+    return cum.select(
+        "doc_id",
+        "source",
+        F.floor(start / F.lit(float(PACK_BUDGET)))
+        .cast("bigint")
+        .alias("bin_id"),
+        start.cast("bigint").alias("start_offset"),
+    )
+
+
+def incremental_pack(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str | None = None
+):
+    """Continuous sequence-packing maintenance over a documents stream
+    (FOURTEENTH continuous-aggregate mirror): the live form of the
+    pretraining shard layout — as docs arrive, every snapshot emits
+    the SAME per-doc (bin, offset) assignment the batch
+    q_pack_sequences computes on the corpus so far. Read the latest
+    summary snapshot and call emit_pack for the layout."""
+    return _make_query(
+        stream,
+        state_dir,
+        pack_partials,
+        PACK_CARRY_SCHEMA,
+        merge_pack,
+        checkpoint_dir,
+    )

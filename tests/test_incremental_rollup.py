@@ -706,3 +706,61 @@ def test_streaming_reweight_matches_batch_key(spark, dirs):
     assert _tuples(emit_reweight(carry)) == _tuples(
         q_mixture_reweight(spark, SF_SMOKE)
     )
+
+
+def test_pack_epoch_chain_equals_batch_key(spark):
+    """Any epoch order + a replayed epoch must reproduce the batch
+    q_pack_sequences layout bit-identically — the carry is the per-doc
+    input set (pure function of each doc), so the keyed merge is
+    associative, commutative, AND idempotent, and emission runs the
+    batch key's own prefix scan."""
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        q_pack_sequences,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        emit_pack,
+        merge_pack,
+        pack_partials,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    carry = None
+    for sl in reversed(slices):
+        carry = merge_pack(carry, pack_partials(sl))
+    carry = merge_pack(carry, pack_partials(slices[1]))  # replay
+    assert _tuples(emit_pack(carry)) == _tuples(
+        q_pack_sequences(spark, SF_SMOKE)
+    )
+
+
+def test_streaming_pack_matches_batch_key(spark, dirs):
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        q_pack_sequences,
+    )
+    from hive_similarity_join_spark.streaming.incremental_rollup import (
+        PACK_CARRY_SCHEMA,
+        emit_pack,
+        incremental_pack,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    src = f"{dirs}/src"
+    for i in range(2):
+        d.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(
+            f"{src}/part={i}"
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part=*")
+    )
+    q = incremental_pack(
+        stream, f"{dirs}/state", checkpoint_dir=f"{dirs}/ckpt"
+    )
+    q.awaitTermination(120)
+    final = sorted(Path(f"{dirs}/state/summary").glob("epoch_*"))[-1]
+    carry = spark.read.schema(PACK_CARRY_SCHEMA).parquet(str(final))
+    assert _tuples(emit_pack(carry)) == _tuples(
+        q_pack_sequences(spark, SF_SMOKE)
+    )
