@@ -3466,7 +3466,10 @@ def q_dedup_ensemble_representatives(spark, sf_dir):
     vs the LSH-only key (sf0.01, 500 docs): 86 clusters vs 166 — the
     union's extra recall merges the near-dup mass LSH banding splits —
     and 414 vs 334 docs removed (+80, a further 16% of the corpus
-    deduplicated; multi-member clusters 8 vs 4).
+    deduplicated; multi-member clusters 8 vs 4). At sf0.1 (5000
+    docs): 427 clusters vs 1,317 and 4,573 vs 3,683 removed (+890,
+    +17.8% of the corpus) over the 3,012,985-pair union graph —
+    FIXTURES.md round-13 anchors.
 
     Compose-don't-recompute: the three pair relations are the
     session-pinned graphs every ensemble consumer shares
