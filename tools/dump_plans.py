@@ -368,6 +368,34 @@ HEADLINERS: dict[str, str] = {
         "which is why NO HashAggregate-distinct over the pair relation "
         "exists anywhere in the plan — and plain counting after."
     ),
+    "q_unigram_nbest": (
+        "N-best Viterbi segmentation (subword regularization, r13). "
+        "Look for: the piece relation as ONE BroadcastHashJoin into the "
+        "substring-edge explode, a single word-keyed collect_list "
+        "Exchange, the whole n-best DP inside one codegen'd aggregate/"
+        "transform/array_sort expression per word (no per-position "
+        "joins, no Python nodes), and the top-words filter as a "
+        "broadcast semi-join — two vocab-sized shuffles total."
+    ),
+    "q_vec_knn_ivfadc_res": (
+        "Residual IVFADC (r13). Look for: cell assignment as a literal-"
+        "centroid projection (no join), residuals as zip_with inside "
+        "the encode scan (never materialized corpus-wide), the "
+        "PQ_M x PQ_K residual codebook as the only BroadcastHashJoin "
+        "into encode, per-(probe, cell) distance tables on the "
+        "broadcast probe side, ADC as a codegen'd fold over the code "
+        "array, and exact-cosine rerank only over the top-20 "
+        "candidate rows joined back to raw vectors."
+    ),
+    "q_dedup_ensemble_representatives": (
+        "Union-graph dedup closed into survivor assignments (r13). "
+        "Look for: the three pair generators (LSH band join / SimHash "
+        "block-pair join / SNM rank-neighbor join) unioned and "
+        "distinct'd ONCE (pinned — InMemoryTableScan on the CC side), "
+        "the min-label CC iteration as edge-sized shuffles with "
+        "checkpointed lineage, and the survivor pick as one window "
+        "over the NODE-sized label table, never the pair relation."
+    ),
 }
 
 
