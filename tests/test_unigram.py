@@ -220,3 +220,40 @@ def test_nbest_matches_reference_and_rank1_is_viterbi(spark):
     ref_v = _ref_viterbi(ref_words, ref_rounds[1])
     for w, v in ref_v.items():
         assert got[w][1] == v
+
+
+def test_nbest_planted_ties_and_degenerate_words(spark):
+    """Planted edge cases run through the REAL Spark DP (not just the
+    reference): a word whose two segmentations have BIT-EQUAL scores
+    (p(aa) = p(a)^2 exactly in binary floats) must rank them by the
+    (k ASC, seg ASC) tie-break; a single-char word has nb_eff=1; and
+    rank-1 always equals the 1-best DP's winner."""
+    from pyspark.sql import Row
+
+    words = spark.createDataFrame(
+        [Row(word="aa", n=3), Row(word="a", n=2), Row(word="abab", n=1)]
+    )
+    # cnt values chosen so T=16 and each p is an exact binary fraction:
+    # p(a)=8/16=0.5, p(aa)=4/16=0.25=p(a)*p(a) bit-exactly -> a true tie
+    pieces_rows = [
+        Row(piece="a", cnt=8), Row(piece="aa", cnt=4),
+        Row(piece="b", cnt=2), Row(piece="ab", cnt=2),
+    ]
+    probs = {r.piece: (r.cnt, r.cnt / 16.0) for r in pieces_rows}
+    pieces = UG.with_probs(spark.createDataFrame(pieces_rows))
+    got = {}
+    nb_eff = {}
+    for r in UG.viterbi_nbest_segment(words, pieces, 3, P).collect():
+        got.setdefault(r.word, {})[r.rank] = (r.ns, r.k, r.seg)
+        nb_eff[r.word] = r.nb_eff
+    # single-char word: one path only
+    assert nb_eff["a"] == 1 and got["a"][1] == (-0.5, 1, "a")
+    # the tie: identical ns, k breaks it — [aa] before [a a]
+    assert nb_eff["aa"] == 2
+    assert got["aa"][1] == (-0.25, 1, "aa")
+    assert got["aa"][2] == (-0.25, 2, "a a")
+    # full agreement with the single-node reference on all three words
+    ref = _ref_nbest({r.word: r.n for r in words.collect()}, probs, 3)
+    for w, lst in ref.items():
+        assert got[w] == {i + 1: v for i, v in enumerate(lst)}
+        assert nb_eff[w] == len(lst)
