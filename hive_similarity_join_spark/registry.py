@@ -64,47 +64,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-13 window (positions 1-50) ----
-    # The precomputed rotation from the r12 checklist (CLAUDE.md +
-    # VERDICT r12 item #1), valid verbatim because all 50 r12 window
-    # keys landed green verdicts (CORRECTNESS_r12: 49 full + the
-    # rows-only-by-design HLL key, 0 failures, 0 err — verified r13
-    # start). Head: the 10 round-12 additions in their staged order —
-    # none has ANY driver verdict.
-    "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
-    "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
-    "q_mixture_reweight_apply", "q_unigram_encode_docs",
-    "q_tokenizer_compare", "q_mixture_reweight_trace",
-    "q_dedup_blocking_ensemble",
-    # Backfill (40): oldest-latest-verdict keys, recomputed r13 start
-    # from CORRECTNESS_r0{1..12}: the 48 r8-era keys in CORRECTNESS_r08
-    # file order; the first 40 fit, the last 8 (q_dedup_near
-    # q_dedup_ngram q_dedup_minhash_lsh q_text_simhash q_dedup_connected
-    # q_dedup_connected_star q_dedup_representatives q_dedup_embedding)
-    # spill to the r14 window.
-    "q_vec_knn_ivf", "q_bpe_merges", "q_bpe_segment", "q_dedup_semantic",
-    "q_agg_cms_topk", "q_decontaminate_bloom", "q_events_pattern",
-    "q_bpe_encode_docs", "q_join_skew_salted", "q_vec_knn_pq",
-    "q_vec_knn_ivfadc", "q_pipeline_llm_corpus", "q_merge_upsert",
-    "q_dq_checks", "q_text_encode", "q_decontaminate", "q_search_bm25",
-    "q_text_inverted_index", "q_docs_to_chunks", "q_corpus_profile",
-    "q_minhash_estimate", "q_simjoin_dice", "q_simjoin_cosine",
-    "q_simjoin_grouped", "q_simjoin_edit_scalable", "q_vec_l2",
-    "q_vec_centroid", "q_text_langid", "q_text_quality",
-    "q_text_tokencount", "q_text_fingerprint", "q_text_repetition",
-    "q_unpivot", "q_split_train_val", "q_sample_mixture",
-    "q_sample_stratified", "q_shuffle_export", "q_simjoin_jaccard_self",
-    "q_simjoin_jaccard_rs", "q_dedup_exact",
-    # ---- positions 51+ (round-14 head candidates) ----
-    # Stage round-13 additions here as they land; rotate to head at r14
-    # (then backfill with the next-oldest keys — the 8 spilled r8-era
-    # keys above first, then the oldest r9-era keys in CORRECTNESS_r09
-    # file order — recompute from CORRECTNESS_r0{1..13} at r14 start as
-    # always).
+    # ---- round-14 window (positions 1-50) ----
+    # The precomputed rotation from the r13 checklist (CLAUDE.md +
+    # VERDICT r13 item #1), valid verbatim because all 50 r13 window
+    # keys landed FULL green verdicts (CORRECTNESS_r13: 50/50
+    # rows+schema+hash, 0 failures, 0 err — verified r14 start).
+    # Head: the 8 round-13 additions in their staged order — none has
+    # ANY driver verdict (all 8 selfchecked bit-exact at r13).
     "q_unigram_nbest", "q_unigram_encode_sampled", "q_vec_knn_ivfadc_res",
     "q_dedup_ensemble_representatives", "q_vec_pq_distortion_res",
     "q_unigram_vocab_sweep", "q_bpe_rounds_sweep",
     "q_pack_sequences_tokens",
+    # Backfill (42): oldest-latest-verdict keys, recomputed r14 start
+    # from CORRECTNESS_r0{1..13}. First the 8 r8-era keys that spilled
+    # from the r13 window (CORRECTNESS_r08 file order):
+    "q_dedup_near", "q_dedup_ngram", "q_dedup_minhash_lsh",
+    "q_text_simhash", "q_dedup_connected", "q_dedup_connected_star",
+    "q_dedup_representatives", "q_dedup_embedding",
+    # ...then the first 34 r9-era keys in CORRECTNESS_r09 file order,
+    # SKIPPING q_agg_weighted_median and q_events_cusum (both
+    # re-verified at r11 — not oldest; the recompute caught this, the
+    # verbatim "first 34 of the r09 file" would not have — so the 34
+    # extend two slots past the file's 34th entry, through
+    # q_vec_pca_outliers). The remaining r9-era keys (q_agg_argmax
+    # q_agg_collect q_array_funcs ...) spill to r15.
+    "q_dedup_embedding_lsh", "q_vec_ann_recall", "q_dedup_substring",
+    "q_graph_pagerank", "q_zorder_layout", "q_graph_triangles",
+    "q_events_transitions", "q_agg_corr", "q_decontaminate_fuzzy",
+    "q_vec_kmeans", "q_skyline_docs", "q_sample_reservoir",
+    "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
+    "q_text_entropy", "q_table_diff", "q_range_splits",
+    "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
+    "q_time_gapfill", "q_agg_mad", "q_text_collocations",
+    "q_events_attribution", "q_docs_mutual_info", "q_vec_pca_power",
+    "q_events_rolling", "q_market_basket", "q_events_seasonality",
+    "q_events_paths", "q_text_hashing_trick", "q_report_rfm",
+    "q_vec_pca_outliers",
+    # ---- positions 51+ (round-15 head candidates) ----
+    # Stage round-14 additions here as they land; rotate to head at r15
+    # (then backfill with the next-oldest keys — the ~14 spilled r9-era
+    # keys first in CORRECTNESS_r09 file order — recompute from
+    # CORRECTNESS_r0{1..14} at r15 start as always).
 ]
 
 

@@ -90,52 +90,61 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round13_correctness_window_composition():
+def test_round14_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-13 contract (the rotation precomputed at r12 end,
-    valid verbatim because CORRECTNESS_r12 was 49 full green + the
-    rows-only-by-design HLL key, 0 failures): the 10 round-12 additions
-    lead the window in their staged order (none has any driver
-    verdict), then 40 oldest-latest-verdict keys backfill — the first
-    40 of the 48 r8-era keys in CORRECTNESS_r08 file order (the last 8,
-    q_dedup_near … q_dedup_embedding, spill to r14). Round-13 additions
-    stay at 51+ (verdicts in the round-14 rotation). A PRIORITY edit
+    order. Round-14 contract (the rotation precomputed at r13 end,
+    valid verbatim because CORRECTNESS_r13 was 50/50 full green): the
+    8 round-13 additions lead the window in their staged order (none
+    has any driver verdict), then 42 oldest-latest-verdict keys
+    backfill — the 8 r8-era keys that spilled from the r13 window
+    (CORRECTNESS_r08 file order), then the first 34 r9-era keys in
+    CORRECTNESS_r09 file order SKIPPING q_agg_weighted_median and
+    q_events_cusum (re-verified r11, not oldest). Round-14 additions
+    stay at 51+ (verdicts in the round-15 rotation). A PRIORITY edit
     that accidentally reorders the window fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_unigram_lm_seed"
-    assert head[9] == "q_dedup_blocking_ensemble"
-    assert head[10] == "q_vec_knn_ivf"
-    assert head[48] == "q_simjoin_jaccard_rs"
-    assert head[49] == "q_dedup_exact"
-    staged_r12 = {
-        "q_unigram_lm_seed", "q_unigram_lm_em", "q_unigram_segment",
-        "q_dedup_lsh_recall_sampled", "q_mixture_reweight",
-        "q_mixture_reweight_apply", "q_unigram_encode_docs",
-        "q_tokenizer_compare", "q_mixture_reweight_trace",
-        "q_dedup_blocking_ensemble",
+    assert head[0] == "q_unigram_nbest"
+    assert head[7] == "q_pack_sequences_tokens"
+    assert head[8] == "q_dedup_near"
+    assert head[15] == "q_dedup_embedding"
+    assert head[16] == "q_dedup_embedding_lsh"
+    assert head[48] == "q_report_rfm"
+    assert head[49] == "q_vec_pca_outliers"
+    staged_r13 = {
+        "q_unigram_nbest", "q_unigram_encode_sampled",
+        "q_vec_knn_ivfadc_res", "q_dedup_ensemble_representatives",
+        "q_vec_pq_distortion_res", "q_unigram_vocab_sweep",
+        "q_bpe_rounds_sweep", "q_pack_sequences_tokens",
     }
-    assert set(head[:10]) == staged_r12, set(head[:10]) ^ staged_r12
-    backfill_r8 = {
-        "q_vec_knn_ivf", "q_bpe_merges", "q_bpe_segment",
-        "q_dedup_semantic", "q_agg_cms_topk", "q_decontaminate_bloom",
-        "q_events_pattern", "q_bpe_encode_docs", "q_join_skew_salted",
-        "q_vec_knn_pq", "q_vec_knn_ivfadc", "q_pipeline_llm_corpus",
-        "q_merge_upsert", "q_dq_checks", "q_text_encode",
-        "q_decontaminate", "q_search_bm25", "q_text_inverted_index",
-        "q_docs_to_chunks", "q_corpus_profile", "q_minhash_estimate",
-        "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_grouped",
-        "q_simjoin_edit_scalable", "q_vec_l2", "q_vec_centroid",
-        "q_text_langid", "q_text_quality", "q_text_tokencount",
-        "q_text_fingerprint", "q_text_repetition", "q_unpivot",
-        "q_split_train_val", "q_sample_mixture", "q_sample_stratified",
-        "q_shuffle_export", "q_simjoin_jaccard_self",
-        "q_simjoin_jaccard_rs", "q_dedup_exact",
+    assert set(head[:8]) == staged_r13, set(head[:8]) ^ staged_r13
+    backfill_r8_spill = {
+        "q_dedup_near", "q_dedup_ngram", "q_dedup_minhash_lsh",
+        "q_text_simhash", "q_dedup_connected", "q_dedup_connected_star",
+        "q_dedup_representatives", "q_dedup_embedding",
     }
-    assert set(head[10:50]) == backfill_r8, set(head[10:50]) ^ backfill_r8
+    assert set(head[8:16]) == backfill_r8_spill
+    backfill_r9 = {
+        "q_dedup_embedding_lsh", "q_vec_ann_recall", "q_dedup_substring",
+        "q_graph_pagerank", "q_zorder_layout", "q_graph_triangles",
+        "q_events_transitions", "q_agg_corr", "q_decontaminate_fuzzy",
+        "q_vec_kmeans", "q_skyline_docs", "q_sample_reservoir",
+        "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
+        "q_text_entropy", "q_table_diff", "q_range_splits",
+        "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
+        "q_time_gapfill", "q_agg_mad", "q_text_collocations",
+        "q_events_attribution", "q_docs_mutual_info", "q_vec_pca_power",
+        "q_events_rolling", "q_market_basket", "q_events_seasonality",
+        "q_events_paths", "q_text_hashing_trick", "q_report_rfm",
+        "q_vec_pca_outliers",
+    }
+    assert set(head[16:50]) == backfill_r9, set(head[16:50]) ^ backfill_r9
+    # The two r11-reverified keys must NOT be in the window.
+    assert "q_agg_weighted_median" not in head
+    assert "q_events_cusum" not in head
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
