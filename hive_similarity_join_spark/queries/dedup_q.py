@@ -1418,8 +1418,12 @@ ivfkc AS (
 rows_out AS (
   SELECT 'exact' AS method, b.n_probes * (b.n_corpus - 1) AS n_candidates
   FROM base b
+  UNION ALL SELECT 'sq8', b.n_probes * (b.n_corpus - 1) FROM base b
+  UNION ALL SELECT 'pq', b.n_probes * (b.n_corpus - 1) FROM base b
   UNION ALL SELECT 'lsh', n FROM lshc
   UNION ALL SELECT 'ivf', n FROM ivfc
+  UNION ALL SELECT 'ivfadc', n FROM ivfc
+  UNION ALL SELECT 'ivfadc_res', n FROM ivfc
   UNION ALL SELECT 'ivfk', n FROM ivfkc
 )
 SELECT r.method,
@@ -1438,24 +1442,38 @@ def q_vec_ann_cost(spark, sf_dir):
     per method (candidate pairs actually scored) vs the brute-force
     baseline — q_vec_ann_recall says what each method finds, this key
     says what each method READS to find it; an index rollout gates on
-    the ratio of the two. Methods: the three bucketed paths (lsh =
-    hyperplane buckets + multi-probe flips; ivf = nprobe hash-sampled
-    cells; ivfk = nprobe Lloyd-refined cells) plus the exact baseline
-    row (probes x (corpus-1), scan_frac 1.0 — the denominator,
-    emitted so the ratio is auditable). SQ8/PQ/IVFADC scan costs are
-    byte-width stories (codes vs full vectors), not candidate-count
-    stories, and are documented on their keys instead; ivfadc_res
-    (r13) reads EXACTLY ivfadc's candidates and bytes — same cells,
-    same 4-byte codes — so its q_vec_ann_recall delta is a pure gain
-    at this table's ivf cost row.
+    the ratio of the two. All SEVEN q_vec_ann_recall methods get a
+    row (r13 VERDICT item #4 — the table and the recall dashboard now
+    align method-for-method), plus the exact baseline row (probes x
+    (corpus-1), scan_frac 1.0 — the denominator, emitted so the
+    ratio is auditable). Candidate counts by family: the bucketed
+    paths prune rows (lsh = hyperplane buckets + multi-probe flips;
+    ivf = nprobe hash-sampled cells; ivfk = nprobe Lloyd-refined
+    cells); sq8/pq scan EVERY corpus row's code — their n_candidates
+    equals n_exact and scan_frac is exactly 1.0, an honest statement
+    that quantization prunes BYTES (1-byte/4-byte codes vs raw
+    floats), never candidates; ivfadc/ivfadc_res score exactly the
+    ivf routing's candidate set (same centroids, same assign_cells /
+    _cell_dists routing — operators/pq.py builds its scored relation
+    from the identical routed x asg join), so their rows carry the
+    measured ivf count: rows pruned like ivf AND bytes pruned like
+    pq, the multiplicative saving, at identical cost for the
+    residual leg (its recall delta in q_vec_ann_recall is therefore
+    attributable to encoding alone).
 
     Anti-drift: each method's candidate relation is THE relation its
     top-k search scores — operators/knn.py ann_candidates and
     operators/ivf.py ivf_candidates / ivfk_candidates are the shared
-    bodies ann_topk / ivf_topk / ivf_topk_kmeans rank over, and the
-    oracle composes the same candidate CTEs the top-k oracles run.
+    bodies ann_topk / ivf_topk / ivf_topk_kmeans rank over (and
+    ivf_candidates is the same assign+route composition
+    ivfadc_topk / ivfadc_residual_topk score), and the oracle
+    composes the same candidate CTEs the top-k oracles run — the
+    ivfadc/ivfadc_res oracle rows read the ivfc CTE because their
+    search oracles' scored CTE is the identical routed-x-asg join.
     Scale shape: three counts over relations the searches build
-    anyway; the audit itself adds one aggregate each."""
+    anyway (the ivf family's relation is scanned ONCE and fanned to
+    its three method rows via explode); the audit adds one aggregate
+    each."""
     from hive_similarity_join_spark.operators.ivf import (
         hash_sampled_centroids,
         ivf_candidates,
@@ -1482,21 +1500,33 @@ def q_vec_ann_cost(spark, sf_dir):
             ann_candidates(e, probes, n_planes=4),
         ),
         (
-            "ivf",
-            ivf_candidates(e, probes, cents, nprobe=IVF_NPROBE),
-        ),
-        (
             "ivfk",
             ivfk_candidates(
                 e, probes, n_cells=KM_K, nprobe=IVF_NPROBE, rounds=KM_ROUNDS
             ),
         ),
     ]
+    # exact / sq8 / pq all touch probes x (corpus-1) candidates — one
+    # base row fanned to the three full-scan methods.
     counts = base.select(
-        F.lit("exact").alias("method"),
+        F.explode(
+            F.array(F.lit("exact"), F.lit("sq8"), F.lit("pq"))
+        ).alias("method"),
         (F.col("n_probes") * (F.col("n_corpus") - 1))
         .cast("bigint")
         .alias("n_candidates"),
+    )
+    # ivf / ivfadc / ivfadc_res score the same routed-cell relation —
+    # count it ONCE, fan the measured count to the three method rows.
+    counts = counts.unionAll(
+        ivf_candidates(e, probes, cents, nprobe=IVF_NPROBE)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        .select(
+            F.explode(
+                F.array(F.lit("ivf"), F.lit("ivfadc"), F.lit("ivfadc_res"))
+            ).alias("method"),
+            "n_candidates",
+        )
     )
     for name, cand in legs:
         counts = counts.unionAll(
