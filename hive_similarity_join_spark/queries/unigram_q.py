@@ -410,6 +410,90 @@ def q_unigram_encode_docs(spark, sf_dir):
     )
 
 
+_OOV_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")},
+occ_all AS (
+  SELECT doc_id, t.tok AS word FROM bags, unnest(bag) AS t(tok)
+),
+j AS (
+  SELECT o.doc_id, o.word, s.k
+  FROM occ_all o LEFT JOIN seg2 s ON s.word = o.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_words,
+       CAST(sum(CASE WHEN k IS NULL THEN strlen(word) ELSE 0 END)
+            AS BIGINT) AS n_oov_bytes,
+       CAST(sum(COALESCE(k, 0)) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(COALESCE(k, strlen(word))) AS BIGINT)
+           AS n_total_tokens,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS oov_frac
+FROM j GROUP BY doc_id
+"""
+
+
+@query("q_unigram_oov", oracle=_OOV_SQL)
+def q_unigram_oov(spark, sf_dir):
+    """The trained unigram tokenizer's OUT-OF-VOCABULARY budget (r13
+    VERDICT item #5): q_unigram_encode_docs prices only the trainable
+    scope (lowercase alnum words of length <= {W}) — a production
+    encoder must also account for every word OUTSIDE it. Per doc,
+    over ALL whitespace tokens: total word count, OOV word count, the
+    byte-fallback token budget (UTF-8 bytes of OOV words — the cost
+    of encoding them one byte-token per byte, SentencePiece's
+    byte_fallback), the in-scope unigram token count, the TOTAL token
+    budget, and the OOV fraction.
+
+    Full-budget identity (stated, and expressed structurally):
+    n_total_tokens = sum over every word occurrence of
+    COALESCE(k, strlen(word)) — each word costs its Viterbi
+    piece count if trainable, else its byte-fallback length, so
+    unigram tokens + fallback bytes cover EVERY word:
+    n_total_tokens = n_unigram_tokens + n_oov_bytes by construction
+    on both engines (it is emitted, not derived, so the driver hash
+    pins the identity).
+
+    Determinism: scope is decided by LEFT-JOIN NULLNESS against the
+    segmented vocabulary itself — not a re-stated regex — so Spark
+    and DuckDB cannot disagree on what is OOV (the vocabulary
+    contains exactly the trainable words by construction); all
+    budgets are exact integers; the one double is an
+    exactly-representable BIGINT/BIGINT correctly-rounded divide.
+
+    Scale shape: q_unigram_encode_docs's posture verbatim — the
+    vocab-sized (word, k) relation BROADCASTS into the all-occurrence
+    left join, the per-doc aggregation is the only corpus-sized
+    shuffle (doc_id-keyed), and the EM training upstream is
+    q_unigram_lm_em's plan.""".format(W=_W)
+    d = load_table(spark, sf_dir, "documents")
+    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    occ = d.select("doc_id", F.explode(TX.bag_tokens("text")).alias("word"))
+    oov = F.col("k").isNull()
+    j = occ.join(F.broadcast(seg.select("word", "k")), "word", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(oov, 1).otherwise(0)).cast("bigint").alias("n_oov_words"),
+        F.sum(F.when(oov, F.octet_length("word")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_bytes"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_unigram_tokens"),
+        F.sum(F.coalesce(F.col("k"), F.octet_length("word")))
+        .cast("bigint")
+        .alias("n_total_tokens"),
+        (
+            F.sum(F.when(oov, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_frac"),
+    )
+
+
 _NB = 3
 _NBEST_TOP = 40
 
