@@ -560,6 +560,91 @@ _WIDE_COMBOS = [
 ]  # C(10,2) = 45 block-pair keys per doc
 
 
+def wide_band_rel(fps: DataFrame) -> DataFrame:
+    """(_id, _fp, _bk, _v1, _v2): the C(10,2)=45 block-pair candidate
+    keys of a fingerprint relation (_id, _fp) — the blocking seam
+    shared by ``simhash_pairs_wide`` (full self-join) and
+    ``simhash_wide_delta_pairs`` (the incremental new-vs-all join of
+    the streaming ensemble mirror), so the two cannot drift."""
+    blk = [
+        F.shiftright(F.col("_fp"), i * _WBLK_BITS)
+        .bitwiseAND(F.lit(_WBLK_MASK))
+        for i in range(SIMHASH_WIDE_BLOCKS)
+    ]
+    return fps.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * SIMHASH_WIDE_BLOCKS + j).alias("_bk"),
+                        blk[i].alias("_v1"),
+                        blk[j].alias("_v2"),
+                    )
+                    for i, j in _WIDE_COMBOS
+                ]
+            )
+        ).alias("_bs"),
+    ).select(
+        "_id",
+        "_fp",
+        F.col("_bs._bk").alias("_bk"),
+        F.col("_bs._v1").alias("_v1"),
+        F.col("_bs._v2").alias("_v2"),
+    )
+
+
+def simhash_wide_delta_pairs(
+    all_fps: DataFrame,
+    new_fps: DataFrame,
+    max_hamming: int = SIMHASH_WIDE_HAMMING,
+) -> DataFrame:
+    """(id1, id2, hamming): every wide-radius SimHash pair with AT
+    LEAST ONE side in ``new_fps`` (both relations (_id, _fp);
+    ``all_fps`` must contain ``new_fps``). The incremental form of
+    ``simhash_pairs_wide``: the wide-pair predicate is purely PAIRWISE
+    (doc-local md5 fingerprints, lossless blocking at the radius), so
+    the pair set over a growing corpus is MONOTONE and accumulating
+    these deltas over epochs reproduces the batch self-join exactly —
+    the one ensemble generator with that property (MinHash-LSH band
+    keys read the corpus-global token ranking; SNM neighborhoods are
+    global ranks). Cost per epoch: |new| x 45 keys probing the
+    accumulated band index, never |corpus|^2."""
+    a = wide_band_rel(new_fps).select(
+        F.col("_id").alias("_na"), F.col("_fp").alias("_nfp"),
+        "_bk", "_v1", "_v2",
+    )
+    b = wide_band_rel(all_fps).select(
+        F.col("_id").alias("_ab"), F.col("_fp").alias("_afp"),
+        F.col("_bk").alias("_bk2"), F.col("_v1").alias("_v12"),
+        F.col("_v2").alias("_v22"),
+    )
+    ham = F.bit_count(F.col("_fp1").bitwiseXOR(F.col("_fp2")))
+    return (
+        a.join(
+            b,
+            (F.col("_bk") == F.col("_bk2"))
+            & (F.col("_v1") == F.col("_v12"))
+            & (F.col("_v2") == F.col("_v22"))
+            & (F.col("_na") != F.col("_ab")),
+        )
+        .select(
+            F.least("_na", "_ab").alias("id1"),
+            F.greatest("_na", "_ab").alias("id2"),
+            F.when(F.col("_na") < F.col("_ab"), F.col("_nfp"))
+            .otherwise(F.col("_afp"))
+            .alias("_fp1"),
+            F.when(F.col("_na") < F.col("_ab"), F.col("_afp"))
+            .otherwise(F.col("_nfp"))
+            .alias("_fp2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs_wide(
     df: DataFrame,
     id_col: str,
@@ -590,33 +675,7 @@ def simhash_pairs_wide(
     want Hamming semantics (e.g. as the verify stage after a pHash /
     fingerprint blocking)."""
     fps = simhash_fingerprints(df, id_col, text_col)
-    blk = [
-        F.shiftright(F.col("_fp"), i * _WBLK_BITS)
-        .bitwiseAND(F.lit(_WBLK_MASK))
-        for i in range(SIMHASH_WIDE_BLOCKS)
-    ]
-    bands = fps.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i * SIMHASH_WIDE_BLOCKS + j).alias("_bk"),
-                        blk[i].alias("_v1"),
-                        blk[j].alias("_v2"),
-                    )
-                    for i, j in _WIDE_COMBOS
-                ]
-            )
-        ).alias("_bs"),
-    ).select(
-        "_id",
-        "_fp",
-        F.col("_bs._bk").alias("_bk"),
-        F.col("_bs._v1").alias("_v1"),
-        F.col("_bs._v2").alias("_v2"),
-    )
+    bands = wide_band_rel(fps)
     a = bands.select(
         F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"),
         "_bk", "_v1", "_v2",

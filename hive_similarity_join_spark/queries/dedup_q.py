@@ -3110,6 +3110,18 @@ def snm_scored_pairs(spark, sf_dir, w_max: int):
     arrs = docs.select(
         "doc_id", F.array_sort(TX.set_tokens("text")).alias("toks")
     )
+    return snm_scored_pairs_from(arrs, w_max)
+
+
+def snm_scored_pairs_from(arrs, w_max: int):
+    """``snm_scored_pairs`` body over a pre-tokenized corpus relation
+    (doc_id, toks = sorted distinct tokens) — the shared seam that
+    lets the incremental ensemble mirror (streaming/
+    incremental_ensemble.py) re-run the SAME sorted-neighborhood pass
+    over its document carry: SNM neighborhoods are GLOBAL ranks, so
+    the pair set is not monotone under doc insertion and must be
+    recomputed from the full corpus at emission (module docstring
+    there has the counterexample)."""
     canon = arrs.select("doc_id", F.concat_ws(" ", "toks").alias("ck"))
     rk = ranked_by(canon, ["ck", "doc_id"], "r").select("doc_id", "r")
     probes = rk.select(
