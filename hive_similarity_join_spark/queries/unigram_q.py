@@ -494,6 +494,119 @@ def q_unigram_oov(spark, sf_dir):
     )
 
 
+_PRUNE_K = 20
+_PRUNE_TOP = 25
+
+_PRUNE_SQL = f"""
+WITH {_base_ctes()},
+{_round_ctes(1, "seed")},
+{_round_ctes(2, "pc1")},
+chars3 AS MATERIALIZED (
+  SELECT piece, cnt FROM pc2 WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM seed
+  WHERE len(piece) = 1
+    AND piece NOT IN (SELECT piece FROM pc2 WHERE len(piece) = 1)
+),
+pruned AS MATERIALIZED (
+  SELECT piece, cnt FROM chars3
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc2 WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {_PRUNE_K}
+  )
+),
+{_round_ctes(3, "pruned")},
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pc2) AS vocab_before,
+         (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS vocab_after,
+         (SELECT CAST(sum(n * k) AS BIGINT) FROM seg2) AS tokens_before,
+         (SELECT CAST(sum(n * k) AS BIGINT) FROM seg3) AS tokens_after
+)
+SELECT t.piece, t.cnt,
+       CAST(t.cnt AS DOUBLE) /
+       (SELECT CAST(sum(cnt) AS DOUBLE) FROM pc3) AS prob,
+       s.vocab_before, s.vocab_after, s.tokens_before, s.tokens_after
+FROM (SELECT piece, cnt FROM pc3
+      ORDER BY cnt DESC, piece LIMIT {_PRUNE_TOP}) t, stats s
+"""
+
+
+@query("q_unigram_prune", oracle=_PRUNE_SQL)
+def q_unigram_prune(spark, sf_dir):
+    """Unigram-LM VOCABULARY PRUNING — the trainer stage the 4-key
+    family stops short of (SentencePiece alternates EM with pruning
+    until the target vocab): after the round-2 M-step, keep only the
+    top-{PK} multi-char pieces by (count DESC, piece ASC) plus a
+    CHARACTER COVERAGE FLOOR — every single-char piece of round 2,
+    plus any seed single char round 2 dropped, re-injected with its
+    seed count (SentencePiece's character_coverage guard, and the
+    reason the round-3 DP can never strand a word: all its chars are
+    length-1 substrings of the seed, so every position stays
+    reachable through single-char edges) — then retrain ONE more EM
+    round under the renormalized pruned model. Count-based pruning
+    (not likelihood-loss) is the deliberate deterministic stand-in:
+    the loss rule needs logs, and transcendentals are the one thing
+    the bit-exact cross-engine contract forbids (module docstring).
+
+    Emits the top-{TOP} round-3 pieces with counts and renormalized
+    probabilities, each row carrying the pruning price sheet: vocab
+    size before/after (round-2 M-step survivors vs pruned model) and
+    the corpus token budget before/after (sum of n x piece-count over
+    the round-2 vs round-3 segmentations) — tokens_after minus
+    tokens_before IS what the vocab cut costs in sequence length,
+    THE number a tokenizer deployment trades against embedding-table
+    size. All budgets exact integers; the one double per row is the
+    _EM_SQL probability divide.
+
+    Scale shape: one extra E-step over the pinned word relation (two
+    shuffles, the viterbi_segment posture) and one vocab-sized
+    top-k; the stats are four scalar aggregates over vocab-sized /
+    vocabulary-of-words-sized relations. The oracle reuses
+    _round_ctes(3, 'pruned') — the SAME generated DP text as rounds
+    1-2, so the retrain leg cannot drift from the trainer it
+    extends.""".format(PK=_PRUNE_K, TOP=_PRUNE_TOP)
+    d = load_table(spark, sf_dir, "documents")
+    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    rounds, seg2 = UG.unigram_train(wf, 2, _K, _W, _P)
+    # Pin the word-vocab-sized round-2 E-step and the piece-vocab-sized
+    # relations: the price-sheet aggregates below would otherwise each
+    # re-execute the full 2-round EM chain (the driver's default-heap
+    # session OOM'd in the status listener on the resulting stage
+    # count before these pins — tiny relations, huge lineage).
+    seg2 = pin(seg2)
+    pc2 = pin(rounds[2].select("piece", "cnt"))
+    seed0 = rounds[0].select("piece", "cnt")
+    chars_pc2 = pc2.filter(F.length("piece") == 1)
+    chars_missing = (
+        seed0.filter(F.length("piece") == 1)
+        .join(chars_pc2.select("piece"), "piece", "left_anti")
+    )
+    multi3 = (
+        pc2.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_PRUNE_K)
+    )
+    pruned = pin(chars_pc2.unionByName(chars_missing).unionByName(multi3))
+    seg3 = pin(UG.viterbi_segment(wf, UG.with_probs(pruned), _W, _P))
+    pc3 = UG.with_probs(UG.piece_counts(seg3))
+    toks = lambda seg: F.sum(F.col("n") * F.col("k")).cast("bigint")  # noqa: E731
+    stats = (
+        pc2.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_before"))
+        .crossJoin(
+            pruned.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_after"))
+        )
+        .crossJoin(seg2.agg(toks(seg2).alias("tokens_before")))
+        .crossJoin(seg3.agg(toks(seg3).alias("tokens_after")))
+    )
+    return (
+        pc3.orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_PRUNE_TOP)
+        .select("piece", "cnt", F.col("p").alias("prob"))
+        .crossJoin(F.broadcast(stats))
+    )
+
+
 _NB = 3
 _NBEST_TOP = 40
 
