@@ -491,6 +491,170 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+# --------------------------------- zone-map file-skipping audit
+
+_ZM_CHUNK = 512  # rows per simulated file chunk
+_ZM_PW = 1 << 14  # probe width: a quarter of the 2^16 domain
+_ZM_NP = 4
+
+
+def _zm_probe_rows_sql() -> str:
+    return ", ".join(
+        f"('{dim}', {p}, {p * _ZM_PW}, {p * _ZM_PW + _ZM_PW - 1})"
+        for dim in ("x", "y")
+        for p in range(_ZM_NP)
+    )
+
+
+@query(
+    "q_zonemap_pruning",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         user_id % {1 << _Z_BITS} AS x,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % {1 << _Z_BITS} AS y
+  FROM events WHERE ts IS NOT NULL
+),
+z AS (
+  SELECT event_id, x, y, ({_z_interleave('x', 'y', '//')}) AS zc
+  FROM pts
+),
+ra AS (
+  SELECT x, y, row_number() OVER (ORDER BY event_id) AS r FROM z
+),
+rz AS (
+  SELECT x, y, row_number() OVER (ORDER BY zc, event_id) AS r FROM z
+),
+chunks AS (
+  SELECT 'arrival' AS layout, (r - 1) // {_ZM_CHUNK} AS chunk,
+         count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM ra GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', (r - 1) // {_ZM_CHUNK},
+         count(*), min(x), max(x), min(y), max(y)
+  FROM rz GROUP BY 2
+),
+probes AS (
+  SELECT * FROM (VALUES {_zm_probe_rows_sql()}) pr(dim, probe, lo, hi)
+),
+j AS (
+  SELECT c.layout, p.dim, p.probe, c.n,
+         CASE WHEN (p.dim = 'x' AND (c.max_x < p.lo OR c.min_x > p.hi))
+                OR (p.dim = 'y' AND (c.max_y < p.lo OR c.min_y > p.hi))
+              THEN 1 ELSE 0 END AS skipped
+  FROM chunks c, probes p
+)
+SELECT layout, dim, CAST(probe AS BIGINT) AS probe,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(skipped) AS BIGINT) AS n_skipped,
+       CAST(sum(CASE WHEN skipped = 0 THEN n ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+       CAST(sum(skipped) AS DOUBLE) / count(*) AS skip_frac
+FROM j GROUP BY layout, dim, probe
+""",
+)
+def q_zonemap_pruning(spark, sf_dir):
+    """Zone-map FILE-SKIPPING audit — what q_zorder_layout's pruning
+    manifest actually BUYS: the corpus is cut into simulated
+    {CH}-row file chunks under two physical layouts (arrival order =
+    event_id; Z-order = the Morton code q_zorder_layout computes),
+    each chunk gets the lakehouse writer's min/max zone maps on both
+    grid dimensions, and a fixed grid of 2x{NP} quarter-domain range
+    probes (x = user band, y = time-second band) is evaluated against
+    the maps. Per (layout, dim, probe): chunk count, chunks a scanner
+    SKIPS (probe range disjoint from [min, max]), rows it still
+    scans, and the skip fraction — the I/O-savings sheet that decides
+    whether an OPTIMIZE ZORDER rewrite pays for itself. The Z-curve's
+    selling point is measured, not asserted: one interleaved order
+    bounds BOTH dimensions per chunk, where arrival order prunes only
+    what it happens to correlate with.
+
+    Determinism: both chunkings derive from strict total orders
+    (event_id; (z-code, event_id)); the interleave is the same
+    generated arithmetic both engines run in q_zorder_layout; all
+    stats are exact integers plus one BIGINT/BIGINT divide.
+
+    Scale shape: two two-pass global ranks (operators/rank.ranked_by
+    — range-partitioned prefix scan, no single-partition window),
+    one partial-aggregated groupBy per layout on the chunk id, then
+    a chunk-count-sized cross join against 8 literal probes — the
+    audit costs two scans of the fact table regardless of probe
+    count. At 100 TB the chunk relation IS the file manifest, and
+    this query runs against the table's stats, not its rows.""".format(
+        CH=_ZM_CHUNK, NP=_ZM_NP
+    )
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        (F.col("user_id") % (1 << _Z_BITS)).alias("x"),
+        F.expr(
+            f"(unix_micros(ts) div 1000000) % {1 << _Z_BITS}"
+        ).alias("y"),
+    )
+    z = pts.withColumn(
+        "zc", F.expr(_z_interleave("x", "y", "div"))
+    )
+    chunks = None
+    for layout, order in (("arrival", ["event_id"]), ("zorder", ["zc", "event_id"])):
+        rk = ranked_by(z, order, "r")
+        leg = (
+            rk.select(
+                "x", "y", F.expr(f"(r - 1) div {_ZM_CHUNK}").alias("chunk")
+            )
+            .groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+        chunks = leg if chunks is None else chunks.unionByName(leg)
+    probes = spark.createDataFrame(
+        [
+            (dim, p, p * _ZM_PW, p * _ZM_PW + _ZM_PW - 1)
+            for dim in ("x", "y")
+            for p in range(_ZM_NP)
+        ],
+        "dim string, probe int, lo bigint, hi bigint",
+    )
+    x_miss = (F.col("max_x") < F.col("lo")) | (F.col("min_x") > F.col("hi"))
+    y_miss = (F.col("max_y") < F.col("lo")) | (F.col("min_y") > F.col("hi"))
+    skipped = F.when(
+        ((F.col("dim") == "x") & x_miss) | ((F.col("dim") == "y") & y_miss),
+        1,
+    ).otherwise(0)
+    return (
+        chunks.crossJoin(F.broadcast(probes))
+        .select("layout", "dim", "probe", "n", skipped.alias("skipped"))
+        .groupBy("layout", "dim", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("skipped").cast("bigint").alias("n_skipped"),
+            F.sum(F.when(F.col("skipped") == 0, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            (F.sum("skipped").cast("double") / F.count(F.lit(1))).alias(
+                "skip_frac"
+            ),
+        )
+        .select(
+            "layout",
+            "dim",
+            F.col("probe").cast("bigint").alias("probe"),
+            "n_chunks",
+            "n_skipped",
+            "rows_scanned",
+            "skip_frac",
+        )
+    )
+
+
 # ----------------------------------- event-type transition matrix
 
 

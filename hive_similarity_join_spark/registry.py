@@ -105,7 +105,7 @@ PRIORITY: list[str] = [
     # (then backfill with the next-oldest keys — the ~14 spilled r9-era
     # keys first in CORRECTNESS_r09 file order — recompute from
     # CORRECTNESS_r0{1..14} at r15 start as always).
-    "q_unigram_oov", "q_unigram_prune", "q_bpe_oov",
+    "q_unigram_oov", "q_unigram_prune", "q_bpe_oov", "q_zonemap_pruning",
 ]
 
 
