@@ -221,6 +221,73 @@ def q_vec_knn(spark, sf_dir):
     ).filter(F.col("rank") <= KNN_K)
 
 
+_NEG_CEIL = 0.9  # at/above this = near-duplicate (positive pair), never a negative
+_NEG_FLOOR = 0.3  # below this = trivially easy, no training signal
+_NEG_K = 5
+
+
+@query(
+    "q_vec_hard_negatives",
+    oracle=f"""
+SELECT * FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         {V.duck_cosine('a.embedding', 'b.embedding')} AS sim,
+         CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {V.duck_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_PROBES}
+    AND {V.duck_cosine('a.embedding', 'b.embedding')} < {_NEG_CEIL}
+    AND {V.duck_cosine('a.embedding', 'b.embedding')} >= {_NEG_FLOOR}
+) WHERE rank <= {_NEG_K}
+""",
+)
+def q_vec_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive training — the embedding-
+    pipeline step between dedup and the training dataloader: per
+    probe, the top-{K} most-similar corpus vectors inside the
+    semi-hard band [{FLOOR}, {CEIL}) — below the near-duplicate
+    ceiling (a pair at/above it is a POSITIVE by the dedup keys'
+    t=0.9 convention, and mining it as a negative poisons the loss —
+    the classic false-negative failure of in-batch sampling) yet
+    above the easy-negative floor where gradients vanish (the
+    semi-hard band of Schroff et al., CVPR 2015 §3.2). Emits
+    (probe_id, vec_id, sim, rank) — the per-anchor negative list a
+    contrastive batch builder joins against.
+
+    Determinism: the band filter compares the SAME bit-exact cosine
+    both engines compute to the same literals, and ranking tie-breaks
+    on vec_id — the q_vec_knn contract with one extra predicate.
+
+    Scale shape: brute-force band scan here (broadcast probes, one
+    corpus pass, per-probe top-k window keyed on high-cardinality
+    probe_id); at 100 TB the band filter composes with any of the six
+    ANN candidate generators instead — mine negatives from the probed
+    cells' candidates, exactly as q_vec_knn_ivf prunes q_vec_knn —
+    since a miss in the band only costs negative QUALITY, not
+    correctness, the recall dashboards price that substitution.""".format(
+        K=_NEG_K, FLOOR=_NEG_FLOOR, CEIL=_NEG_CEIL
+    )
+    a, b = _pairs(spark, sf_dir, probe_pred=F.col("id1") < N_PROBES)
+    sim = V.cosine(F.col("_v1"), F.col("_v2"))
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("id1") != F.col("id2"))
+        .select(
+            F.col("id1").alias("probe_id"),
+            F.col("id2").alias("vec_id"),
+            sim.alias("sim"),
+        )
+        .filter((F.col("sim") < _NEG_CEIL) & (F.col("sim") >= _NEG_FLOOR))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _NEG_K)
+    )
+
+
 SQ8_CAND_C = 50
 
 
