@@ -413,6 +413,92 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@query(
+    "q_cdc_compact",
+    oracle=f"""
+WITH log AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE ts IS NOT NULL
+),
+rk AS (
+  SELECT user_id, event_id, ts, value, op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+),
+stats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT r.user_id, r.value, strftime(r.ts, '{_FMT}') AS last_ts,
+       s.n_changes, s.n_deletes
+FROM rk r JOIN stats s ON s.user_id = r.user_id
+WHERE r.rn = 1 AND r.op <> 'D'
+""",
+)
+def q_cdc_compact(spark, sf_dir):
+    """CDC CHANGELOG COMPACTION with tombstone semantics — the
+    log-compaction primitive behind Kafka compacted topics, Hudi/
+    Paimon MOR read paths and Delta CDF materialization, and the
+    third leg of the warehouse-maintenance family next to
+    q_merge_upsert (one MERGE batch) and q_scd2_history (full
+    validity history): the events log is read as a per-user change
+    stream (op = DELETE for 'error' rows — a deterministic ~20% of
+    the log — else UPSERT), and compaction keeps each key's LATEST
+    record by (ts, event_id) unless that record is a tombstone, in
+    which case the key vanishes from the snapshot entirely. Emits
+    (user_id, latest value, last_ts, n_changes, n_deletes) — the
+    current-state table plus the churn stats a compaction scheduler
+    reads (a key with many deletes and few survivors is reclaimable
+    space).
+
+    Determinism: (ts DESC, event_id DESC) is a strict total order;
+    value is carried bit-for-bit; last_ts follows the _FMT
+    string-emission convention for timestamps.
+
+    Scale shape: ONE shuffle — the latest-record window and the churn
+    aggregate both key on high-cardinality user_id, so Catalyst
+    reuses the exchange; at 100 TB this is exactly the sorted-merge
+    pass a compacting table service runs per file group, and the
+    tombstone filter is the reason compaction SHRINKS data rather
+    than freezing the newest version of every key ever seen."""
+    e = load_table(spark, sf_dir, "events")
+    log = e.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    stats = log.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .join(stats, "user_id")
+        .select(
+            "user_id",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_changes",
+            "n_deletes",
+        )
+    )
+
+
 Q_MIN_TOKENS = 5
 Q_MIN_QUALITY = 0.5
 CLEAN_NEAR_T = 0.9
