@@ -782,6 +782,97 @@ def q_split_train_val(spark, sf_dir):
     )
 
 
+_CURR_BANDS = 3
+
+
+def _curriculum_oracle() -> str:
+    from hive_similarity_join_spark.functions import text as TX
+
+    return f"""
+WITH bags AS (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+q AS (
+  SELECT doc_id, {_quality_sql()} AS quality
+  FROM bags WHERE len(bag) > 0
+),
+n AS (SELECT count(*) AS n FROM q),
+rk AS (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY quality DESC, doc_id) AS qr
+  FROM q
+),
+b AS (
+  SELECT doc_id, quality, ((qr - 1) * {_CURR_BANDS}) // n.n AS band,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM rk, n
+)
+SELECT doc_id, quality, CAST(band AS BIGINT) AS band,
+       CAST(row_number() OVER (ORDER BY band, h, doc_id) AS BIGINT)
+           AS position
+FROM b
+"""
+
+
+@query("q_curriculum_order", oracle=_curriculum_oracle())
+def q_curriculum_order(spark, sf_dir):
+    """Deterministic CURRICULUM ORDERING — the training-order artifact
+    between the mixture keys (what to train on) and q_pack_sequences
+    (how to batch it): docs are cut into {B} equal quality bands
+    (highest-quality band first — curriculum learning's easy-to-hard
+    schedule, Bengio et al. ICML 2009, with quality as the
+    difficulty proxy a text pipeline actually has) and SHUFFLED
+    within each band by id-hash, so the dataloader reads row
+    `position` in order and gets banded progression with in-band
+    decorrelation. Every step is a pure function of (doc_id, text):
+    the same property q_split_train_val pins for splits, here for
+    the full epoch order — any engine, any partitioning, any run
+    lands byte-identical training curricula.
+
+    Banding is integer math over a two-pass global rank
+    (((qr-1) x {B}) div n), NOT ntile over an unpartitioned window —
+    the suite-wide plan gate forbids single-partition windows over
+    unbounded relations, and at 100 TB both ranks run as
+    range-partitioned prefix scans (operators/rank.ranked_by).
+
+    Scale shape: two ranked_by passes over the corpus (each: sampled
+    range bounds + one local scan) plus one broadcast of the 1-row
+    count — no corpus-sized collect, no full sort on a single
+    executor; the hash shuffle column is md5 of the id, computed
+    map-side."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", TX.bag_tokens("text").alias("_bag"))
+        .filter(F.size("_bag") > 0)
+        .select(
+            "doc_id",
+            TX.quality_score_from_bag(F.col("_bag")).alias("quality"),
+        )
+    )
+    n_rel = base.agg(F.count(F.lit(1)).alias("_n"))
+    rk = ranked_by(base, [(-F.col("quality")), F.col("doc_id")], "qr")
+    b = rk.crossJoin(F.broadcast(n_rel)).select(
+        "doc_id",
+        "quality",
+        F.expr(f"((qr - 1) * {_CURR_BANDS}) div _n").alias("band"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    return ranked_by(b, ["band", "h", "doc_id"], "position").select(
+        "doc_id",
+        "quality",
+        F.col("band").cast("bigint").alias("band"),
+        F.col("position").cast("bigint").alias("position"),
+    )
+
+
+q_curriculum_order.__doc__ = (q_curriculum_order.__doc__ or "").format(
+    B=_CURR_BANDS
+)
+
+
 @query(
     "q_retention_cohorts",
     oracle="""
