@@ -667,6 +667,114 @@ def _km_d2(xi: str, c: str) -> str:
     )
 
 
+_CORESET_K = 8
+
+
+def _coreset_oracle() -> str:
+    from hive_similarity_join_spark.operators.ivf import KM_SCALE
+
+    parts = [
+        f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
+                       AS BIGINT)) AS xi
+  FROM embeddings
+)""",
+        "s1 AS (SELECT vec_id, xi FROM v"
+        " WHERE vec_id = (SELECT min(vec_id) FROM v))",
+        f"""m1 AS MATERIALIZED (
+  SELECT a.vec_id, {_km_d2('a.xi', 'b.xi')} AS md2 FROM v a, s1 b
+)""",
+    ]
+    legs = [
+        "SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,"
+        " CAST(0 AS BIGINT) AS cov_d2 FROM s1"
+    ]
+    for r in range(2, _CORESET_K + 1):
+        parts.append(
+            f"p{r} AS (SELECT vec_id, md2 FROM m{r - 1}"
+            f" ORDER BY md2 DESC, vec_id LIMIT 1)"
+        )
+        legs.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(md2 AS BIGINT)"
+            f" FROM p{r}"
+        )
+        if r < _CORESET_K:
+            parts.append(
+                f"s{r} AS (SELECT v.vec_id, v.xi FROM v"
+                f" JOIN p{r} USING (vec_id))"
+            )
+            parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT m.vec_id, least(m.md2, {_km_d2('a.xi', 'b.xi')}) AS md2
+  FROM m{r - 1} m JOIN v a ON a.vec_id = m.vec_id, s{r} b
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(legs)
+    )
+
+
+@query("q_sample_coreset", oracle=_coreset_oracle())
+def q_sample_coreset(spark, sf_dir):
+    """CORESET SELECTION by k-center greedy (farthest-point sampling,
+    Gonzalez 1985; the geometry behind diversity-driven data selection
+    a la Sener & Savarese ICLR 2018) — the embedding-space sampler
+    that picks MAXIMALLY SPREAD exemplars where q_sample_* pick
+    representative ones: seed with the minimum vec_id, then {K}-1
+    times add the point FARTHEST from everything selected so far
+    (argmax of min-distance, ties to the smaller id). Emits one row
+    per selection round: (sel_round, vec_id, cov_d2), where cov_d2 is
+    the selected point's min squared distance to the prior set — the
+    2-approximate k-center COVERAGE RADIUS at that k, the curve a
+    curation pipeline reads to pick its exemplar budget (the radius
+    halting rule).
+
+    Determinism: distances in the exact fixed-point integers of the
+    Lloyd trainer (same encode expression, same {D}-dim exact-bigint
+    d2), argmax tie-breaks on vec_id — both engines run identical
+    integer comparisons end to end.
+
+    Scale shape: the selected set stays DRIVER-SIDE as k literal
+    vectors (the operators/ivf.py posture — k-sized collects are the
+    contract, corpus-sized ones the violation): each round is ONE
+    map-only pass over the pinned fixed-point corpus evaluating
+    least(md2, d2-to-one-literal) and a TakeOrderedAndProject argmax
+    — k passes total, no shuffle after the pin, state O(k x dim).
+    The oracle mirrors with one generated (p, s, m) CTE triple per
+    round.""".format(K=_CORESET_K, D=KM_DIM)
+    from hive_similarity_join_spark.operators.cache import pin
+    from hive_similarity_join_spark.operators.ivf import (
+        fixedpoint_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = pin(fixedpoint_vectors(e))
+
+    def d2_lit(xi):
+        lit = F.array(*[F.lit(int(c)).cast("bigint") for c in xi])
+        return F.aggregate(
+            F.zip_with(F.col("xi"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = v.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    rows = [(1, seed.vec_id, 0)]
+    md = d2_lit(seed.xi)
+    for r in range(2, _CORESET_K + 1):
+        pick = (
+            v.select("vec_id", "xi", md.alias("md2"))
+            .orderBy(F.desc("md2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append((r, pick.vec_id, pick.md2))
+        md = F.least(md, d2_lit(pick.xi))
+    return spark.createDataFrame(
+        rows, "sel_round bigint, vec_id bigint, cov_d2 bigint"
+    )
+
+
 def kmeans_sql_fragments() -> dict:
     """Shared DuckDB fragments for the exact fixed-point Lloyd trainer
     (operators/ivf.py lloyd_kmeans_centroids): ``with_body`` defines
