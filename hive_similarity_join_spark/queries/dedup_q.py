@@ -2039,6 +2039,108 @@ def q_graph_triangles(spark, sf_dir):
     )
 
 
+# -------------- label-propagation communities over the same graph
+
+_LPA_ROUNDS = 2
+
+
+def _communities_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    rounds = []
+    for t in range(_LPA_ROUNDS):
+        rounds.append(f"""v{t + 1} AS (
+  SELECT e.b AS id, l{t}.lab AS lab, count(*) AS c
+  FROM e JOIN l{t} ON l{t}.id = e.a
+  GROUP BY 1, 2
+),
+l{t + 1} AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+    FROM v{t + 1}
+  ) WHERE rn = 1
+)""")
+    its = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e),
+{its},
+sz AS (SELECT lab, count(*) AS n FROM l{_LPA_ROUNDS} GROUP BY lab)
+SELECT l.id AS doc_id, CAST(l.lab AS BIGINT) AS community,
+       CAST(sz.n AS BIGINT) AS community_size
+FROM l{_LPA_ROUNDS} l JOIN sz ON sz.lab = l.lab
+"""
+
+
+@query("q_graph_communities", oracle=_communities_oracle())
+def q_graph_communities(spark, sf_dir):
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007) over the near-duplicate pair graph —
+    the third graph analytic on the q_dedup_ngram edges after
+    centrality (pagerank) and cohesion (triangles), and the SOFTER
+    sibling of connected components: CC fuses everything reachable
+    (one bridge edge merges two template families), LPA's majority
+    vote keeps densely-knit families apart unless the bridge outvotes
+    them — the distinction a dedup auditor needs on template graphs,
+    where CC's giant component hides structure. {R} synchronized
+    rounds from singleton labels (label = own id); each node adopts
+    its neighbors' majority label, ties to the SMALLEST label — fully
+    deterministic, no RNG, no asynchronous order-dependence (the
+    published algorithm's nondeterminism is exactly what a bit-exact
+    cross-engine contract must remove). Emits (doc_id, community,
+    community_size).
+
+    Plan shape: per round ONE partial-aggregated shuffle of
+    (edge endpoint, neighbor label) votes keyed on high-cardinality
+    doc_id, then a struct-min argmax (no window over an unpartitioned
+    relation); the bidirectional edge relation is pinned once and
+    re-joined per round — the pagerank key's Pregel posture with a
+    vote aggregate instead of a rank sum. Rounds are FIXED at {R}
+    (sync LPA need not converge; a production run exposes the round
+    count as the knob), so the oracle mirrors with one generated
+    vote/label CTE pair per round.""".format(R=_LPA_ROUNDS)
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    e = pin(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+    )
+    labels = e.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            e.join(labels, e["a"] == labels["id"])
+            .select(F.col("b").alias("vid"), "lab")
+            .groupBy("vid", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = F.min(
+            F.struct((-F.col("c")).alias("_nc"), F.col("lab").alias("lab"))
+        )
+        labels = (
+            votes.groupBy("vid")
+            .agg(best.alias("_b"))
+            .select(F.col("vid").alias("id"), F.col("_b.lab").alias("lab"))
+        )
+    sz = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
+    return labels.join(sz, "lab").select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").cast("bigint").alias("community"),
+        F.col("n").cast("bigint").alias("community_size"),
+    )
+
+
 # ---------------- degree distribution of the near-dup pair graph
 
 
