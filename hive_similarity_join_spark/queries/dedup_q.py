@@ -2044,13 +2044,15 @@ def q_graph_triangles(spark, sf_dir):
 _LPA_ROUNDS = 2
 
 
-def _communities_oracle() -> str:
-    from hive_similarity_join_spark.queries import text_q  # noqa: F401
-    from hive_similarity_join_spark.registry import ORACLES
-
-    rounds = []
-    for t in range(_LPA_ROUNDS):
-        rounds.append(f"""v{t + 1} AS (
+def _lpa_ctes(rounds: int = _LPA_ROUNDS) -> str:
+    """The synchronous-LPA CTE chain (assumes a bidirectional edge
+    relation ``e(a, b)`` in scope): l0 = singleton labels, then one
+    (vote, argmax) CTE pair per round ending in ``l{rounds}`` —
+    shared verbatim by q_graph_communities and the CC-vs-LPA audit so
+    the two keys' label semantics cannot drift."""
+    parts = ["l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e)"]
+    for t in range(rounds):
+        parts.append(f"""v{t + 1} AS (
   SELECT e.b AS id, l{t}.lab AS lab, count(*) AS c
   FROM e JOIN l{t} ON l{t}.id = e.a
   GROUP BY 1, 2
@@ -2062,7 +2064,40 @@ l{t + 1} AS (
     FROM v{t + 1}
   ) WHERE rn = 1
 )""")
-    its = ",\n".join(rounds)
+    return ",\n".join(parts)
+
+
+def lpa_labels(e, rounds: int = _LPA_ROUNDS):
+    """(id, lab): ``rounds`` synchronized majority-vote label-
+    propagation rounds from singleton labels over a bidirectional
+    edge relation ``e(a, b)`` — the Spark body both q_graph_communities
+    and q_dedup_cc_vs_lpa rank with (ties to the smallest label via
+    struct-min; one partial-aggregated vote shuffle per round)."""
+    labels = e.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["a"] == labels["id"])
+            .select(F.col("b").alias("vid"), "lab")
+            .groupBy("vid", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = F.min(
+            F.struct((-F.col("c")).alias("_nc"), F.col("lab").alias("lab"))
+        )
+        labels = (
+            votes.groupBy("vid")
+            .agg(best.alias("_b"))
+            .select(F.col("vid").alias("id"), F.col("_b.lab").alias("lab"))
+        )
+    return labels
+
+
+def _communities_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
     return f"""
 WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
 e AS (
@@ -2070,8 +2105,7 @@ e AS (
   UNION ALL
   SELECT id2 AS a, id1 AS b FROM pairs
 ),
-l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e),
-{its},
+{_lpa_ctes()},
 sz AS (SELECT lab, count(*) AS n FROM l{_LPA_ROUNDS} GROUP BY lab)
 SELECT l.id AS doc_id, CAST(l.lab AS BIGINT) AS community,
        CAST(sz.n AS BIGINT) AS community_size
@@ -2115,29 +2149,104 @@ def q_graph_communities(spark, sf_dir):
             pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
         )
     )
-    labels = e.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("lab")
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            e.join(labels, e["a"] == labels["id"])
-            .select(F.col("b").alias("vid"), "lab")
-            .groupBy("vid", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        best = F.min(
-            F.struct((-F.col("c")).alias("_nc"), F.col("lab").alias("lab"))
-        )
-        labels = (
-            votes.groupBy("vid")
-            .agg(best.alias("_b"))
-            .select(F.col("vid").alias("id"), F.col("_b.lab").alias("lab"))
-        )
+    labels = lpa_labels(e, _LPA_ROUNDS)
     sz = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
     return labels.join(sz, "lab").select(
         F.col("id").alias("doc_id"),
         F.col("lab").cast("bigint").alias("community"),
         F.col("n").cast("bigint").alias("community_size"),
+    )
+
+
+def _cc_vs_lpa_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLES["q_dedup_ngram"]}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+{_lpa_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT g.a, reach.r FROM edges g JOIN reach ON reach.id = g.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+per AS (
+  SELECT c.component,
+         count(DISTINCT l.lab) AS n_comm,
+         count(*) AS n_docs
+  FROM comp c JOIN l{_LPA_ROUNDS} l ON l.id = c.id
+  GROUP BY c.component
+)
+SELECT CAST(n_comm AS BIGINT) AS n_communities_within,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM per GROUP BY n_comm
+"""
+
+
+@query("q_dedup_cc_vs_lpa", oracle=_cc_vs_lpa_oracle())
+def q_dedup_cc_vs_lpa(spark, sf_dir):
+    """The CC-vs-LPA RESOLUTION AUDIT — measures the claim
+    q_graph_communities' docstring makes: on a template-dense pair
+    graph, connected components fuse everything one bridge edge can
+    reach, while majority-vote label propagation keeps densely-knit
+    families apart. Per CC component of the ngram pair graph, count
+    the DISTINCT LPA communities inside it, then histogram:
+    (n_communities_within, n_components, n_docs). Row
+    n_communities_within = 1 is where the two clusterings agree; the
+    tail rows are the giant components LPA splits — the number that
+    tells a dedup auditor whether component-level survivor picking
+    (q_dedup_representatives) is collapsing genuinely distinct
+    template families, and how much finer the LPA partition runs.
+
+    Both labelings share their seams: the SAME pinned pair relation
+    feeds connected_components (the checkpointed min-label iteration
+    every dedup key uses) and lpa_labels (q_graph_communities'
+    exact body); the oracle composes the shared _lpa_ctes with the
+    recursive-CTE closure every CC oracle uses. LPA is a REFINEMENT
+    of CC by construction (labels only propagate along edges), so
+    every LPA community lies inside one component and the per-
+    component count is well-defined.
+
+    Scale shape: the two label tables are node-sized; the audit adds
+    one join and two aggregates on top of computations whose cost the
+    individual keys already price."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionAll(
+        pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+    )
+    labels = lpa_labels(e, _LPA_ROUNDS)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("cid"), "comp"
+    )
+    per = (
+        comp.join(labels, comp["cid"] == labels["id"])
+        .groupBy("comp")
+        .agg(
+            F.countDistinct("lab").alias("n_comm"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return per.groupBy("n_comm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("n_comm").cast("bigint").alias("n_communities_within"),
+        "n_components",
+        "n_docs",
     )
 
 
