@@ -2231,6 +2231,76 @@ def q_agg_value_histogram(spark, sf_dir):
     )
 
 
+# ---------------- equi-depth (quantile-bucket) histogram
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "q_agg_equidepth_hist",
+    oracle=f"""
+WITH rk AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, event_id) AS r
+  FROM events
+),
+n AS (SELECT count(*) AS n FROM rk),
+b AS (
+  SELECT ((r - 1) * {EQD_BUCKETS}) // n.n AS bucket, value
+  FROM rk, n
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       min(value) AS lo, max(value) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
+FROM b GROUP BY bucket
+""",
+)
+def q_agg_equidepth_hist(spark, sf_dir):
+    """EQUI-DEPTH histogram of events.value — the optimizer-statistics
+    sibling of the equi-width q_agg_value_histogram (equi-depth is
+    what real optimizers keep: every bucket holds the same row count,
+    so bucket width IS local density and range-selectivity estimates
+    are uniform-error; DB2/Oracle/Postgres 'height-balanced'
+    statistics, Piatetsky-Shapiro & Connell SIGMOD 1984). {B} buckets
+    by global value rank; per bucket the value bounds (the quantile
+    cut points), row count, and distinct-value count (the NDV column
+    a join-cardinality estimator reads).
+
+    Determinism: bucket = ((rank-1) x {B}) div n over the strict
+    (value, event_id) total order — the curriculum key's integer band
+    math; bounds are actual data values carried bit-for-bit (min/max
+    pick, no arithmetic on doubles).
+
+    Plan shape: ONE two-pass global rank (operators/rank.ranked_by —
+    range-partitioned prefix scan, no single-partition window; ties
+    on value are broken by event_id so the sampled range bounds stay
+    strict), a broadcast 1-row count, then a {B}-group aggregate.
+    At 100 TB this is the ANALYZE TABLE pass, and the rank's sampled
+    range partitioning is exactly how a distributed quantile sketch
+    would place its cut points.""".format(B=EQD_BUCKETS)
+    from hive_similarity_join_spark.operators.rank import ranked_by
+
+    e = load_table(spark, sf_dir, "events")
+    rk = ranked_by(e.select("value", "event_id"), ["value", "event_id"], "r")
+    n_rel = rk.agg(F.count(F.lit(1)).alias("_n"))
+    b = rk.crossJoin(F.broadcast(n_rel)).select(
+        F.expr(f"((r - 1) * {EQD_BUCKETS}) div _n").alias("bucket"), "value"
+    )
+    return b.groupBy("bucket").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("value").cast("bigint").alias("n_distinct"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "lo",
+        "hi",
+        "n_rows",
+        "n_distinct",
+    )
+
+
 # ---------------- exact higher-moment profile (skewness / kurtosis)
 
 
