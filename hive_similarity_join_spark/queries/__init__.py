@@ -13,3 +13,4 @@ import hive_similarity_join_spark.queries.pipeline_q  # noqa: F401
 import hive_similarity_join_spark.queries.search_q  # noqa: F401
 import hive_similarity_join_spark.queries.hygiene_q  # noqa: F401
 import hive_similarity_join_spark.queries.unigram_q  # noqa: F401
+import hive_similarity_join_spark.queries.wordpiece_q  # noqa: F401
