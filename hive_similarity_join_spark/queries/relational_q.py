@@ -3025,3 +3025,56 @@ def q_profile_skew(spark, sf_dir):
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out.orderBy("col_name", "rnk")
+
+
+_NULLAWARE_SQL = """
+WITH outer_na AS (
+  SELECT NULLIF(CAST(c_nationkey AS BIGINT), 13) AS nk FROM customer
+),
+inner_clean AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+  WHERE s_nationkey <> 5
+),
+inner_withnull AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+  UNION ALL SELECT CAST(NULL AS BIGINT)
+)
+SELECT 'not_in_clean_inner' AS scenario, CAST(count(*) AS BIGINT) AS n_rows
+FROM outer_na WHERE nk NOT IN (SELECT nk FROM inner_clean)
+UNION ALL
+SELECT 'not_in_null_inner' AS scenario, CAST(count(*) AS BIGINT) AS n_rows
+FROM outer_na WHERE nk NOT IN (SELECT nk FROM inner_withnull)
+UNION ALL
+SELECT 'not_exists' AS scenario, CAST(count(*) AS BIGINT) AS n_rows
+FROM outer_na o
+WHERE NOT EXISTS (SELECT 1 FROM inner_clean i WHERE i.nk = o.nk)
+"""
+
+
+@query("q_join_anti_nullaware", oracle=_NULLAWARE_SQL)
+def q_join_anti_nullaware(spark, sf_dir):
+    """NOT IN vs NOT EXISTS under SQL three-valued logic — the
+    null-aware anti join, a genuinely distinct engine surface from
+    q_join_anti's ``left_anti`` (which implements NOT EXISTS): a NULL
+    in the OUTER column makes ``x NOT IN (...)`` UNKNOWN (row dropped)
+    where NOT EXISTS keeps it, and a single NULL in the INNER relation
+    annihilates NOT IN entirely (every comparison is TRUE-or-UNKNOWN,
+    never provably TRUE). Three counted scenarios over the same
+    NULLIF-seeded outer relation pin all three behaviors; Spark plans
+    the NOT IN legs as NullAwareAntiJoin (BroadcastHashJoin variant),
+    and both engines run the IDENTICAL SQL text (the one builder that
+    exercises the spark.sql + temp-view surface end-to-end).
+
+    Scale shape: the inner relations are dimension-sized -> the
+    null-aware anti join broadcasts them (Spark's null-aware anti
+    REQUIRES a broadcast-able build side — at 100 TB a fact-sized NOT
+    IN subquery is rewritten to the NOT EXISTS + IS NULL disjunction
+    precisely because of that; the docstring contrast IS the
+    production guidance). Counts are exact integers."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier"
+    )
+    return spark.sql(_NULLAWARE_SQL)

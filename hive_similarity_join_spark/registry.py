@@ -109,6 +109,7 @@ PRIORITY: list[str] = [
     "q_vec_hard_negatives", "q_cdc_compact", "q_curriculum_order",
     "q_sample_coreset", "q_graph_communities", "q_dedup_cc_vs_lpa",
     "q_agg_equidepth_hist", "q_wordpiece_merges", "q_wordpiece_encode",
+    "q_join_anti_nullaware",
 ]
 
 
