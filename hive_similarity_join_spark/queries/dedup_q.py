@@ -3897,3 +3897,139 @@ def q_vec_pq_distortion_res(spark, sf_dir):
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def _split_leakage_oracle() -> str:
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        VAL_HEX_CUTOFF,
+    )
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH exact AS ({ORACLES["q_simjoin_jaccard_self"]}),
+lsh AS ({ORACLES["q_dedup_minhash_lsh"]}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{VAL_HEX_CUTOFF}'
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+lab AS (
+  SELECT 'exact_t08' AS pair_source, s1.split AS a, s2.split AS b
+  FROM exact e
+  JOIN sp s1 ON s1.doc_id = e.id1
+  JOIN sp s2 ON s2.doc_id = e.id2
+  UNION ALL
+  SELECT 'lsh_t08' AS pair_source, s1.split AS a, s2.split AS b
+  FROM lsh l
+  JOIN sp s1 ON s1.doc_id = l.id1
+  JOIN sp s2 ON s2.doc_id = l.id2
+),
+c AS (
+  SELECT pair_source,
+         CASE WHEN a = 'train' AND b = 'train' THEN 'within_train'
+              WHEN a = 'val' AND b = 'val' THEN 'within_val'
+              ELSE 'cross' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lab GROUP BY 1, 2
+),
+t AS (
+  SELECT pair_source, CAST(sum(n_pairs) AS BIGINT) AS tot
+  FROM c GROUP BY 1
+)
+SELECT c.pair_source, c.bucket, c.n_pairs,
+       CAST(c.n_pairs AS DOUBLE) / CAST(t.tot AS DOUBLE) AS frac
+FROM c JOIN t USING (pair_source)
+ORDER BY pair_source, bucket
+"""
+
+
+@query("q_split_leakage", oracle=_split_leakage_oracle())
+def q_split_leakage(spark, sf_dir):
+    """Eval-set leakage audit: near-duplicate pairs that CROSS the
+    deterministic train/val split — the hygiene check a training
+    pipeline runs before trusting any held-out metric (a val doc with
+    a train near-dup is memorization, not generalization; the reason
+    deduplication and decontamination run BEFORE splitting). Buckets
+    every pair of the two already-hash-verified pair relations — the
+    exact t=0.8 Jaccard graph (truth) and the banded MinHash-LSH
+    graph (the at-scale generator) — by q_split_train_val's exact
+    split function, reporting per-source within-train / within-val /
+    cross counts and fractions. Reading the two sources TOGETHER also
+    prices the audit itself: the LSH row is what a 100 TB pipeline
+    would actually run, and its cross count vs the exact row's is the
+    leakage the banding would miss.
+
+    Composition discipline: both generators are the verified keys
+    composed verbatim (their oracles as CTEs, their session-pinned
+    builders as DataFrames — exact_pair_graph / lsh_pair_graph), so
+    the audit cannot drift from what it audits, and the expensive
+    relations are shared with the rest of the audit family in-session.
+    Scale shape: two id-pair-sized joins against a broadcast-able
+    (doc_id, split) projection (split is a pure md5 function — no
+    extra shuffle), then a 6-row aggregate; the one double division
+    per row is identically associated on both engines."""
+    from hive_similarity_join_spark.queries.pipeline_q import (
+        VAL_HEX_CUTOFF as _LEAK_CUTOFF,
+    )
+
+    sp = (
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id"),
+            F.when(
+                F.md5(F.col("doc_id").cast("string").cast("binary"))
+                < _LEAK_CUTOFF,
+                "val",
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    s1 = sp.select(
+        F.col("doc_id").alias("id1"), F.col("split").alias("a")
+    )
+    s2 = sp.select(
+        F.col("doc_id").alias("id2"), F.col("split").alias("b")
+    )
+    legs = []
+    for src_name, pairs in (
+        ("exact_t08", exact_pair_graph(spark, sf_dir)),
+        ("lsh_t08", lsh_pair_graph(spark, sf_dir).select("id1", "id2")),
+    ):
+        legs.append(
+            pairs.join(F.broadcast(s1), "id1")
+            .join(F.broadcast(s2), "id2")
+            .select(
+                F.lit(src_name).alias("pair_source"),
+                F.when(
+                    (F.col("a") == "train") & (F.col("b") == "train"),
+                    "within_train",
+                )
+                .when(
+                    (F.col("a") == "val") & (F.col("b") == "val"),
+                    "within_val",
+                )
+                .otherwise("cross")
+                .alias("bucket"),
+            )
+        )
+    lab = legs[0].unionByName(legs[1])
+    c = lab.groupBy("pair_source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    t = c.groupBy("pair_source").agg(
+        F.sum("n_pairs").cast("bigint").alias("tot")
+    )
+    return (
+        c.join(F.broadcast(t), "pair_source")
+        .select(
+            "pair_source",
+            "bucket",
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("tot").cast("double")
+            ).alias("frac"),
+        )
+        .orderBy("pair_source", "bucket")
+    )

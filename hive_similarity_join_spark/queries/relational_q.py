@@ -3078,3 +3078,63 @@ def q_join_anti_nullaware(spark, sf_dir):
         "supplier"
     )
     return spark.sql(_NULLAWARE_SQL)
+
+
+_NULLSAFE_SQL = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(CAST(c_nationkey AS BIGINT), 13) AS nk
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, NULLIF(CAST(s_nationkey AS BIGINT), 13) AS nk
+  FROM supplier
+)
+SELECT CASE WHEN c.nk IS NULL THEN 'null_key' ELSE 'real_key' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+GROUP BY 1
+"""
+
+
+@query("q_join_nullsafe", oracle=_NULLSAFE_SQL)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) —
+    q_join_anti_nullaware's constructive sibling: under plain ``=``
+    the NULLIF-seeded rows match NOTHING (NULL = NULL is UNKNOWN),
+    under null-safe equality they match EACH OTHER — the semantics a
+    changelog differ or SCD upsert needs when join keys are genuinely
+    nullable (q_table_diff-class operators). The two output buckets
+    pin both behaviors at once: 'real_key' rows are exactly the plain
+    equi-join, 'null_key' rows exist ONLY because of the null-safe
+    operator (nation 13 customers x nation 13 suppliers).
+
+    Spark plans ``eqNullSafe`` as a hash join on a null-safe key
+    (no fallback to nested-loop); at 100 TB it shuffles exactly like
+    the plain equi-join — but note the null bucket IS a skew key by
+    construction (every null row lands in one hash cell), which is
+    why production differs salt their null keys; counts here are
+    exact integers either way."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey").cast("bigint"), F.lit(13)).alias(
+            "nk"
+        ),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.nullif(F.col("s_nationkey").cast("bigint"), F.lit(13)).alias(
+            "snk"
+        ),
+    )
+    j = c.join(s, c["nk"].eqNullSafe(s["snk"]))
+    return j.groupBy(
+        F.when(F.col("nk").isNull(), "null_key")
+        .otherwise("real_key")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+    )

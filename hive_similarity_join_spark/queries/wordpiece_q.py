@@ -282,3 +282,95 @@ def q_wordpiece_encode(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(_WP_TOP)
     )
+
+
+_ENC_DOCS_SQL = f"""
+WITH {_wp_base_ctes()},
+{",".join(_wp_round_ctes(r) for r in range(1, _WPR + 1))},
+{_wp_walk_ctes()},
+wseg AS (
+  SELECT f.word AS word,
+         CAST(CASE WHEN g.bad THEN 1 ELSE g.k END AS BIGINT) AS n_pieces,
+         CASE WHEN g.bad THEN 1 ELSE 0 END AS unk
+  FROM wf f JOIN g{_WPW} g ON g.word = f.word
+),
+occ AS (
+  SELECT doc_id, t.tok AS word
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_WPW}
+)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_wp_tokens,
+       CAST(sum(s.unk) AS BIGINT) AS n_unk_words,
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(s.n_pieces) AS compression
+FROM occ o JOIN wseg s ON s.word = o.word
+GROUP BY o.doc_id
+"""
+
+
+@query("q_wordpiece_encode_docs", oracle=_ENC_DOCS_SQL)
+def q_wordpiece_encode_docs(spark, sf_dir):
+    """The trained WordPiece tokenizer's per-document budget —
+    completing the per-doc-encode symmetry across all THREE tokenizer
+    families (q_bpe_encode_docs / q_unigram_encode_docs / this): for
+    every doc, trainable word count, char count, WordPiece token
+    count under the greedy segmentations (an [UNK]-collapsed word
+    costs 1 token), the [UNK]'d word count — the family's
+    within-scope coverage gap, the analogue of q_unigram_oov's
+    fallback budget but caused by greedy stranding rather than scope
+    filtering — and the chars-per-token compression ratio.
+
+    Determinism: integer counts joined through the word relation;
+    the single double division per row has identical association on
+    both engines (the q_unigram_encode_docs argument).
+
+    Scale shape: the segmented vocabulary (vocab-sized) BROADCASTS
+    into the per-occurrence join — the corpus never shuffles on the
+    word key; per-doc aggregation is the only corpus-sized shuffle,
+    keyed on doc_id. Training upstream is q_wordpiece_merges' plan
+    verbatim (round-local via the per-round localCheckpoint)."""
+    d = load_table(spark, sf_dir, "documents")
+    wfp = pin(
+        d.select(F.explode(TX.bag_tokens("text")).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$")
+            & (F.length("word") <= _WPW)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wf_enc = wfp.select(encode_chars("word").alias("w"), "n")
+    _bests, final_words = WP.wordpiece_merge_rounds(wf_enc, _WPR)
+    seg = WP.greedy_segment(
+        wfp, WP.piece_inventory(final_words), _WPW, _MAXP
+    )
+    wseg = seg.select(
+        "word",
+        F.when(F.col("bad"), F.lit(1))
+        .otherwise(F.col("k"))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.when(F.col("bad"), F.lit(1)).otherwise(F.lit(0)).alias("unk"),
+    )
+    occ = d.select(
+        "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
+    ).filter(
+        F.col("word").rlike("^[a-z0-9]+$")
+        & (F.length("word") <= _WPW)
+    )
+    return (
+        occ.join(F.broadcast(wseg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_pieces").cast("bigint").alias("n_wp_tokens"),
+            F.sum("unk").cast("bigint").alias("n_unk_words"),
+            (
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_pieces")
+            ).alias("compression"),
+        )
+    )
