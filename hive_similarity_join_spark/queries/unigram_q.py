@@ -805,13 +805,20 @@ def q_unigram_encode_sampled(spark, sf_dir):
 
 
 def _tokenizer_compare_oracle() -> str:
+    from hive_similarity_join_spark.operators.wordpiece import N_ROUNDS
     from hive_similarity_join_spark.queries.hygiene_q import (
         _BPE_ROUNDS,
         _bpe_round_ctes,
     )
+    from hive_similarity_join_spark.queries.wordpiece_q import (
+        _wp_round_ctes,
+    )
 
     bpe_rounds = ",".join(
         _bpe_round_ctes(r, p="zz") for r in range(1, _BPE_ROUNDS + 1)
+    )
+    wp_rounds = ",".join(
+        _wp_round_ctes(r, p="yy") for r in range(1, N_ROUNDS + 1)
     )
     return f"""
 WITH {_base_ctes()},
@@ -828,6 +835,17 @@ bseg AS (
          len(string_split(trim(w, '|'), '||')) AS n_sym
   FROM zzw{_BPE_ROUNDS + 1}
 ),
+yyw1 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w,
+         CAST(n AS BIGINT) AS n
+  FROM wf
+),
+{wp_rounds},
+wpseg AS (
+  SELECT replace(w, '|', '') AS word,
+         len(string_split(trim(w, '|'), '||')) AS n_wp
+  FROM yyw{N_ROUNDS + 1}
+),
 occ AS (
   SELECT d.source, t.tok AS word
   FROM documents d, unnest({TX.duck_bag()}) AS t(tok)
@@ -838,14 +856,20 @@ SELECT o.source,
        CAST(sum(length(o.word)) AS BIGINT) AS n_chars,
        CAST(sum(b.n_sym) AS BIGINT) AS n_bpe_tokens,
        CAST(sum(u.k) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(wp.n_wp) AS BIGINT) AS n_wordpiece_tokens,
        CAST(sum(b.n_sym) AS DOUBLE) / count(*) AS bpe_fertility,
        CAST(sum(u.k) AS DOUBLE) / count(*) AS unigram_fertility,
+       CAST(sum(wp.n_wp) AS DOUBLE) / count(*) AS wordpiece_fertility,
        CAST(sum(length(o.word)) AS DOUBLE) / sum(b.n_sym)
            AS bpe_compression,
        CAST(sum(length(o.word)) AS DOUBLE) / sum(u.k)
            AS unigram_compression,
-       CAST(sum(u.k) AS DOUBLE) / sum(b.n_sym) AS token_ratio
+       CAST(sum(length(o.word)) AS DOUBLE) / sum(wp.n_wp)
+           AS wordpiece_compression,
+       CAST(sum(u.k) AS DOUBLE) / sum(b.n_sym) AS token_ratio,
+       CAST(sum(wp.n_wp) AS DOUBLE) / sum(b.n_sym) AS wp_bpe_ratio
 FROM occ o JOIN bseg b USING (word) JOIN seg2 u USING (word)
+           JOIN wpseg wp USING (word)
 GROUP BY o.source
 """
 
@@ -853,32 +877,38 @@ GROUP BY o.source
 @query("q_tokenizer_compare", oracle=_tokenizer_compare_oracle())
 def q_tokenizer_compare(spark, sf_dir):
     """Tokenizer-family bake-off, per source: the SAME trainable word
-    relation (regex-gated, length-capped) trains BOTH production
-    tokenizer families — BPE (operators/bpe.py, merge-based) and
-    unigram-LM (operators/unigram.py, hard-EM) — and this key reports
-    what each costs on each corpus slice: occurrence-weighted fertility
-    (tokens per word), compression (chars per token), and the
-    unigram/BPE token-count ratio. This is the selection report a
+    relation (regex-gated, length-capped) trains ALL THREE production
+    tokenizer families — BPE (operators/bpe.py, merge-based),
+    unigram-LM (operators/unigram.py, hard-EM) and WordPiece
+    (operators/wordpiece.py, likelihood-scored merges; its leg reports
+    train-time segmentation lengths, exactly parallel to the BPE leg)
+    — and this key reports what each costs on each corpus slice:
+    occurrence-weighted fertility (tokens per word), compression
+    (chars per token), and the unigram/BPE and WordPiece/BPE
+    token-count ratios. This is the selection report a
     training-data platform reads before standardizing a tokenizer:
     fertility drives context-window budget (and therefore
     q_pack_sequences' packing), and a per-source spread in token_ratio
     flags slices where the two families diverge (e.g. templated
     sources that BPE merges collapse but seed substrings don't).
 
-    Exactness: both segmented vocabularies assign every trainable word
-    an exact integer piece count (single-char coverage on the unigram
-    side, replace-based merges on the BPE side), counts sum exactly,
-    and every reported rate is ONE int/int double division. The oracle
-    composes both trainers' already-verified CTE pipelines over a
-    SHARED wf relation (the BPE leg's CTEs namespaced zz* — its pc{{r}}
-    names collide with the unigram E-step's).
+    Exactness: every segmented vocabulary assigns every trainable
+    word an exact integer piece count (single-char coverage on the
+    unigram side, replace-based merges on the BPE/WordPiece sides),
+    counts sum exactly, and every reported rate is ONE int/int double
+    division. The oracle composes the trainers' already-verified CTE
+    pipelines over a SHARED wf relation (BPE namespaced zz*,
+    WordPiece yy* — their pc{{r}} names collide with the unigram
+    E-step's).
 
     Scale shape: both trainers run on the vocabulary-sized wf sketch;
     the only corpus-sized passes are the initial word count and the
-    per-occurrence stats join, where BOTH segmented vocabularies
-    broadcast. At 100 TB this is two tokenizer trainings + one corpus
-    map — the comparison is practically free next to either training."""
+    per-occurrence stats join, where ALL segmented vocabularies
+    broadcast. At 100 TB this is three tokenizer trainings + one
+    corpus map — the comparison is practically free next to any one
+    training."""
     from hive_similarity_join_spark.operators import bpe
+    from hive_similarity_join_spark.operators import wordpiece as WP
     from hive_similarity_join_spark.operators.cache import pin
     from hive_similarity_join_spark.queries.hygiene_q import _BPE_ROUNDS
 
@@ -892,6 +922,13 @@ def q_tokenizer_compare(spark, sf_dir):
         F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),
         F.size(bpe.decode_symbols("w")).alias("n_sym"),
     )
+    _wbests, wfinal = WP.wordpiece_merge_rounds(
+        wf.select(bpe.encode_chars("word").alias("w"), "n"), WP.N_ROUNDS
+    )
+    wpseg = wfinal.select(
+        F.replace(F.col("w"), F.lit("|"), F.lit("")).alias("word"),
+        F.size(bpe.decode_symbols("w")).alias("n_wp"),
+    )
     occ = d.select(
         "source", F.explode(TX.bag_tokens("text")).alias("word")
     ).filter(
@@ -900,17 +937,22 @@ def q_tokenizer_compare(spark, sf_dir):
     return (
         occ.join(F.broadcast(bseg), "word")
         .join(F.broadcast(useg.select("word", "k")), "word")
+        .join(F.broadcast(wpseg), "word")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum(F.length("word")).cast("bigint").alias("n_chars"),
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
             F.sum("k").cast("bigint").alias("n_unigram_tokens"),
+            F.sum("n_wp").cast("bigint").alias("n_wordpiece_tokens"),
             (F.sum("n_sym").cast("double") / F.count(F.lit(1))).alias(
                 "bpe_fertility"
             ),
             (F.sum("k").cast("double") / F.count(F.lit(1))).alias(
                 "unigram_fertility"
+            ),
+            (F.sum("n_wp").cast("double") / F.count(F.lit(1))).alias(
+                "wordpiece_fertility"
             ),
             (
                 F.sum(F.length("word")).cast("double") / F.sum("n_sym")
@@ -918,8 +960,14 @@ def q_tokenizer_compare(spark, sf_dir):
             (F.sum(F.length("word")).cast("double") / F.sum("k")).alias(
                 "unigram_compression"
             ),
+            (
+                F.sum(F.length("word")).cast("double") / F.sum("n_wp")
+            ).alias("wordpiece_compression"),
             (F.sum("k").cast("double") / F.sum("n_sym")).alias(
                 "token_ratio"
+            ),
+            (F.sum("n_wp").cast("double") / F.sum("n_sym")).alias(
+                "wp_bpe_ratio"
             ),
         )
     )

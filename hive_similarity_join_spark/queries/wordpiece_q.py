@@ -60,43 +60,46 @@ w1 AS MATERIALIZED (
 )"""
 
 
-def _wp_round_ctes(r: int) -> str:
+def _wp_round_ctes(r: int, p: str = "") -> str:
     """One WordPiece training round as SQL: decode symbols, count
     symbols and adjacent pairs (overlap-inclusive, word-count
     weighted), score every pair ``cnt / (na * nb)`` in doubles cast
     from exact integers, pick the (score DESC, a, b) winner, apply it
     with plain replace() — the ``_bpe_round_ctes`` shape plus the
-    likelihood score."""
-    return f"""sy{r} AS MATERIALIZED (
-  SELECT w, n, string_split(trim(w, '|'), '||') AS sy FROM w{r}
+    likelihood score. ``p`` prefixes every CTE name so
+    q_tokenizer_compare can compose these rounds next to the BPE and
+    unigram trainers' CTEs (whose pc{{r}} names collide); the default
+    "" keeps this module's single-training oracles' text verbatim."""
+    return f"""{p}sy{r} AS MATERIALIZED (
+  SELECT w, n, string_split(trim(w, '|'), '||') AS sy FROM {p}w{r}
 ),
-symc{r} AS (
+{p}symc{r} AS (
   SELECT sy[i] AS s, CAST(sum(n) AS BIGINT) AS cnt
-  FROM sy{r}, unnest(generate_series(1, len(sy))) AS t(i)
+  FROM {p}sy{r}, unnest(generate_series(1, len(sy))) AS t(i)
   GROUP BY 1
 ),
-pc{r} AS (
+{p}pc{r} AS (
   SELECT sy[i] AS a, sy[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
-  FROM sy{r}, unnest(generate_series(1, len(sy) - 1)) AS t(i)
+  FROM {p}sy{r}, unnest(generate_series(1, len(sy) - 1)) AS t(i)
   GROUP BY 1, 2
 ),
-b{r} AS (
+{p}b{r} AS (
   SELECT a, b, cnt, na, nb,
          CAST(cnt AS DOUBLE) /
          (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS score
   FROM (
     SELECT p.a AS a, p.b AS b, p.cnt AS cnt,
            sa.cnt AS na, sb.cnt AS nb
-    FROM pc{r} p
-    JOIN symc{r} sa ON sa.s = p.a
-    JOIN symc{r} sb ON sb.s = p.b
+    FROM {p}pc{r} p
+    JOIN {p}symc{r} sa ON sa.s = p.a
+    JOIN {p}symc{r} sb ON sb.s = p.b
   )
   ORDER BY score DESC, a, b LIMIT 1
 ),
-w{r + 1} AS MATERIALIZED (
+{p}w{r + 1} AS MATERIALIZED (
   SELECT replace(s.w, '|' || t.a || '||' || t.b || '|',
                  '|' || t.a || t.b || '|') AS w, s.n
-  FROM w{r} s CROSS JOIN b{r} t
+  FROM {p}w{r} s CROSS JOIN {p}b{r} t
 )"""
 
 
