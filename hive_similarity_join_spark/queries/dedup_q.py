@@ -4033,3 +4033,126 @@ def q_split_leakage(spark, sf_dir):
         )
         .orderBy("pair_source", "bucket")
     )
+
+
+def _dedup_savings_oracle() -> str:
+    from hive_similarity_join_spark.queries.pipeline_q import _quality_sql
+
+    return f"""
+WITH RECURSIVE pairs AS ({duck_minhash_oracle(MINHASH_T)}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id, {_quality_sql()} AS quality
+  FROM (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents)
+  WHERE len(bag) > 0
+),
+lab AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+  FROM q LEFT JOIN comp c ON c.id = q.doc_id
+),
+rnk AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM lab
+),
+flag AS (
+  SELECT d.source AS source, d.n_chars AS n_chars,
+         CASE WHEN r.rn IS NULL OR r.rn = 1 THEN 0 ELSE 1 END AS dropped
+  FROM documents d LEFT JOIN rnk r ON r.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dropped) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN dropped = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_dropped,
+       CAST(sum(CASE WHEN dropped = 1 THEN n_chars ELSE 0 END)
+            AS DOUBLE) /
+       CAST(sum(n_chars) AS DOUBLE) AS savings_frac
+FROM flag GROUP BY source ORDER BY source
+"""
+
+
+@query("q_report_dedup_savings", oracle=_dedup_savings_oracle())
+def q_report_dedup_savings(spark, sf_dir):
+    """The dedup pipeline's BUSINESS CASE, per source: how many
+    documents and how many characters q_dedup_representatives'
+    keep-one-per-cluster policy removes, and the resulting storage/
+    compute savings fraction — the number a platform team actually
+    reports when justifying the dedup stage (training tokens saved
+    scale ~linearly with chars dropped). Documents outside the
+    trainable scope (empty bag) and singleton clusters are kept; a
+    non-representative member of any LSH cluster is dropped.
+
+    Composition discipline: the pair graph is the session-pinned
+    lsh_pair_graph (the verified flagship relation, shared in-session
+    with the whole audit family), closed by the same checkpointed CC
+    and ranked by the same (quality DESC, doc_id) survivor pick as
+    q_dedup_representatives — this key only re-aggregates the
+    keep/drop labeling against source and n_chars.
+
+    Scale shape: CC label rounds on the id-pair graph, one window
+    over the node-sized label table (component-partitioned — high
+    cardinality), one broadcast-able label join back to the corpus
+    projection, one source-keyed aggregate. The one double division
+    per row is identically associated on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
+    pairs = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
+    comp = connected_components(pairs)
+    q = base.filter(F.size("_bag") > 0).select(
+        "doc_id",
+        TX.quality_score_from_bag(F.col("_bag")).alias("quality"),
+    )
+    lab = q.join(comp, q["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    rnk = lab.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "rn"
+    )
+    flag = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(rnk, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            F.when(F.col("rn").isNull() | (F.col("rn") == 1), 0)
+            .otherwise(1)
+            .alias("dropped"),
+        )
+    )
+    dropped_chars = F.sum(
+        F.when(F.col("dropped") == 1, F.col("n_chars")).otherwise(0)
+    )
+    return (
+        flag.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dropped").cast("bigint").alias("n_dup_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            dropped_chars.cast("bigint").alias("chars_dropped"),
+            (
+                dropped_chars.cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )

@@ -3138,3 +3138,79 @@ def q_join_nullsafe(spark, sf_dir):
         F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
         F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
     )
+
+
+_SERDE_AGG_SQL = """
+WITH agg AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal,
+         min(s_name) AS min_name, max(s_name) AS max_name
+  FROM supplier GROUP BY 1
+)
+SELECT f.fmt AS fmt, a.nationkey, a.n, a.sum_acctbal,
+       a.min_name, a.max_name
+FROM (VALUES ('csv'), ('json')) f(fmt) CROSS JOIN agg a
+ORDER BY fmt, nationkey
+"""
+
+
+@query("q_roundtrip_serde", oracle=_SERDE_AGG_SQL)
+def q_roundtrip_serde(spark, sf_dir):
+    """Text SerDe losslessness, pinned under the oracle gate: the
+    supplier table is WRITTEN to CSV and to JSON-lines and READ BACK
+    with an explicit typed schema, and the same per-nation aggregate
+    is computed through each round-trip — the oracle computes it from
+    the parquet directly, so the hash passes IFF both text codecs
+    round-trip every value bit-exactly (Spark serializes doubles via
+    the shortest-representation rule, which re-parses to identical
+    bits; integers and strings are trivially stable). This makes the
+    CSV/JSON connector surface (elsewhere pytest-only, sources/
+    loader + sinks) a driver-checked operator.
+
+    Mechanics: the round-trip files live under /tmp, keyed by
+    (applicationId, sf basename) so concurrent sessions never collide
+    and re-builds within a session overwrite deterministically.
+
+    Scale shape: write + read are full-scan map work (CSV/JSON splits
+    parallelize per file chunk); the aggregate is one
+    partial-aggregated shuffle on the nation key, decimal-cast so the
+    double sum is association-free on both engines."""
+    import os
+
+    s = load_table(spark, sf_dir, "supplier")
+    tag = f"{spark.sparkContext.applicationId}_{os.path.basename(sf_dir.rstrip('/'))}"
+    legs = []
+    for fmt in ("csv", "json"):
+        path = f"/tmp/hsjs_serde_{tag}/{fmt}"
+        if fmt == "csv":
+            s.write.mode("overwrite").option("header", "true").csv(path)
+            back = (
+                spark.read.schema(s.schema)
+                .option("header", "true")
+                .csv(path)
+            )
+        else:
+            s.write.mode("overwrite").json(path)
+            back = spark.read.schema(s.schema).json(path)
+        legs.append(
+            back.groupBy(
+                F.col("s_nationkey").cast("bigint").alias("nationkey")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                _dsum(F.col("s_acctbal")).alias("sum_acctbal"),
+                F.min("s_name").alias("min_name"),
+                F.max("s_name").alias("max_name"),
+            )
+            .select(
+                F.lit(fmt).alias("fmt"),
+                "nationkey",
+                "n",
+                "sum_acctbal",
+                "min_name",
+                "max_name",
+            )
+        )
+    return legs[0].unionByName(legs[1]).orderBy("fmt", "nationkey")

@@ -512,9 +512,11 @@ def test_heavy_key_job_count_tripwire(spark):
         #   the count explodes ~3x per round (204 measured)
         "q_mixture_reweight_apply": 60,     # measured 46: reweight chain
         #   + ONE corpus coin pass with the D-row rates broadcast
-        "q_tokenizer_compare": 80,          # measured 64: BOTH tokenizer
-        #   trainings on the shared pinned wf + one corpus stats join
-        #   with both segmented vocabularies broadcast
+        "q_tokenizer_compare": 104,         # measured 83 (r14, after the
+        #   WordPiece leg landed: +~19 jobs for its 6 per-round eager
+        #   localCheckpoints): all THREE tokenizer trainings on the
+        #   shared pinned wf + one corpus stats join with every
+        #   segmented vocabulary broadcast
         "q_dedup_blocking_ensemble": 165,   # measured 130 cold: FOUR
         #   generators (exact truth + lsh + simhash-wide + snm), each
         #   materialized once into its session/registry pin, then pure
