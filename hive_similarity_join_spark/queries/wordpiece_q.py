@@ -377,3 +377,127 @@ def q_wordpiece_encode_docs(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+_WP_SWEEP_SNAPSHOTS = (0, 2, 4, 6)
+
+
+def _wp_rounds_sweep_oracle() -> str:
+    """One 6-round scored merge chain (ws_-prefixed CTEs), snapshot
+    legs reading the words relation after 0/2/4/6 merges — the
+    q_bpe_rounds_sweep device on the WordPiece trainer."""
+    chain = ",".join(
+        _wp_round_ctes(r, p="ws_") for r in range(1, _WPR + 1)
+    )
+    legs = []
+    for r in _WP_SWEEP_SNAPSHOTS:
+        legs.append(f"""SELECT CAST({r} AS BIGINT) AS n_merges,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM (
+          SELECT unnest(string_split(trim(w, '|'), '||')) AS s
+          FROM ws_w{r + 1}
+       )) AS vocab_symbols,
+       CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS BIGINT)
+           AS n_tokens,
+       CAST(sum(n * len(replace(w, '|', ''))) AS BIGINT) AS n_chars,
+       CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS DOUBLE)
+           / CAST(sum(n) AS DOUBLE) AS fertility,
+       CAST(sum(n * len(replace(w, '|', ''))) AS DOUBLE)
+           / CAST(sum(n * len(string_split(trim(w, '|'), '||'))) AS DOUBLE)
+           AS compression
+FROM ws_w{r + 1}""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH bags AS MATERIALIZED (
+  SELECT doc_id, {TX.duck_bag()} AS bag FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS n
+  FROM bags, unnest(bag) AS t(tok)
+  WHERE regexp_full_match(t.tok, '[a-z0-9]+') AND len(t.tok) <= {_WPW}
+  GROUP BY 1
+),
+ws_w1 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w, n FROM wf
+),
+{chain}
+{union}
+"""
+
+
+@query("q_wordpiece_rounds_sweep", oracle=_wp_rounds_sweep_oracle())
+def q_wordpiece_rounds_sweep(spark, sf_dir):
+    """Merge-COUNT sweep for the WordPiece trainer — completing the
+    knob-pricing symmetry across all three families
+    (q_unigram_vocab_sweep prices the unigram seed size,
+    q_bpe_rounds_sweep BPE's merge count, this WordPiece's): one
+    6-round scored training, snapshotted after 0/2/4/6 merges, with
+    per-snapshot in-use symbol vocabulary, corpus token/char budgets,
+    occurrence-weighted fertility and compression. The 0-merge row
+    anchors compression at exactly 1.0; the likelihood-scored curve
+    descends DIFFERENTLY from BPE's on the same corpus (WordPiece
+    spends early merges on high-association pairs like qu, not
+    high-count pairs like in — compare the two sweeps row-for-row to
+    see where each family's marginal merge stops paying).
+
+    Determinism: the q_wordpiece_merges contract (exact integer
+    pair/symbol counts, one cast-multiply-divide score, (score DESC,
+    a, b) winner, replace()-based merge); every reported stat is
+    exact bigint sums with one int/int double divide.
+
+    Scale shape: the whole sweep runs on the vocabulary-sized word
+    sketch (the one corpus pass is the pinned word count); the chain
+    is per-round localCheckpointed (operators/wordpiece.py — the
+    3^rounds lazy-plan blowup measured there), so the sweep costs one
+    6-round training plus four vocab-sized aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    wfp = pin(
+        d.select(F.explode(TX.bag_tokens("text")).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$")
+            & (F.length("word") <= _WPW)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from hive_similarity_join_spark.operators.bpe import (
+        apply_merge,
+        decode_symbols,
+    )
+
+    cur = wfp.select(encode_chars("word").alias("w"), "n").localCheckpoint(
+        eager=True
+    )
+    out = None
+    r = 0
+    for target in _WP_SWEEP_SNAPSHOTS:
+        while r < target:
+            best = WP.best_scored_pair(cur).localCheckpoint(eager=True)
+            cur = apply_merge(cur, best).localCheckpoint(eager=True)
+            r += 1
+        sy = decode_symbols("w")
+        nsym = F.size(sy)
+        wlen = F.length(F.replace(F.col("w"), F.lit("|"), F.lit("")))
+        stats = cur.agg(
+            F.sum(F.col("n") * nsym).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * wlen).cast("bigint").alias("n_chars"),
+            F.sum("n").cast("bigint").alias("n_occ"),
+        )
+        vocab = cur.select(F.explode(sy).alias("s")).agg(
+            F.countDistinct("s").cast("bigint").alias("vocab_symbols")
+        )
+        leg = stats.crossJoin(F.broadcast(vocab)).select(
+            F.lit(target).cast("bigint").alias("n_merges"),
+            "vocab_symbols",
+            "n_tokens",
+            "n_chars",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_occ").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("compression"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
