@@ -3214,3 +3214,170 @@ def q_roundtrip_serde(spark, sf_dir):
             )
         )
     return legs[0].unionByName(legs[1]).orderBy("fmt", "nationkey")
+
+
+_BITWISE_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(bit_and(o_custkey & 4095) AS BIGINT) AS key_bit_and,
+       CAST(bit_or(o_custkey & 4095) AS BIGINT) AS key_bit_or,
+       CAST(bit_xor(o_custkey & 4095) AS BIGINT) AS key_bit_xor,
+       CAST(bit_or(CAST(1 AS BIGINT) << (o_orderkey % 7)) AS BIGINT)
+           AS dow_mask
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_bitwise", oracle=_BITWISE_SQL)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregate surface — bit_and / bit_or / bit_xor plus
+    scalar &, << and % composed under them (a fixed-width presence
+    mask per group, the classic bitmap-index building block: dow_mask
+    ORs one bit per orderkey-mod-7 class, the device a bitmap rollup
+    or bloom-ish presence sketch builds on). Exact integer semantics
+    on both engines — no floats anywhere.
+
+    Scale shape: bitwise aggregates are associative/commutative ->
+    full map-side partial aggregation; one shuffle on the group key;
+    state per group is a single 64-bit word per aggregate (the whole
+    point of bitmap sketches at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    masked = (F.col("o_custkey").bitwiseAND(F.lit(4095))).alias("mk")
+    # F.shiftleft requires a literal int shift — a per-row shift amount
+    # needs the SQL form.
+    dow_bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 7 AS INT))")
+    return (
+        o.select("o_orderpriority", masked, dow_bit.alias("db"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.bit_and("mk").cast("bigint").alias("key_bit_and"),
+            F.bit_or("mk").cast("bigint").alias("key_bit_or"),
+            F.bit_xor("mk").cast("bigint").alias("key_bit_xor"),
+            F.bit_or("db").cast("bigint").alias("dow_mask"),
+        )
+    )
+
+
+_MAP_FUNCS_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_event_types,
+       CAST(coalesce(
+           max(CASE WHEN event_type = 'click' THEN cnt END), 0
+       ) AS BIGINT) AS n_clicks,
+       CAST(max(cnt) AS BIGINT) AS max_type_count,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated_types
+FROM c GROUP BY user_id
+"""
+
+
+@query("q_map_funcs", oracle=_MAP_FUNCS_SQL)
+def q_map_funcs(spark, sf_dir):
+    """MAP-typed column surface: per user, the per-event-type counts
+    are materialized as a genuine MapType column
+    (``map_from_entries`` over collected (type, count) structs) and
+    every output scalar is then derived THROUGH map operators —
+    ``size``, ``element_at`` (missing-key NULL -> coalesce 0),
+    ``map_values`` + ``array_max``, and a ``map_filter`` lambda — so
+    the key pins Spark's map construction + lambda semantics against
+    relationally-computed truth (the oracle never builds a map; the
+    suite-wide no-array-or-map-OUTPUT gate still holds because only
+    scalars leave the plan).
+
+    Scale shape: one partial-aggregated shuffle on (user, type), one
+    on user for the entry collect; per-user maps are bounded by the
+    event-type cardinality (5), so the map column is O(1) per row —
+    the schema shape a feature store or profile table actually
+    carries."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_event_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.array_max(F.map_values("m"))
+        .cast("bigint")
+        .alias("max_type_count"),
+        F.size(F.map_filter("m", lambda _k, v: v > 1))
+        .cast("bigint")
+        .alias("n_repeated_types"),
+    )
+
+
+_BUCKETED_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q_join_bucketed", oracle=_BUCKETED_SQL)
+def q_join_bucketed(spark, sf_dir):
+    """CLUSTERED-BY bucketed tables under the oracle gate: customer
+    and orders are WRITTEN as co-bucketed catalog tables (8 buckets on
+    the customer key, in-bucket sorted) and the per-segment revenue
+    report is computed from the CATALOG READS — so the driver's hash
+    check covers the bucketed write+read round-trip, not just the
+    join. With both sides co-bucketed AND sorted on the join key the
+    SortMergeJoin plans with ZERO Exchange and ZERO Sort on either
+    side (verified on this key's plan with broadcast disabled:
+    SortMergeJoin over two Bucketed:true scans, the only Exchange the
+    post-join segment aggregate; same property tests/test_bucketing.py
+    asserts on the sinks machinery — at smoke SF AQE may broadcast the
+    dim side instead, which is exchange-free on the fact side too) —
+    the shuffle is paid once at write time, which at 100 TB is THE
+    device for repeated fact-fact joins.
+
+    Mechanics: external table paths live under /tmp keyed by
+    applicationId (concurrent sessions never collide; same-session
+    rebuilds overwrite); catalog entries are session-scoped. The
+    aggregate shuffles only the 5-row-per-bucket partial results;
+    sum is decimal-cast so the double is association-free."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    for df, name, key in (
+        (c, "customer", "c_custkey"),
+        (o, "orders", "o_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"/tmp/hsjs_bucketed_{tag}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"bk_{name}_{tag}")
+        )
+    cb = spark.table(f"bk_customer_{tag}")
+    ob = spark.table(f"bk_orders_{tag}")
+    return (
+        cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("c_custkey")
+            .cast("bigint")
+            .alias("n_customers"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
