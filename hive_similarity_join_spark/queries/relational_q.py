@@ -3381,3 +3381,83 @@ def q_join_bucketed(spark, sf_dir):
             _dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+_STRING_AGG_SQL = """
+SELECT s_nationkey AS nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS names_csv,
+       CAST(count(*) AS BIGINT) AS n
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@query("q_agg_string_agg", oracle=_STRING_AGG_SQL)
+def q_agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY)
+    — the report-formatting aggregate q_agg_collect's array form
+    doesn't pin: the OUTPUT is a deterministic delimited string, so
+    the within-group order is part of the checked value. Spark has no
+    ordered first-class listagg; the portable spelling is
+    array_join(array_sort(collect_list(...))) — sort AFTER collect,
+    inside the row, so the aggregation itself stays order-insensitive
+    (collect_list order is nondeterministic across partitionings; the
+    array_sort is what makes the result well-defined, exactly the
+    trap this key documents).
+
+    Scale shape: one partial-aggregated shuffle on the group key;
+    state per group is the collected name list — bounded here by
+    suppliers-per-nation, and the reason 100 TB listaggs cap or
+    sample their groups."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.array_join(
+            F.array_sort(F.collect_list("s_name")), ","
+        ).alias("names_csv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+_REGEX_ALL_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+           AS n_number_runs,
+       CAST(coalesce(len(list_filter(
+           regexp_extract_all(text, '[0-9]+'),
+           x -> len(x) >= 4)), 0) AS BIGINT) AS n_long_numbers,
+       CAST(coalesce(list_aggregate(
+           list_transform(regexp_extract_all(text, '[0-9]+'),
+                          x -> len(x)), 'max'), 0) AS BIGINT)
+           AS max_run_len
+FROM documents
+"""
+
+
+@query("q_str_regexp_extract_all", oracle=_REGEX_ALL_SQL)
+def q_str_regexp_extract_all(spark, sf_dir):
+    """Global regex extraction (regexp_extract_all) with array-lambda
+    post-processing — the PII/number-scrubbing primitive measured as
+    counts: digit-run occurrences per document, how many are >= 4
+    digits (the redaction-relevant class), and the longest run. The
+    pattern is deliberately dialect-neutral (a plain character class
+    — Java regex and DuckDB's RE2 agree on it by construction; the
+    docstring contract for any new pattern here is "no constructs
+    where the two dialects diverge": no lookaround, no backrefs).
+
+    Scale shape: pure map work fused into the scan (one codegen'd
+    regex pass per row, no shuffle at all before the driver's
+    collect); the lambda post-processing runs on the per-row match
+    array, never materializing matches as rows."""
+    d = load_table(spark, sf_dir, "documents")
+    runs = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    lens = F.transform(runs, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(runs).cast("bigint").alias("n_number_runs"),
+        F.size(F.filter(runs, lambda x: F.length(x) >= 4))
+        .cast("bigint")
+        .alias("n_long_numbers"),
+        F.coalesce(F.array_max(lens), F.lit(0))
+        .cast("bigint")
+        .alias("max_run_len"),
+    )

@@ -112,7 +112,7 @@ PRIORITY: list[str] = [
     "q_join_anti_nullaware", "q_wordpiece_encode_docs", "q_join_nullsafe",
     "q_split_leakage", "q_report_dedup_savings", "q_roundtrip_serde",
     "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
-    "q_join_bucketed",
+    "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
 ]
 
 
