@@ -396,6 +396,31 @@ HEADLINERS: dict[str, str] = {
         "checkpointed lineage, and the survivor pick as one window "
         "over the NODE-sized label table, never the pair relation."
     ),
+    "q_wordpiece_merges": (
+        "WordPiece trainer, 6 likelihood-scored rounds (r14). Look "
+        "for: round-LOCAL plans (per-round localCheckpoint cuts the "
+        "3^rounds lazy nesting — Scan ExistingRDD leaves between "
+        "rounds), each round one pair-count and one symbol-count "
+        "partial aggregate over the vocab-sized words relation, two "
+        "count joins, and a 1-row TakeOrderedAndProject winner; no "
+        "corpus-sized re-scan after the initial pinned word count."
+    ),
+    "q_split_leakage": (
+        "Eval-leakage audit over two pair graphs (r14). Look for: "
+        "InMemoryTableScan on BOTH pair relations (the session-pinned "
+        "exact and LSH graphs — generated once per session, shared "
+        "with the whole audit family), the (doc_id, split) projection "
+        "BROADCAST into both id-joins (split is a pure md5 function — "
+        "no extra shuffle to compute it), and a 6-row aggregate tail."
+    ),
+    "q_join_bucketed": (
+        "Co-bucketed catalog join (r14). Look for: two FileScan "
+        "parquet leaves with Bucketed: true / SelectedBucketsCount 8 "
+        "of 8, and (with broadcast disabled) a SortMergeJoin with NO "
+        "Exchange and NO Sort below it — the only Exchange in the "
+        "plan is the post-join segment aggregate; the shuffle was "
+        "paid once at write time."
+    ),
 }
 
 
