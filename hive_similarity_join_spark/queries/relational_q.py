@@ -3461,3 +3461,74 @@ def q_str_regexp_extract_all(spark, sf_dir):
         .cast("bigint")
         .alias("max_run_len"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery join — top-2 orders per customer
+    expressed the SQL-standard way (a per-row subquery with ORDER BY
+    ... LIMIT, correlated on the outer key), running the IDENTICAL
+    text on both engines. Semantically this is the grouped top-k that
+    q_win_rownum computes with a window; pinning the LATERAL spelling
+    matters because Spark plans it through DecorrelateInnerQuery into
+    a ranked join — a genuinely different optimizer path than the
+    window form, and the one a SQL-first user will actually write.
+
+    Scale shape: Spark decorrelates to a per-key rank (no per-row
+    re-execution of the subquery — the rewrite IS the scale story:
+    naive lateral would be O(customers) scans); one shuffle on the
+    correlation key. Customers without orders contribute nothing
+    (inner lateral)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_LATERAL_SQL)
+
+
+_BOOL_AGG_SQL = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_over_200k,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_bool", oracle=_BOOL_AGG_SQL)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregate surface — bool_and / bool_or (EVERY / ANY)
+    and a conditional count per group: the data-quality assertion
+    shape ('every order in this class is priced', 'any outlier
+    present?') that q_dq_checks composes at table level, here pinned
+    as first-class aggregates with boolean OUTPUT columns (the one
+    key whose checked values are raw booleans).
+
+    Scale shape: boolean aggregates are associative/commutative ->
+    full map-side partial aggregation, one bit of state per group per
+    aggregate; one shuffle on the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias(
+            "any_over_400k"
+        ),
+        F.count_if(F.col("o_totalprice") > 200000)
+        .cast("bigint")
+        .alias("n_over_200k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "q_split_leakage", "q_report_dedup_savings", "q_roundtrip_serde",
     "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
     "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
+    "q_join_lateral", "q_agg_bool",
 ]
 
 
