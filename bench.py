@@ -67,7 +67,16 @@ def main() -> None:
     # round boundary (rounds 3 and 4 both lost the builder's recording to
     # the driver's clobber of BENCH_LOCAL.json).
     if "--record" in sys.argv[1:]:
-        (here / "BENCH_BOOT.json").write_text(payload)
+        # Stamp the recording so regen_baseline_table.py can derive the
+        # BASELINE.md header label instead of baking literals (ADVICE
+        # r14 #1). `--round N` is the builder-asserted round number.
+        import datetime
+
+        rec = json.loads(payload)
+        rec["recorded"] = datetime.date.today().isoformat()
+        if "--round" in sys.argv[1:]:
+            rec["round"] = int(sys.argv[sys.argv.index("--round") + 1])
+        (here / "BENCH_BOOT.json").write_text(json.dumps(rec, indent=1))
     headline = [
         "q_simjoin_jaccard_self",
         "q_simjoin_topk",

@@ -3156,6 +3156,20 @@ ORDER BY fmt, nationkey
 """
 
 
+def _sweep_stale_tmp(prefix: str, keep_tag: str) -> None:
+    """Best-effort removal of /tmp/{prefix}_* dirs left by PRIOR
+    sessions (ADVICE r14 #2: per-applicationId paths never get
+    cleaned, so repeated driver rounds accumulate orphaned table
+    copies). Dirs whose suffix matches the live session's tag are
+    kept — same-session rebuilds rely on mode("overwrite")."""
+    import glob as _glob
+    import shutil as _shutil
+
+    for d in _glob.glob(f"/tmp/{prefix}_*"):
+        if not d.endswith(keep_tag):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 @query("q_roundtrip_serde", oracle=_SERDE_AGG_SQL)
 def q_roundtrip_serde(spark, sf_dir):
     """Text SerDe losslessness, pinned under the oracle gate: the
@@ -3181,6 +3195,7 @@ def q_roundtrip_serde(spark, sf_dir):
 
     s = load_table(spark, sf_dir, "supplier")
     tag = f"{spark.sparkContext.applicationId}_{os.path.basename(sf_dir.rstrip('/'))}"
+    _sweep_stale_tmp("hsjs_serde", tag)
     legs = []
     for fmt in ("csv", "json"):
         path = f"/tmp/hsjs_serde_{tag}/{fmt}"
@@ -3354,6 +3369,7 @@ def q_join_bucketed(spark, sf_dir):
     import re as _re
 
     tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    _sweep_stale_tmp("hsjs_bucketed", tag)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     for df, name, key in (

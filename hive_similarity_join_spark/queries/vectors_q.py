@@ -741,7 +741,15 @@ def q_sample_coreset(spark, sf_dir):
     least(md2, d2-to-one-literal) and a TakeOrderedAndProject argmax
     — k passes total, no shuffle after the pin, state O(k x dim).
     The oracle mirrors with one generated (p, s, m) CTE triple per
-    round.""".format(K=_CORESET_K, D=KM_DIM)
+    round.
+
+    CAVEAT (ADVICE r14 #3): unlike every other key, this builder is
+    EAGER — the k argmax collects run at plan-construction time, so
+    merely building the plan (tools/dump_plans.py, plan gates,
+    registry sweeps) executes k corpus passes. Accepted under the
+    k-sized-collect contract; a fully lazy form would mirror the
+    oracle's per-round CTE chain with localCheckpoint like
+    wordpiece_merge_rounds.""".format(K=_CORESET_K, D=KM_DIM)
     from hive_similarity_join_spark.operators.cache import pin
     from hive_similarity_join_spark.operators.ivf import (
         fixedpoint_vectors,

@@ -64,47 +64,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-14 window (positions 1-50) ----
-    # The precomputed rotation from the r13 checklist (CLAUDE.md +
-    # VERDICT r13 item #1), valid verbatim because all 50 r13 window
-    # keys landed FULL green verdicts (CORRECTNESS_r13: 50/50
-    # rows+schema+hash, 0 failures, 0 err — verified r14 start).
-    # Head: the 8 round-13 additions in their staged order — none has
-    # ANY driver verdict (all 8 selfchecked bit-exact at r13).
-    "q_unigram_nbest", "q_unigram_encode_sampled", "q_vec_knn_ivfadc_res",
-    "q_dedup_ensemble_representatives", "q_vec_pq_distortion_res",
-    "q_unigram_vocab_sweep", "q_bpe_rounds_sweep",
-    "q_pack_sequences_tokens",
-    # Backfill (42): oldest-latest-verdict keys, recomputed r14 start
-    # from CORRECTNESS_r0{1..13}. First the 8 r8-era keys that spilled
-    # from the r13 window (CORRECTNESS_r08 file order):
-    "q_dedup_near", "q_dedup_ngram", "q_dedup_minhash_lsh",
-    "q_text_simhash", "q_dedup_connected", "q_dedup_connected_star",
-    "q_dedup_representatives", "q_dedup_embedding",
-    # ...then the first 34 r9-era keys in CORRECTNESS_r09 file order,
-    # SKIPPING q_agg_weighted_median and q_events_cusum (both
-    # re-verified at r11 — not oldest; the recompute caught this, the
-    # verbatim "first 34 of the r09 file" would not have — so the 34
-    # extend two slots past the file's 34th entry, through
-    # q_vec_pca_outliers). The remaining r9-era keys (q_agg_argmax
-    # q_agg_collect q_array_funcs ...) spill to r15.
-    "q_dedup_embedding_lsh", "q_vec_ann_recall", "q_dedup_substring",
-    "q_graph_pagerank", "q_zorder_layout", "q_graph_triangles",
-    "q_events_transitions", "q_agg_corr", "q_decontaminate_fuzzy",
-    "q_vec_kmeans", "q_skyline_docs", "q_sample_reservoir",
-    "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
-    "q_text_entropy", "q_table_diff", "q_range_splits",
-    "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
-    "q_time_gapfill", "q_agg_mad", "q_text_collocations",
-    "q_events_attribution", "q_docs_mutual_info", "q_vec_pca_power",
-    "q_events_rolling", "q_market_basket", "q_events_seasonality",
-    "q_events_paths", "q_text_hashing_trick", "q_report_rfm",
-    "q_vec_pca_outliers",
-    # ---- positions 51+ (round-15 head candidates) ----
-    # Stage round-14 additions here as they land; rotate to head at r15
-    # (then backfill with the next-oldest keys — the ~14 spilled r9-era
-    # keys first in CORRECTNESS_r09 file order — recompute from
-    # CORRECTNESS_r0{1..14} at r15 start as always).
+    # ---- round-15 window (positions 1-50) ----
+    # The precomputed rotation from the r14 checklist (CLAUDE.md +
+    # VERDICT r14 item #1), valid verbatim because all 50 r14 window
+    # keys landed FULL green verdicts (CORRECTNESS_r14: 50/50
+    # rows+schema+hash, 0 failures, 0 err — verified r15 start).
+    # Head: the 27 round-14 additions in their staged order — none has
+    # ANY driver verdict (all 27 selfchecked bit-exact at r14, and
+    # independently re-run green by the r14 judge).
     "q_unigram_oov", "q_unigram_prune", "q_bpe_oov", "q_zonemap_pruning",
     "q_vec_hard_negatives", "q_cdc_compact", "q_curriculum_order",
     "q_sample_coreset", "q_graph_communities", "q_dedup_cc_vs_lpa",
@@ -114,6 +81,25 @@ PRIORITY: list[str] = [
     "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
     "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
     "q_join_lateral", "q_agg_bool",
+    # Backfill (23): oldest-latest-verdict keys, recomputed r15 start
+    # from CORRECTNESS_r0{1..14}. First the 14 remaining r9-era keys
+    # in CORRECTNESS_r09 file order:
+    "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
+    "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
+    "q_multimodal_features", "q_multimodal_frames",
+    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
+    "q_vec_knn", "q_vec_knn_ann",
+    # ...then the first 9 r10-era keys in CORRECTNESS_r10 file order.
+    # The remaining r10-era keys (q_vec_recall_curve q_multimodal_dedup
+    # q_agg_skew_kurtosis ...) spill to r16.
+    "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
+    "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
+    "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
+    # ---- positions 51+ (round-16 head candidates) ----
+    # Stage round-15 additions here as they land; rotate to head at r16
+    # (then backfill with the next-oldest keys — the remaining r10-era
+    # keys first in CORRECTNESS_r10 file order — recompute from
+    # CORRECTNESS_r0{1..15} at r16 start as always).
 ]
 
 

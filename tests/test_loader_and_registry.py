@@ -90,61 +90,56 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round14_correctness_window_composition():
+def test_round15_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-14 contract (the rotation precomputed at r13 end,
-    valid verbatim because CORRECTNESS_r13 was 50/50 full green): the
-    8 round-13 additions lead the window in their staged order (none
-    has any driver verdict), then 42 oldest-latest-verdict keys
-    backfill — the 8 r8-era keys that spilled from the r13 window
-    (CORRECTNESS_r08 file order), then the first 34 r9-era keys in
-    CORRECTNESS_r09 file order SKIPPING q_agg_weighted_median and
-    q_events_cusum (re-verified r11, not oldest). Round-14 additions
-    stay at 51+ (verdicts in the round-15 rotation). A PRIORITY edit
-    that accidentally reorders the window fails here, loudly."""
+    order. Round-15 contract (the rotation precomputed at r14 end,
+    valid verbatim because CORRECTNESS_r14 was 50/50 full green): the
+    27 round-14 additions lead the window in their staged order (none
+    has any driver verdict; all selfchecked bit-exact and re-run green
+    by the r14 judge), then 23 oldest-latest-verdict keys backfill —
+    the 14 remaining r9-era keys in CORRECTNESS_r09 file order, then
+    the first 9 r10-era keys in CORRECTNESS_r10 file order. Round-15
+    additions stay at 51+ (verdicts in the round-16 rotation). A
+    PRIORITY edit that accidentally reorders the window fails here,
+    loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_unigram_nbest"
-    assert head[7] == "q_pack_sequences_tokens"
-    assert head[8] == "q_dedup_near"
-    assert head[15] == "q_dedup_embedding"
-    assert head[16] == "q_dedup_embedding_lsh"
-    assert head[48] == "q_report_rfm"
-    assert head[49] == "q_vec_pca_outliers"
-    staged_r13 = {
-        "q_unigram_nbest", "q_unigram_encode_sampled",
-        "q_vec_knn_ivfadc_res", "q_dedup_ensemble_representatives",
-        "q_vec_pq_distortion_res", "q_unigram_vocab_sweep",
-        "q_bpe_rounds_sweep", "q_pack_sequences_tokens",
-    }
-    assert set(head[:8]) == staged_r13, set(head[:8]) ^ staged_r13
-    backfill_r8_spill = {
-        "q_dedup_near", "q_dedup_ngram", "q_dedup_minhash_lsh",
-        "q_text_simhash", "q_dedup_connected", "q_dedup_connected_star",
-        "q_dedup_representatives", "q_dedup_embedding",
-    }
-    assert set(head[8:16]) == backfill_r8_spill
-    backfill_r9 = {
-        "q_dedup_embedding_lsh", "q_vec_ann_recall", "q_dedup_substring",
-        "q_graph_pagerank", "q_zorder_layout", "q_graph_triangles",
-        "q_events_transitions", "q_agg_corr", "q_decontaminate_fuzzy",
-        "q_vec_kmeans", "q_skyline_docs", "q_sample_reservoir",
-        "q_dedup_incremental", "q_intervals_merge", "q_agg_mode",
-        "q_text_entropy", "q_table_diff", "q_range_splits",
-        "q_events_rollup", "q_report_concentration", "q_text_bigram_lm",
-        "q_time_gapfill", "q_agg_mad", "q_text_collocations",
-        "q_events_attribution", "q_docs_mutual_info", "q_vec_pca_power",
-        "q_events_rolling", "q_market_basket", "q_events_seasonality",
-        "q_events_paths", "q_text_hashing_trick", "q_report_rfm",
-        "q_vec_pca_outliers",
-    }
-    assert set(head[16:50]) == backfill_r9, set(head[16:50]) ^ backfill_r9
-    # The two r11-reverified keys must NOT be in the window.
-    assert "q_agg_weighted_median" not in head
-    assert "q_events_cusum" not in head
+    assert head[0] == "q_unigram_oov"
+    assert head[26] == "q_agg_bool"
+    assert head[27] == "q_agg_argmax"
+    assert head[40] == "q_vec_knn_ann"
+    assert head[41] == "q_vec_knn_ivf_kmeans"
+    assert head[49] == "q_vec_ivf_balance"
+    staged_r14 = [
+        "q_unigram_oov", "q_unigram_prune", "q_bpe_oov",
+        "q_zonemap_pruning", "q_vec_hard_negatives", "q_cdc_compact",
+        "q_curriculum_order", "q_sample_coreset", "q_graph_communities",
+        "q_dedup_cc_vs_lpa", "q_agg_equidepth_hist", "q_wordpiece_merges",
+        "q_wordpiece_encode", "q_join_anti_nullaware",
+        "q_wordpiece_encode_docs", "q_join_nullsafe", "q_split_leakage",
+        "q_report_dedup_savings", "q_roundtrip_serde",
+        "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
+        "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
+        "q_join_lateral", "q_agg_bool",
+    ]
+    assert head[:27] == staged_r14
+    backfill_r9 = [
+        "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
+        "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
+        "q_multimodal_features", "q_multimodal_frames",
+        "q_pipeline_corpus_clean", "q_report_dup_rate",
+        "q_text_vocab_stats", "q_vec_knn", "q_vec_knn_ann",
+    ]
+    assert head[27:41] == backfill_r9
+    backfill_r10 = [
+        "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
+        "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
+        "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
+    ]
+    assert head[41:50] == backfill_r10
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):

@@ -3,6 +3,11 @@ annotated with the scale properties each plan is supposed to exhibit
 (the same properties tests/test_plans.py asserts mechanically).
 
 Usage: python tools/dump_plans.py [sf_dir]   (default sf0.001)
+
+NOTE: q_sample_coreset's builder is eager by documented contract (k
+driver-side k-sized collects at plan-construction time, ADVICE r14 #3)
+— building any plan set that includes it executes k corpus passes at
+the chosen sf. Fine at sf0.001; don't point this tool at sf0.1 idly.
 """
 
 from __future__ import annotations

@@ -38,21 +38,40 @@ def main() -> None:
     )
     md = md[:start] + table_hdr + rows + tail[last:]
 
-    # Header lines: measured-baseline title + bold total.
-    md = re.sub(
+    # Header lines: measured-baseline title + bold total. The round
+    # label and date come from the recording itself (bench.py --record
+    # --round N stamps both) — VERDICT r14 #1 / ADVICE r14 #1: baked-in
+    # literals and a regex that missed its own output both drifted
+    # silently; every re.subn here now warns loudly on zero matches.
+    rnd = boot.get("round")
+    recorded = boot.get("recorded")
+    label = (
+        f"round {rnd} final, recorded {recorded}, {len(queries)} keys"
+        if rnd and recorded
+        else f"recorded {recorded}, {len(queries)} keys"
+        if recorded
+        else f"{len(queries)} keys"
+    )
+    md, n_hdr = re.subn(
         r"(?m)^## Measured baseline .*$",
-        f"## Measured baseline (round 14 final, recorded 2026-08-16, "
-        f"{len(queries)} keys)",
+        f"## Measured baseline ({label})",
         md,
         count=1,
     )
-    md = re.sub(
-        r"(?m)^\*\*Total: [\d.]+ s across \d+ query keys\.\*\*$",
+    # Optional trailing "(sf=0.1)" — the pattern must keep matching the
+    # line it writes, or every later run silently no-ops (VERDICT r14).
+    md, n_total = re.subn(
+        r"(?m)^\*\*Total: [\d.]+ s across \d+ query keys"
+        r"( \(sf=[\d.]+\))?\.\*\*$",
         f"**Total: {total:.3f} s across {len(queries)} query keys "
         f"(sf={sf}).**",
         md,
         count=1,
     )
+    for what, n in (("header", n_hdr), ("Total line", n_total)):
+        if n == 0:
+            print(f"WARNING: BASELINE.md {what} pattern matched nothing "
+                  f"— the file has drifted; fix the pattern or the file")
     (ROOT / "BASELINE.md").write_text(md)
     print(
         f"BASELINE.md table regenerated: {len(queries)} keys, "
