@@ -2250,6 +2250,316 @@ def q_dedup_cc_vs_lpa(spark, sf_dir):
     )
 
 
+# ---------------- k-core / coreness of the near-dup pair graph
+
+_KCORE_ROUNDS = 6
+
+
+def _kcore_ctes(rounds: int = _KCORE_ROUNDS) -> str:
+    """DuckDB CTE chain for the iterated-h-index coreness computation:
+    c0 = degree, then per round each node's value becomes the h-index
+    of its neighbors' values (the r-th largest/ min(rank, value) max
+    identity) — one (neighbor-value, rank, h) CTE triple per round
+    ending in ``c{rounds}``, mirroring q_graph_kcore's Spark body
+    term for term."""
+    parts = [
+        "c0 AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS val "
+        "FROM e GROUP BY a)"
+    ]
+    for t in range(rounds):
+        parts.append(f"""nv{t + 1} AS (
+  SELECT e.b AS id, c{t}.val AS v
+  FROM e JOIN c{t} ON c{t}.id = e.a
+),
+r{t + 1} AS (
+  SELECT id, v,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY v DESC)
+              AS BIGINT) AS rk
+  FROM nv{t + 1}
+),
+c{t + 1} AS (SELECT id, max(least(rk, v)) AS val FROM r{t + 1} GROUP BY id)""")
+    return ",\n".join(parts)
+
+
+def _kcore_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["q_dedup_ngram"]}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+{_kcore_ctes()}
+SELECT c0.id AS doc_id, c0.val AS degree,
+       CAST(c{_KCORE_ROUNDS}.val AS BIGINT) AS coreness
+FROM c0 JOIN c{_KCORE_ROUNDS} ON c{_KCORE_ROUNDS}.id = c0.id
+"""
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """K-CORE DECOMPOSITION of the near-duplicate pair graph by
+    iterated h-index (Lu et al., Nature Sci. Rep. 2016: start each
+    node at its degree, then repeatedly replace a node's value with
+    the H-INDEX of its neighbors' values; the fixpoint IS the coreness
+    of the classic peel) — the density stratification a dedup auditor
+    reads next after degree distribution: coreness >= k marks the
+    k-core, the maximal subgraph where every member has >= k
+    neighbors INSIDE it. High-core docs are dense template families
+    (safe to collapse aggressively); core-1 fringes are chains/leaves
+    where one false-positive edge fuses otherwise-unrelated docs —
+    exactly where q_graph_bridges looks next. Emits
+    (doc_id, degree, coreness).
+
+    Bounded-iteration posture (the LPA/pagerank contract): rounds are
+    FIXED at {R} — the iteration decreases monotonically toward the
+    true coreness and {R} rounds are exact on graphs whose h-index
+    cascade settles that fast (tests pin exactness against a
+    peel-based reference on the sf0.001/sf0.01 graphs); a production
+    run exposes the round count as the knob. Determinism: values are
+    degrees/h-indices (integers); the per-round rank window orders by
+    value DESC within a doc_id partition, and max(min(rank, v)) is
+    invariant under tie order (equal v's swap rank among themselves).
+
+    Plan shape: per round ONE node-label join against the pinned
+    bidirectional edge relation + one high-cardinality-partition
+    window + one partial-aggregated max — no driver collects, no
+    unbounded low-cardinality windows; lineage grows linearly over
+    {R} rounds (no checkpoint needed, unlike CC's self-referencing
+    exponential chain).""".format(R=_KCORE_ROUNDS)
+    from pyspark.sql import Window
+
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    e = pin(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+    )
+    deg = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("a").alias("doc_id"), "degree")
+    )
+    c = deg.select(F.col("doc_id").alias("id"), F.col("degree").alias("val"))
+    for _ in range(_KCORE_ROUNDS):
+        nv = e.join(c, e["a"] == c["id"]).select(
+            F.col("b").alias("nid"), F.col("val").alias("v")
+        )
+        w = Window.partitionBy("nid").orderBy(F.desc("v"))
+        c = (
+            nv.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .groupBy("nid")
+            .agg(F.max(F.least("rk", "v")).alias("val"))
+            .select(F.col("nid").alias("id"), "val")
+        )
+    return deg.join(c, deg["doc_id"] == c["id"]).select(
+        "doc_id", "degree", F.col("val").cast("bigint").alias("coreness")
+    )
+
+
+# ---------------- bridge-edge audit of the near-dup pair graph
+
+
+def _bridges_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH RECURSIVE allpairs AS ({ORACLES["q_dedup_ngram"]}),
+p AS (SELECT id1, id2 FROM allpairs),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM p
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM p
+),
+t2 AS (
+  SELECT DISTINCT q.id1, q.id2
+  FROM p q
+  JOIN e x ON x.a = q.id1
+  JOIN e y ON y.a = x.b AND y.b = q.id2
+),
+c1 AS (SELECT id1, id2 FROM p ANTI JOIN t2 USING (id1, id2)),
+t3 AS (
+  SELECT DISTINCT c.id1, c.id2
+  FROM c1 c
+  JOIN e x ON x.a = c.id1 AND x.b <> c.id2
+  JOIN e y ON y.a = x.b AND y.b <> c.id1
+  JOIN e z ON z.a = y.b AND z.b = c.id2
+),
+cand AS (SELECT id1, id2 FROM c1 ANTI JOIN t3 USING (id1, id2)),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM p
+  UNION
+  SELECT id2 AS a, id1 AS b FROM p
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT g.a, reach.r FROM edges g JOIN reach ON reach.id = g.b
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sz AS (SELECT component, count(*) AS n FROM comp GROUP BY component),
+pruned AS (SELECT id1, id2 FROM p ANTI JOIN cand USING (id1, id2)),
+edges2 AS (
+  SELECT id1 AS a, id2 AS b FROM pruned
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pruned
+),
+reach2(id, r) AS (
+  SELECT DISTINCT a, a FROM edges2
+  UNION
+  SELECT g.a, reach2.r FROM edges2 g JOIN reach2 ON reach2.id = g.b
+),
+comp2 AS (SELECT id, min(r) AS component FROM reach2 GROUP BY id),
+lab AS (
+  SELECT c.id1, c.id2, k.component AS comp,
+         coalesce(q1.component, c.id1) AS c2a,
+         coalesce(q2.component, c.id2) AS c2b
+  FROM cand c
+  JOIN comp k ON k.id = c.id1
+  LEFT JOIN comp2 q1 ON q1.id = c.id1
+  LEFT JOIN comp2 q2 ON q2.id = c.id2
+),
+np AS (
+  SELECT least(c2a, c2b) AS lo, greatest(c2a, c2b) AS hi,
+         count(*) AS n
+  FROM lab GROUP BY 1, 2
+)
+SELECT l.id1, l.id2, CAST(l.comp AS BIGINT) AS component,
+       CAST(sz.n AS BIGINT) AS comp_size,
+       (l.c2a <> l.c2b) AS split_confirmed,
+       CAST(np.n AS BIGINT) AS n_parallel
+FROM lab l
+JOIN sz ON sz.component = l.comp
+JOIN np ON np.lo = least(l.c2a, l.c2b) AND np.hi = greatest(l.c2a, l.c2b)
+"""
+
+
+@query("q_graph_bridges", oracle=_bridges_oracle())
+def q_graph_bridges(spark, sf_dir):
+    """BRIDGE-EDGE AUDIT of the near-duplicate pair graph — THE
+    explain-why-these-two-templates-fused artifact: the edges whose
+    removal would split a CC cluster, i.e. the single false-positive
+    candidates gluing otherwise-unrelated template families into one
+    component (the giant-component risk q_dedup_cc_vs_lpa measures in
+    aggregate, here localized to named edges).
+
+    Method (bounded cycle-certificate + simultaneous-removal check,
+    both distributed-exact): (1) an edge with a 2-walk (common
+    neighbor) or 3-walk alternate route between its endpoints lies on
+    a short cycle and CANNOT be a bridge — certificate search is
+    candidate-driven joins against the edge relation, never all-
+    pairs; (2) the surviving candidates are removed ALL AT ONCE and
+    connected components re-run on the remainder: a candidate whose
+    endpoints land in the SAME pruned component has a (long) alternate
+    route and is refuted; one whose endpoints SPLIT is confirmed-or-
+    parallel, disambiguated by n_parallel = how many candidates
+    connect the same pruned-component pair (n_parallel = 1 and no
+    candidate route elsewhere => true bridge; tests pin exact
+    precision/recall against a remove-and-recheck union-find reference
+    on the test graphs). Emits per candidate: (id1, id2, component,
+    comp_size, split_confirmed, n_parallel).
+
+    Scale shape: certificates are two candidate-bounded join chains
+    (the t3 chain runs only on edges that already lack a common
+    neighbor — on template graphs that is a tiny fraction); the two
+    CC runs use the checkpointed min-label operator every dedup key
+    uses; isolated-after-pruning nodes self-label (coalesce to own
+    id — safe, labels are component-min ids). No collects, no windows,
+    no cartesian products."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    e = pin(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+    )
+    t2 = (
+        pairs.join(e.alias("x"), F.col("id1") == F.col("x.a"))
+        .join(
+            e.alias("y"),
+            (F.col("x.b") == F.col("y.a")) & (F.col("id2") == F.col("y.b")),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    c1 = pairs.join(t2, ["id1", "id2"], "left_anti")
+    t3 = (
+        c1.join(
+            e.alias("x"),
+            (F.col("id1") == F.col("x.a")) & (F.col("x.b") != F.col("id2")),
+        )
+        .join(
+            e.alias("y"),
+            (F.col("x.b") == F.col("y.a")) & (F.col("y.b") != F.col("id1")),
+        )
+        .join(
+            e.alias("z"),
+            (F.col("y.b") == F.col("z.a")) & (F.col("id2") == F.col("z.b")),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    cand = pin(c1.join(t3, ["id1", "id2"], "left_anti"))
+    comp = connected_components(pairs).select(
+        F.col("id").alias("kid"), F.col("comp").alias("component")
+    )
+    sz = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("comp_size")
+    )
+    pruned = pairs.join(cand, ["id1", "id2"], "left_anti")
+    comp2 = connected_components(pruned).select(
+        F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+    )
+    lab = (
+        cand.join(comp, cand["id1"] == comp["kid"])
+        .join(
+            comp2.alias("qa"),
+            cand["id1"] == F.col("qa.pid"),
+            "left",
+        )
+        .join(
+            comp2.alias("qb"),
+            cand["id2"] == F.col("qb.pid"),
+            "left",
+        )
+        .select(
+            "id1",
+            "id2",
+            "component",
+            F.coalesce(F.col("qa.pcomp"), F.col("id1")).alias("c2a"),
+            F.coalesce(F.col("qb.pcomp"), F.col("id2")).alias("c2b"),
+        )
+    )
+    np_ = lab.groupBy(
+        F.least("c2a", "c2b").alias("lo"), F.greatest("c2a", "c2b").alias("hi")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_parallel"))
+    return (
+        lab.join(sz, "component")
+        .join(
+            np_,
+            (F.least("c2a", "c2b") == np_["lo"])
+            & (F.greatest("c2a", "c2b") == np_["hi"]),
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("component").cast("bigint").alias("component"),
+            "comp_size",
+            (F.col("c2a") != F.col("c2b")).alias("split_confirmed"),
+            "n_parallel",
+        )
+    )
+
+
 # ---------------- degree distribution of the near-dup pair graph
 
 

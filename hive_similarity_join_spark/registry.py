@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     # (then backfill with the next-oldest keys — the remaining r10-era
     # keys first in CORRECTNESS_r10 file order — recompute from
     # CORRECTNESS_r0{1..15} at r16 start as always).
+    "q_graph_kcore", "q_graph_bridges",
 ]
 
 

@@ -237,3 +237,100 @@ def test_incremental_screen_matches_full_lsh_restriction(spark):
         x: (c, p, int(c == 0 and p == 0)) for x, (c, p) in want.items()
     }
     assert any(c or p for c, p in want.values())  # non-vacuous
+
+
+def _ngram_edges(spark):
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    return [
+        (r.id1, r.id2)
+        for r in q_dedup_ngram(spark, SF_SMOKE).select("id1", "id2").collect()
+    ]
+
+
+def test_kcore_matches_exact_peel(spark):
+    """q_graph_kcore's bounded h-index iteration (6 rounds) must equal
+    the exact peel-based coreness on the smoke ngram graph — the
+    docstring's exactness claim (verified at sf0.01 too, builder-side,
+    r15)."""
+    import collections
+    import heapq
+
+    from hive_similarity_join_spark.queries.dedup_q import q_graph_kcore
+
+    pairs = _ngram_edges(spark)
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    cur = {v: len(ns) for v, ns in adj.items()}
+    core = dict(cur)
+    remaining = set(adj)
+    h = [(d, v) for v, d in cur.items()]
+    heapq.heapify(h)
+    k = 0
+    while h:
+        d, v = heapq.heappop(h)
+        if v not in remaining or d != cur[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        remaining.discard(v)
+        for u in adj[v]:
+            if u in remaining:
+                cur[u] -= 1
+                heapq.heappush(h, (cur[u], u))
+    got = {r.doc_id: r.coreness for r in q_graph_kcore(spark, SF_SMOKE).collect()}
+    assert got == core
+    assert len(got) > 0
+
+
+def test_bridges_exact_against_unionfind(spark):
+    """q_graph_bridges invariants on the smoke ngram graph, against a
+    remove-one-edge union-find reference:
+    - every true bridge is a certificate-free candidate AND confirmed
+      by the simultaneous-removal split (structural guarantees);
+    - every confirmed candidate with n_parallel == 1 is a true bridge
+      on this graph (the component-graph alternate-route caveat does
+      not bite here — measured, r15: confirmed set == true bridges
+      exactly at both sf0.001 and sf0.01)."""
+    from hive_similarity_join_spark.queries.dedup_q import q_graph_bridges
+
+    pairs = _ngram_edges(spark)
+
+    def find_fn(excluded):
+        par = {}
+
+        def find(x):
+            while par.setdefault(x, x) != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for e2 in pairs:
+            if e2 == excluded:
+                continue
+            ra, rb = find(e2[0]), find(e2[1])
+            if ra != rb:
+                par[ra] = rb
+        return find
+
+    true_bridges = set()
+    for e1 in pairs:
+        f = find_fn(e1)
+        if f(e1[0]) != f(e1[1]):
+            true_bridges.add(e1)
+
+    rows = q_graph_bridges(spark, SF_SMOKE).collect()
+    cand = {(r.id1, r.id2) for r in rows}
+    confirmed = {(r.id1, r.id2) for r in rows if r.split_confirmed}
+    np1 = {
+        (r.id1, r.id2)
+        for r in rows
+        if r.split_confirmed and r.n_parallel == 1
+    }
+    assert true_bridges <= cand, "a true bridge must lack certificates"
+    assert true_bridges <= confirmed, "a true bridge must split on removal"
+    assert np1 <= true_bridges
+    assert confirmed == true_bridges  # exact on the smoke graph
+    assert len(cand) > 0
