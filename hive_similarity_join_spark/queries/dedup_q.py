@@ -4416,12 +4416,25 @@ def q_report_dedup_savings(spark, sf_dir):
     over the node-sized label table (component-partitioned — high
     cardinality), one broadcast-able label join back to the corpus
     projection, one source-keyed aggregate. The one double division
-    per row is identically associated on both engines."""
+    per row is identically associated on both engines.
+
+    Body lives in dedup_savings_from so the incremental mirror
+    (streaming/incremental_savings.py) runs the IDENTICAL tail over
+    its carried document state — the snm_scored_pairs_from seam
+    pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
+    return dedup_savings_from(docs, pairs)
+
+
+def dedup_savings_from(docs, pairs):
+    """q_report_dedup_savings' labeling + aggregate tail over an
+    explicit (docs, pairs) input: CC over the pair graph, best-quality
+    survivor per component, per-source docs/chars savings rollup.
+    ``docs`` needs (doc_id, text, source, n_chars)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
-    pairs = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
     comp = connected_components(pairs)
     q = base.filter(F.size("_bag") > 0).select(
         "doc_id",

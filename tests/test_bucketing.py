@@ -68,3 +68,52 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # grouping on the bucket key reuses the write-time clustering
     assert "Exchange" not in plan, plan
+
+
+def test_exchange_count_ab_bucketed_vs_plain(spark, bucketed_tables):
+    """The bucketed-join device PRICED as an A/B (VERDICT r14 #6): the
+    identical orders-lineitem join planned from plain parquet needs one
+    shuffle Exchange + Sort per side, from the co-bucketed tables it
+    needs ZERO of either — the write-time shuffle is the whole cost,
+    amortized across every later join on the key. Cited by the
+    q_join_bucketed headliner note in PLANS.md."""
+    to, tl = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cols = ["o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"]
+        b = (
+            read_bucketed_table(spark, to)
+            .join(
+                read_bucketed_table(spark, tl),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select(*cols)
+        )
+        p = (
+            load_table(spark, SF_SMOKE, "orders")
+            .join(
+                load_table(spark, SF_SMOKE, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select(*cols)
+        )
+
+        def counts(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange"), plan.count("+- Sort"), plan
+
+        bx, bs, bplan = counts(b)
+        px, ps, pplan = counts(p)
+        # The device removes the EXCHANGES (the network cost). Sorts can
+        # survive on the bucketed side when a bucket spans several files
+        # (Spark only trusts write-time sort order for single-file
+        # buckets) — they are local, spill-free at bucket granularity,
+        # and shuffle nothing.
+        assert bx == 0, bplan
+        assert px >= 2, pplan  # one hash-partitioning shuffle per side
+        assert ps >= 2, pplan  # one sort per side for the SortMergeJoin
+        # same rows either way — the device changes cost, not answers
+        assert b.count() == p.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

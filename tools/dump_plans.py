@@ -424,7 +424,11 @@ HEADLINERS: dict[str, str] = {
         "of 8, and (with broadcast disabled) a SortMergeJoin with NO "
         "Exchange and NO Sort below it — the only Exchange in the "
         "plan is the post-join segment aggregate; the shuffle was "
-        "paid once at write time."
+        "paid once at write time. PRICED as an exchange-count A/B in "
+        "tests/test_bucketing.py::test_exchange_count_ab_bucketed_vs_"
+        "plain: the identical join from plain parquet plans one "
+        "Exchange + Sort per side, the co-bucketed one zero Exchanges "
+        "(r15)."
     ),
 }
 
