@@ -147,6 +147,21 @@ def duck_md5_prefix60(ref: str) -> str:
     return f"CAST(concat('0x', substr(md5({ref}), 1, 15)) AS BIGINT)"
 
 
+def md5_prefix40(col: Column) -> Column:
+    """40-bit integer hash (first 10 md5 hex chars): the narrow variant
+    for operators that pack (hash, position) into ONE bigint —
+    40 + 20 position bits stay well inside a signed long (winnowing's
+    per-window argmin trick)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+
+
+def duck_md5_prefix40(ref: str) -> str:
+    """DuckDB mirror of ``md5_prefix40`` over a string expression."""
+    return f"CAST(concat('0x', substr(md5({ref}), 1, 10)) AS BIGINT)"
+
+
 def duck_quality(bag_ref: str = "bag") -> str:
     """DuckDB mirror of ``quality_score`` over an already-computed bag
     column — the ONE oracle-side definition (weights, length norm, and

@@ -4479,3 +4479,236 @@ def dedup_savings_from(docs, pairs):
         )
         .orderBy("source")
     )
+
+
+# ---------------- winnowing fingerprints (MOSS) and their audit
+
+_WIN_K = 3        # gram size (the q_dedup_ngram token universe)
+_WIN_W = 4        # winnowing window: >=1 fingerprint per W consecutive grams
+_WIN_CAP = 20     # stop-fingerprint doc-frequency cap (the SPAN_CAP posture)
+_WIN_PBITS = 20   # position bits packed under the 40-bit gram hash
+
+
+def _winnow_fp_ctes() -> str:
+    """DuckDB CTE block ending in ``fpk`` — the capped winnowed
+    fingerprint set (doc_id, h) — shared verbatim by the pairs key and
+    the recall audit so the two cannot drift. Mirrors
+    winnow_fingerprints term for term (same packed-key argmin)."""
+    pmax = (1 << _WIN_PBITS) - 1
+    return f"""
+bags AS (SELECT doc_id, {TX.duck_bag()} AS bag FROM documents),
+gl AS (
+  SELECT doc_id, {_duck_grams(_WIN_K)} AS grams
+  FROM bags WHERE len(bag) >= {_WIN_K}
+),
+g AS (
+  SELECT doc_id, r.pos,
+         {TX.duck_md5_prefix40("grams[r.pos]")} * {1 << _WIN_PBITS}
+           + ({pmax} - r.pos) AS key,
+         len(grams) AS n
+  FROM gl, unnest(range(1, len(grams) + 1)) AS r(pos)
+),
+w AS (
+  SELECT doc_id, pos - o.off AS win, key
+  FROM g, unnest(range(0, {_WIN_W})) AS o(off)
+  WHERE pos - o.off >= 1
+    AND pos - o.off <= greatest(1, n - {_WIN_W} + 1)
+),
+sel AS (SELECT doc_id, win, min(key) AS sk FROM w GROUP BY 1, 2),
+fp AS (SELECT DISTINCT doc_id, sk >> {_WIN_PBITS} AS h FROM sel),
+keep AS (
+  SELECT h FROM fp GROUP BY h
+  HAVING count(*) BETWEEN 2 AND {_WIN_CAP}
+),
+fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
+"""
+
+
+def winnow_fingerprints(docs):
+    """(doc_id, h): the winnowed fingerprint set of each document —
+    word {K}-gram 40-bit hashes, thinned by the MOSS winnowing rule
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003: from every window of
+    {W} consecutive gram hashes keep the MINIMUM, ties broken by
+    RIGHTMOST position), then capped at doc-frequency {CAP} (hot
+    boilerplate fingerprints belong in a boilerplate report, not a
+    pair join — the SPAN_CAP argument).
+
+    The argmin-with-rightmost-tie is ONE bigint min: keys pack
+    (hash << {PB}) + ({PMAX} - pos), so smaller hash wins first and
+    larger pos wins among equal hashes — no window functions, no
+    structs, both engines compare the same integers. Docs shorter
+    than the window get a single truncated window (the classic
+    convention: every doc with >= 1 gram yields >= 1 fingerprint).
+    Position capacity is 2^{PB}-1 grams/doc — far above the corpus
+    (docs are ~60 tokens); a 100 TB run with book-length docs raises
+    PBITS or chunks first (the pack_sequences posture).""".format(
+        K=_WIN_K, W=_WIN_W, CAP=_WIN_CAP, PB=_WIN_PBITS,
+        PMAX=(1 << _WIN_PBITS) - 1,
+    )
+    pmax = F.lit((1 << _WIN_PBITS) - 1)
+    grams = docs.select(
+        "doc_id",
+        TX.word_ngrams(TX.bag_tokens("text"), _WIN_K).alias("grams"),
+    )
+    g = (
+        grams.select(
+            "doc_id",
+            F.size("grams").alias("n"),
+            F.posexplode("grams").alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("p0") + 1).alias("pos"),
+            (
+                TX.md5_prefix40(F.col("gram")) * F.lit(1 << _WIN_PBITS)
+                + (pmax - (F.col("p0") + 1))
+            ).alias("key"),
+        )
+    )
+    w = (
+        g.select(
+            "doc_id",
+            "key",
+            "pos",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_WIN_W - 1))).alias("off"),
+        )
+        .select(
+            "doc_id",
+            "key",
+            (F.col("pos") - F.col("off")).alias("win"),
+            "n",
+        )
+        .filter(
+            (F.col("win") >= 1)
+            & (F.col("win") <= F.greatest(F.lit(1), F.col("n") - _WIN_W + 1))
+        )
+    )
+    sel = w.groupBy("doc_id", "win").agg(F.min("key").alias("sk"))
+    fp = sel.select(
+        "doc_id", F.shiftright("sk", _WIN_PBITS).alias("h")
+    ).distinct()
+    keep = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_CAP))
+        .select("h")
+    )
+    return fp.join(keep, "h", "left_semi")
+
+
+@query(
+    "q_dedup_winnowing",
+    oracle=f"""
+WITH {_winnow_fp_ctes()}
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_dedup_winnowing(spark, sf_dir):
+    """WINNOWING near-duplicate candidates — the MOSS document-sketch
+    family, the FOURTH near-dup generator after MinHash-LSH, SimHash
+    and sorted-neighborhood: doc pairs sharing >= 1 winnowed
+    fingerprint, with the shared count. Winnowing's guarantee is
+    POSITIONAL, which the set-similarity families lack: any shared
+    run of {G} consecutive identical grams ({G}+{K}-1 tokens) is
+    caught with certainty (some window inside the run selects the
+    same minimum in both docs), so it is the sketch-sized stand-in
+    for the exact span detector q_dedup_substring — sketch size
+    ~2/( {W}+1) of the gram stream instead of every gram.
+
+    Scale shape: one gram explode ({W}x window fan-out is the only
+    amplification, bounded and constant), one partial-aggregated
+    argmin per (doc, window), a doc-frequency-capped self-join on the
+    40-bit fingerprint — never all-pairs, the same bucket-join
+    posture as every candidate generator here. Determinism: the
+    packed-key min is a single bigint comparison; md5 gram hashes are
+    engine-portable.""".format(
+        G=_WIN_W, K=_WIN_K, W=_WIN_W
+    )
+    d = load_table(spark, sf_dir, "documents")
+    fpk = winnow_fingerprints(d)
+    a = fpk.alias("a")
+    b = fpk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+def _winnowing_recall_oracle() -> str:
+    from hive_similarity_join_spark.queries import text_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH {_winnow_fp_ctes()},
+wp AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+exact AS (SELECT id1, id2 FROM ({ORACLES["q_dedup_ngram"]})),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+nw AS (SELECT CAST(count(*) AS BIGINT) AS n_winnow FROM wp),
+nh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM wp JOIN exact USING (id1, id2)
+)
+SELECT n_exact, n_winnow, n_hits,
+       CAST(n_hits AS DOUBLE) / CAST(n_winnow AS DOUBLE) AS precision,
+       CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+FROM ne, nw, nh
+"""
+
+
+@query("q_dedup_winnowing_recall", oracle=_winnowing_recall_oracle())
+def q_dedup_winnowing_recall(spark, sf_dir):
+    """Winnowing's MEASURED precision/recall against the exact
+    trigram-Jaccard pair graph (q_dedup_ngram at its threshold) — the
+    audit every approximate family here carries (the q_dedup_lsh_recall
+    posture): winnowing guarantees shared-RUN detection, not Jaccard
+    recall, so before it joins a blocking ensemble its hit rate against
+    the set-similarity truth is a number to measure per corpus, not
+    assume. Precision < 1 is expected and informative: one shared
+    fingerprint is one shared span — pairs the Jaccard threshold
+    rejects but winnowing surfaces are exactly the span-duplicates
+    q_dedup_substring exists for.
+
+    Both pair generators are already-hash-verified keys composed
+    verbatim (oracle CTEs / DataFrames); the audit adds two counts and
+    one id-pair join."""
+    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+
+    exact = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    wp = q_dedup_winnowing(spark, sf_dir).select("id1", "id2")
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    nw = wp.agg(F.count(F.lit(1)).cast("bigint").alias("n_winnow"))
+    hits = wp.join(exact, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        ne.crossJoin(nw)
+        .crossJoin(hits)
+        .select(
+            "n_exact",
+            "n_winnow",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_winnow").cast("double")
+            ).alias("precision"),
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

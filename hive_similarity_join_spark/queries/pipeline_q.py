@@ -1321,3 +1321,81 @@ def overlap_histogram(sess) -> "DataFrame":
         .select(F.col("k").alias("concurrency"), "n_sessions")
         .orderBy("concurrency")
     )
+
+
+# ------------------------------------------------ compaction planning
+
+_COMPACT_TARGET = 2000  # target output-file payload (chars as the proxy)
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+),
+b AS (
+  SELECT source, doc_id, n_chars,
+         (cum - n_chars) // {_COMPACT_TARGET} AS file_seq
+  FROM c
+)
+SELECT source, CAST(file_seq AS BIGINT) AS file_seq,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       CAST(sum(n_chars) AS DOUBLE) / {_COMPACT_TARGET} AS fill_frac
+FROM b GROUP BY 1, 2
+""",
+)
+def q_compaction_plan(spark, sf_dir):
+    """SMALL-FILE COMPACTION PLANNER (the OPTIMIZE/bin-pack pass of a
+    lakehouse writer, planned declaratively): within each source, in
+    stable doc_id order, documents are packed next-fit into target-
+    size output files of {T} payload chars — file_seq = how many full
+    targets the RUNNING total had already consumed when the doc
+    arrived (the split-by-cumulative-size rule every bulk writer
+    uses; n_chars is the stand-in for on-disk bytes). Emits one row
+    per planned output file: (source, file_seq, n_docs, bytes,
+    min_doc, max_doc, fill_frac) — min/max doc_id double as the
+    file's zone-map entry, connecting this to the q_zonemap_pruning /
+    q_zorder_layout layout family.
+
+    Scale shape: source is LOW-cardinality, so the running sum goes
+    through operators/scan.py grouped_prefix_scan (two-pass
+    range-partitioned scan; a window partitioned only by source is
+    the exact suite-banned single-reducer trap), then one
+    partial-aggregated rollup keyed (source, file_seq). Exactness:
+    cum/file_seq are bigint floor-division; fill_frac is one double
+    division per output row.""".format(T=_COMPACT_TARGET)
+    from hive_similarity_join_spark.operators.scan import (
+        grouped_prefix_scan,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    cum = grouped_prefix_scan(
+        d, ["source"], ["doc_id"], [("n_chars", "sum", "cum")]
+    )
+    b = cum.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        # `div` = exact bigint integral division (a double `/` would
+        # round past 2^53 — cum is corpus-cumulative at 100 TB)
+        F.expr(f"(cum - n_chars) div {_COMPACT_TARGET}").alias("file_seq"),
+    )
+    return b.groupBy("source", "file_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        (
+            F.sum("n_chars").cast("double") / F.lit(float(_COMPACT_TARGET))
+        ).alias("fill_frac"),
+    )

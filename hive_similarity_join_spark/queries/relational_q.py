@@ -3399,6 +3399,88 @@ def q_join_bucketed(spark, sf_dir):
     )
 
 
+_DPP_QUARTER = "1996-Q2"
+
+_DPP_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM orders
+WHERE concat(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+             CAST(quarter(o_orderdate) AS VARCHAR)) = '{_DPP_QUARTER}'
+GROUP BY 1
+"""
+
+
+@query("q_join_partition_pruned", oracle=_DPP_SQL)
+def q_join_partition_pruned(spark, sf_dir):
+    """DYNAMIC PARTITION PRUNING — the second physical-layout scale
+    device after q_join_bucketed: the orders fact is written
+    PARTITIONED BY order month (om), a tiny month-dimension (om,
+    quarter label) is written beside it, and the query joins fact to
+    dim with the selective filter ON THE DIM (quarter = {Q}). No
+    static filter touches the fact, so partition pruning must happen
+    at RUNTIME: Catalyst plants a dynamicpruningexpression subquery in
+    the fact scan's PartitionFilters, reuses the dim's broadcast to
+    evaluate it, and the fact scan reads 3 of ~80 month directories —
+    at 100 TB this is THE device that makes date-dim star joins read
+    days instead of years (tests/test_dpp.py pins the
+    dynamicpruning expression in the plan AND the pruned partition
+    count). Emits per month in the quarter: (om, n_orders,
+    sum_price).
+
+    The oracle mirrors the JOIN's semantics as the equivalent direct
+    filter (the dim is exactly the distinct months, so joining it
+    filtered to one quarter IS filtering the fact to that quarter) —
+    the result checks the answer, the pytest pins the mechanism.
+
+    Mechanics: /tmp paths keyed by applicationId (stale dirs swept at
+    entry, same contract as the serde/bucketed keys); sum is
+    decimal-cast so the double is association-free.""".format(
+        Q=_DPP_QUARTER
+    )
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    _sweep_stale_tmp("hsjs_dpp", tag)
+    base = f"/tmp/hsjs_dpp_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    fact = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("om"),
+    )
+    fact.write.mode("overwrite").partitionBy("om").parquet(f"{base}/orders")
+    dim = (
+        fact.select("om")
+        .distinct()
+        .select(
+            "om",
+            F.concat(
+                F.substring("om", 1, 4),
+                F.lit("-Q"),
+                (
+                    (F.substring("om", 6, 2).cast("int") + 2) / 3
+                ).cast("int").cast("string"),
+            ).alias("qlabel"),
+        )
+    )
+    dim.write.mode("overwrite").parquet(f"{base}/months")
+    f_ = spark.read.parquet(f"{base}/orders")
+    d_ = spark.read.parquet(f"{base}/months").filter(
+        F.col("qlabel") == _DPP_QUARTER
+    )
+    return (
+        f_.join(F.broadcast(d_), "om")
+        .groupBy("om")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
 _STRING_AGG_SQL = """
 SELECT s_nationkey AS nationkey,
        string_agg(s_name, ',' ORDER BY s_name) AS names_csv,

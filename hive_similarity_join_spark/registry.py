@@ -101,6 +101,8 @@ PRIORITY: list[str] = [
     # keys first in CORRECTNESS_r10 file order — recompute from
     # CORRECTNESS_r0{1..15} at r16 start as always).
     "q_graph_kcore", "q_graph_bridges",
+    "q_dedup_winnowing", "q_dedup_winnowing_recall",
+    "q_compaction_plan", "q_join_partition_pruned",
 ]
 
 
