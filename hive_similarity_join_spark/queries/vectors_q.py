@@ -783,15 +783,23 @@ def q_sample_coreset(spark, sf_dir):
     )
 
 
-def kmeans_sql_fragments() -> dict:
+def kmeans_sql_fragments(
+    k: int = KM_K, rounds: int = KM_ROUNDS, suffix: str = ""
+) -> dict:
     """Shared DuckDB fragments for the exact fixed-point Lloyd trainer
     (operators/ivf.py lloyd_kmeans_centroids): ``with_body`` defines
-    ``v`` (fixedpoint vectors), ``c0`` (md5-ordered init pivots) and
-    the Lloyd rounds up to the final centroid CTE named ``final``.
-    Composed verbatim by q_vec_kmeans AND q_vec_knn_ivf_kmeans so the
-    clustering key and the kmeans-quantized IVF search share one
-    training definition (the pq_sql_fragments anti-drift pattern)."""
+    ``v{suffix}`` (fixedpoint vectors), ``c0{suffix}`` (md5-ordered
+    init pivots) and the Lloyd rounds up to the final centroid CTE
+    named ``final``. Composed verbatim by q_vec_kmeans AND
+    q_vec_knn_ivf_kmeans so the clustering key and the kmeans-
+    quantized IVF search share one training definition (the
+    pq_sql_fragments anti-drift pattern); the (k, rounds, suffix)
+    knobs let q_vec_kmeans_elbow chain several trainings in ONE WITH
+    without CTE-name collisions — the default call emits the exact
+    byte string the r12-verified consumers were checked against."""
     from hive_similarity_join_spark.operators.ivf import KM_SCALE
+
+    s = suffix
 
     def assign(src: str, cents: str) -> str:
         return f"""
@@ -809,34 +817,34 @@ def kmeans_sql_fragments() -> dict:
   SELECT cell, list(c ORDER BY dim) AS c FROM (
     SELECT a.cell, r.range AS dim,
            sum(v.xi[r.range]) // count(*) AS c
-    FROM {asg} a JOIN v USING (vec_id) CROSS JOIN range(1, {KM_DIM + 1}) r
+    FROM {asg} a JOIN v{s}{' v' if s else ''} USING (vec_id) CROSS JOIN range(1, {KM_DIM + 1}) r
     GROUP BY a.cell, r.range
   ) GROUP BY cell"""
 
-    rounds = []
-    for t in range(KM_ROUNDS):
-        rounds.append(f"a{t} AS ({assign('v', f'c{t}')})")
-        rounds.append(f"c{t + 1} AS ({update(f'a{t}')})")
-    body = ",\n".join(rounds)
-    with_body = f"""v AS (
+    rnds = []
+    for t in range(rounds):
+        rnds.append(f"a{t}{s} AS ({assign(f'v{s}', f'c{t}{s}')})")
+        rnds.append(f"c{t + 1}{s} AS ({update(f'a{t}{s}')})")
+    body = ",\n".join(rnds)
+    with_body = f"""v{s} AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {KM_SCALE})
                        AS BIGINT)) AS xi
   FROM embeddings
 ),
-c0 AS (
+c0{s} AS (
   SELECT CAST(row_number() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
          ) AS BIGINT) - 1 AS cell, xi AS c
   FROM (
-    SELECT vec_id, xi FROM v
+    SELECT vec_id, xi FROM v{s}
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-    LIMIT {KM_K}
+    LIMIT {k}
   )
 ),
 {body}"""
-    return {"with_body": with_body, "final": f"c{KM_ROUNDS}", "d2": _km_d2}
+    return {"with_body": with_body, "final": f"c{rounds}{s}", "d2": _km_d2}
 
 
 def _kmeans_oracle() -> str:
@@ -887,6 +895,80 @@ def q_vec_kmeans(spark, sf_dir):
         F.col("cluster").cast("bigint").alias("cluster"),
         F.col("dist2").cast("bigint").alias("dist2"),
     )
+
+
+_ELBOW_KS = (2, 4, 8)
+
+
+def _kmeans_elbow_oracle() -> str:
+    parts = []
+    selects = []
+    for k in _ELBOW_KS:
+        fr = kmeans_sql_fragments(k=k, suffix=f"_k{k}")
+        parts.append(fr["with_body"])
+        selects.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2) AS BIGINT) AS inertia,
+       CAST(sum(d2) AS DOUBLE) / count(*) AS mean_d2
+FROM (
+  SELECT v.vec_id, min({_km_d2('v.xi', 'cf.c')}) AS d2
+  FROM v_k{k} v CROSS JOIN {fr['final']} cf
+  GROUP BY v.vec_id
+)""")
+        body = ",\n".join(parts)
+    return f"WITH {body}\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("q_vec_kmeans_elbow", oracle=_kmeans_elbow_oracle())
+def q_vec_kmeans_elbow(spark, sf_dir):
+    """K-MEANS MODEL SELECTION (the elbow curve): the exact
+    fixed-point Lloyd trainer swept over k in {KS}, emitting per k the
+    total within-cluster squared distance (INERTIA, exact bigint) and
+    its per-vector mean — the curve a pipeline reads to pick the
+    cluster budget for topic bucketing / IVF cell counts / SemDeDup
+    granularity before committing a 100 TB pass (where the elbow
+    flattens, extra cells stop buying distortion). Each sweep point is
+    the SAME trainer the verified q_vec_kmeans / q_vec_knn_ivf_kmeans
+    keys run (operators/ivf.py lloyd_kmeans_fixedpoint; oracle CTEs
+    from the same kmeans_sql_fragments, suffix-parametrized so three
+    trainings chain in one WITH) — the sweep cannot drift from the
+    keys it prices.
+
+    Exactness: inertia sums exact integer d2 (no float order
+    sensitivity); mean_d2 is one double division per output row.
+    Scale shape: per k it is the trainer's cost (per round: one
+    codegen'd argmin map pass + one (cell, dim)-keyed partial
+    aggregate + a k*dim-bounded collect) plus ONE extra assignment
+    pass for the inertia — {N} sweep points = {N} bounded trainings,
+    embarrassingly sequential in the driver but each fully
+    distributed.""".format(KS=list(_ELBOW_KS), N=len(_ELBOW_KS))
+    from hive_similarity_join_spark.operators.ivf import (
+        lloyd_kmeans_fixedpoint,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    legs = []
+    for k in _ELBOW_KS:
+        out = lloyd_kmeans_fixedpoint(e, k=k, rounds=KM_ROUNDS)
+        legs.append(
+            out.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.sum("dist2").cast("bigint").alias("inertia"),
+                (
+                    F.sum("dist2").cast("double") / F.count(F.lit(1))
+                ).alias("mean_d2"),
+            ).select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_vecs",
+                "inertia",
+                "mean_d2",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 # --------------- exact power-iteration PCA (top principal direction)
