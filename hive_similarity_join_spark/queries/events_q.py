@@ -2427,3 +2427,178 @@ def q_events_winsorize(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- LTTB chart downsampling
+
+_LTTB_BUCKET_US = 21_600_000_000  # 6h buckets
+
+
+_LTTB_SQL = f"""
+WITH pts AS (
+  SELECT event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_LTTB_BUCKET_US} AS b
+  FROM events WHERE ts IS NOT NULL
+),
+ends AS (
+  SELECT event_type, b,
+         CAST(count(*) AS BIGINT) AS n_pts,
+         min(ROW(x, event_id, y)) AS fst,
+         max(ROW(x, event_id, y)) AS lst
+  FROM pts GROUP BY 1, 2
+),
+anch AS (
+  SELECT event_type, b, n_pts, fst, lst,
+         lag(lst) OVER (PARTITION BY event_type ORDER BY b) AS a,
+         lead(fst) OVER (PARTITION BY event_type ORDER BY b) AS c
+  FROM ends
+),
+interior AS (
+  SELECT p.event_type, p.b, an.n_pts, p.x, p.event_id, p.y,
+         CAST(abs(
+           CAST(an.a[1] - an.c[1] AS HUGEINT) * (p.y - an.a[3])
+           - CAST(an.a[1] - p.x AS HUGEINT) * (an.c[3] - an.a[3])
+         ) AS HUGEINT) AS area2
+  FROM pts p
+  JOIN anch an ON an.event_type = p.event_type AND an.b = p.b
+  WHERE an.a IS NOT NULL AND an.c IS NOT NULL
+),
+sel AS (
+  SELECT event_type, b, n_pts, x, y, area2,
+         row_number() OVER (
+             PARTITION BY event_type, b
+             ORDER BY area2 DESC, x, event_id
+         ) AS rn
+  FROM interior
+)
+SELECT event_type, CAST(b AS BIGINT) AS b, n_pts,
+       CAST(x AS BIGINT) AS sel_us, CAST(y AS BIGINT) AS sel_cents,
+       CAST(area2 AS BIGINT) AS area2, 'interior' AS kind
+FROM sel WHERE rn = 1
+UNION ALL
+SELECT event_type, CAST(b AS BIGINT) AS b, n_pts,
+       CAST(fst[1] AS BIGINT) AS sel_us, CAST(fst[3] AS BIGINT) AS sel_cents,
+       CAST(0 AS BIGINT) AS area2, 'first' AS kind
+FROM anch WHERE a IS NULL
+UNION ALL
+SELECT event_type, CAST(b AS BIGINT) AS b, n_pts,
+       CAST(lst[1] AS BIGINT) AS sel_us, CAST(lst[3] AS BIGINT) AS sel_cents,
+       CAST(0 AS BIGINT) AS area2, 'last' AS kind
+FROM anch WHERE c IS NULL AND a IS NOT NULL
+"""
+
+
+@query("q_time_downsample", oracle=_LTTB_SQL)
+def q_time_downsample(spark, sf_dir):
+    """LTTB CHART DOWNSAMPLING (Steinarsson 2013, largest-triangle-
+    three-buckets), the PARALLEL fixed-anchor variant: per
+    (event_type, 6h bucket) keep the single point forming the largest
+    triangle against the PREVIOUS bucket's last point and the NEXT
+    bucket's first point — the downsampler dashboards use to draw
+    100 TB of points as thousands while preserving visual extremes
+    (q_time_ohlc keeps per-bucket extremes; LTTB keeps the point that
+    bends the line). Classic LTTB anchors on the previously SELECTED
+    point, a sequential chain; anchoring on the neighbor bucket's
+    boundary points instead makes every bucket independent — fully
+    parallel, same guarantee class — and is deterministic: the first/
+    last bucket per series keep their boundary point verbatim (kind
+    'first'/'last'), interior argmax ties break on (x, event_id).
+
+    Exactness: coordinates are integer microseconds and integer cents
+    (the events cents contract); the doubled triangle area is two
+    integer products in decimal(38,0)/HUGEINT (dx ~ 2.6e12 us x dy
+    cents can pass 5e17 — bigint-safe today, but products of SUMS at
+    bigger SFs are exactly where the s2i HUGEINT precedent says to
+    widen), abs, then one bigint cast. No float arithmetic anywhere.
+
+    Plan shape: one (event_type, bucket) partial aggregate; lag/lead
+    over the BUCKET relation (aggregate spine — the low-cardinality
+    window gate's documented clean case); one join back to the points
+    and a (event_type, bucket)-partitioned rank window (high-card
+    partition). Output is 3 x n_buckets-ish rows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    pts = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+        F.expr(f"unix_micros(ts) div {_LTTB_BUCKET_US}").alias("b"),
+    )
+    ends = pts.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.min(F.struct("x", "event_id", "y")).alias("fst"),
+        F.max(F.struct("x", "event_id", "y")).alias("lst"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    anch = ends.select(
+        "event_type",
+        "b",
+        "n_pts",
+        "fst",
+        "lst",
+        F.lag("lst").over(wb).alias("a"),
+        F.lead("fst").over(wb).alias("c"),
+    )
+    dec = "decimal(38,0)"
+    inter = (
+        pts.alias("p")
+        .join(
+            anch.alias("an"),
+            (F.col("p.event_type") == F.col("an.event_type"))
+            & (F.col("p.b") == F.col("an.b")),
+        )
+        .filter(F.col("an.a").isNotNull() & F.col("an.c").isNotNull())
+        .select(
+            F.col("p.event_type").alias("event_type"),
+            F.col("p.b").alias("b"),
+            F.col("an.n_pts").alias("n_pts"),
+            F.col("p.x").alias("x"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.y").alias("y"),
+            F.abs(
+                (F.col("an.a.x") - F.col("an.c.x")).cast(dec)
+                * (F.col("p.y") - F.col("an.a.y")).cast(dec)
+                - (F.col("an.a.x") - F.col("p.x")).cast(dec)
+                * (F.col("an.c.y") - F.col("an.a.y")).cast(dec)
+            ).alias("area2"),
+        )
+    )
+    ws = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("area2"), F.asc("x"), F.asc("event_id")
+    )
+    sel = (
+        inter.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("bigint").alias("b"),
+            "n_pts",
+            F.col("x").cast("bigint").alias("sel_us"),
+            F.col("y").cast("bigint").alias("sel_cents"),
+            F.col("area2").cast("bigint").alias("area2"),
+            F.lit("interior").alias("kind"),
+        )
+    )
+    first = anch.filter(F.col("a").isNull()).select(
+        "event_type",
+        F.col("b").cast("bigint").alias("b"),
+        "n_pts",
+        F.col("fst.x").cast("bigint").alias("sel_us"),
+        F.col("fst.y").cast("bigint").alias("sel_cents"),
+        F.lit(0).cast("bigint").alias("area2"),
+        F.lit("first").alias("kind"),
+    )
+    last = anch.filter(
+        F.col("c").isNull() & F.col("a").isNotNull()
+    ).select(
+        "event_type",
+        F.col("b").cast("bigint").alias("b"),
+        "n_pts",
+        F.col("lst.x").cast("bigint").alias("sel_us"),
+        F.col("lst.y").cast("bigint").alias("sel_cents"),
+        F.lit(0).cast("bigint").alias("area2"),
+        F.lit("last").alias("kind"),
+    )
+    return sel.unionByName(first).unionByName(last)

@@ -3630,3 +3630,37 @@ def q_agg_bool(spark, sf_dir):
         .alias("n_over_200k"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+FROM supplier s
+WHERE s.s_acctbal > (
+  SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*)
+  FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
+@query("q_subquery_scalar", oracle=_SCALAR_SUBQ_SQL)
+def q_subquery_scalar(spark, sf_dir):
+    """Correlated SCALAR subquery in WHERE — suppliers whose balance
+    beats their own nation's average, the IDENTICAL text on both
+    engines: the third SQL-text surface key after the null-aware anti
+    join (NOT IN) and the LATERAL top-k, pinning the third distinct
+    decorrelation path — Spark rewrites the per-row scalar aggregate
+    into ONE grouped aggregate joined back on the correlation key
+    (RewriteCorrelatedScalarSubquery), which is also the 100 TB story:
+    naive evaluation would rescan supplier per row, the rewrite costs
+    one aggregate + one equi-join.
+
+    Exactness: the comparison threshold is the CLAUDE-documented
+    decimal-sum-over-count form — CAST(SUM(DECIMAL(18,2)) AS DOUBLE)
+    / count(*) — so the per-nation scalar is association-free and
+    bit-identical before the one double compare."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier"
+    )
+    return spark.sql(_SCALAR_SUBQ_SQL)

@@ -388,3 +388,81 @@ def q_corpus_profile(spark, sf_dir):
     return prof.join(F.broadcast(toptok), "source").select(
         "source", "n_docs", "avg_quality_e6", "median_tokens", "top_token"
     )
+
+
+# --------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def _hybrid_rrf_oracle() -> str:
+    from hive_similarity_join_spark.queries import vectors_q  # noqa: F401
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH sparse AS ({ORACLES["q_search_bm25"]}),
+dense AS (
+  SELECT vec_id AS doc_id, rank
+  FROM ({ORACLES["q_vec_knn"]}) WHERE probe_id = 0
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         s.rank AS sparse_rank, d.rank AS dense_rank,
+         coalesce(1.0 / CAST(s.rank + {_RRF_K} AS DOUBLE), 0.0)
+           + coalesce(1.0 / CAST(d.rank + {_RRF_K} AS DOUBLE), 0.0)
+           AS rrf_score
+  FROM sparse s FULL JOIN dense d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, sparse_rank, dense_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM fused
+"""
+
+
+@query("q_search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_search_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): the lexical leg (q_search_bm25's top-20
+    for its fixed query) and the dense leg (q_vec_knn's exact cosine
+    top-k for probe 0 — vec_id aligns with doc_id in this corpus)
+    fused by RRF with the standard k={K}: score = sum over legs of
+    1/(k + rank), a missing leg contributing 0. RRF is THE fusion a
+    retrieval pipeline reaches for first because it needs no score
+    calibration — only ranks — which is also what makes it bit-exact
+    here: each contribution is one double division by an integer, the
+    two-term sum has a fixed association order, and the fused ranking
+    tie-breaks on doc_id. Emits (doc_id, sparse_rank, dense_rank,
+    rrf_score, fused_rank) over the union of the two retrieved sets.
+
+    Composition discipline: both legs ARE the already-hash-verified
+    keys (builders as DataFrames, oracles as CTEs) — the fusion adds
+    one full outer join on <= 25 rows and a bounded rank window.
+    Scale: each leg's cost is its own key's (TakeOrderedAndProject
+    top-k); fusion is constant-size."""
+    from hive_similarity_join_spark.queries.vectors_q import q_vec_knn
+
+    sparse = q_search_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("sparse_rank")
+    )
+    dense = (
+        q_vec_knn(spark, sf_dir)
+        .filter(F.col("probe_id") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    leg = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.col(c) + F.lit(_RRF_K)).cast("double"), F.lit(0.0)
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "sparse_rank",
+            "dense_rank",
+            (leg("sparse_rank") + leg("dense_rank")).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    )

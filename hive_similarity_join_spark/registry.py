@@ -103,7 +103,8 @@ PRIORITY: list[str] = [
     "q_graph_kcore", "q_graph_bridges",
     "q_dedup_winnowing", "q_dedup_winnowing_recall",
     "q_compaction_plan", "q_join_partition_pruned",
-    "q_vec_kmeans_elbow",
+    "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
+    "q_time_downsample", "q_subquery_scalar",
 ]
 
 
