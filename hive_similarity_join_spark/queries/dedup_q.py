@@ -4525,7 +4525,10 @@ fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
 
 
 def winnow_fingerprints(docs):
-    """(doc_id, h): the winnowed fingerprint set of each document —
+    """(doc_id, h): the UNCAPPED winnowed fingerprint set of each
+    document (doc-LOCAL — no corpus statistics, which is what lets the
+    incremental mirror carry it; the df cap lives in
+    winnow_pairs_from) —
     word {K}-gram 40-bit hashes, thinned by the MOSS winnowing rule
     (Schleimer, Wilkerson & Aiken, SIGMOD 2003: from every window of
     {W} consecutive gram hashes keep the MINIMUM, ties broken by
@@ -4586,16 +4589,39 @@ def winnow_fingerprints(docs):
         )
     )
     sel = w.groupBy("doc_id", "win").agg(F.min("key").alias("sk"))
-    fp = sel.select(
+    return sel.select(
         "doc_id", F.shiftright("sk", _WIN_PBITS).alias("h")
     ).distinct()
+
+
+def winnow_pairs_from(fp):
+    """q_dedup_winnowing's corpus-global tail over an explicit
+    UNCAPPED (doc_id, h) fingerprint relation: doc-frequency cap +
+    fingerprint self-join -> (id1, id2, n_shared). Split out (the
+    snm_scored_pairs_from seam pattern) because the fingerprints are
+    DOC-LOCAL (carryable by the incremental mirror,
+    streaming/incremental_winnowing.py) while the cap and the pair
+    join read corpus-global state (recomputed at emit)."""
     keep = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_CAP))
         .select("h")
     )
-    return fp.join(keep, "h", "left_semi")
+    fpk = fp.join(keep, "h", "left_semi")
+    a = fpk.alias("a")
+    b = fpk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
 
 
 @query(
@@ -4630,20 +4656,7 @@ def q_dedup_winnowing(spark, sf_dir):
         G=_WIN_W, K=_WIN_K, W=_WIN_W
     )
     d = load_table(spark, sf_dir, "documents")
-    fpk = winnow_fingerprints(d)
-    a = fpk.alias("a")
-    b = fpk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-    )
+    return winnow_pairs_from(winnow_fingerprints(d))
 
 
 def _winnowing_recall_oracle() -> str:
@@ -4710,5 +4723,100 @@ def q_dedup_winnowing_recall(spark, sf_dir):
                 F.col("n_hits").cast("double")
                 / F.col("n_exact").cast("double")
             ).alias("recall"),
+        )
+    )
+
+
+# ---------------- link prediction over the near-dup pair graph
+
+
+def _link_pred_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    return f"""
+WITH lsh AS ({ORACLES["q_dedup_minhash_lsh"]}),
+exact AS ({ORACLES["q_simjoin_jaccard_self"]}),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM lsh
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM lsh
+),
+w AS (
+  SELECT x.a AS id1, y.b AS id2
+  FROM e x JOIN e y ON y.a = x.b AND x.a < y.b
+  WHERE substr(md5(CAST(x.b AS VARCHAR)), 1, 1) = '0'
+),
+cn AS (SELECT id1, id2, count(*) AS common FROM w GROUP BY 1, 2),
+nonedge AS (
+  SELECT c.id1, c.id2, c.common
+  FROM cn c ANTI JOIN lsh l USING (id1, id2)
+)
+SELECT n.id1, n.id2, CAST(n.common AS BIGINT) AS common_sampled,
+       (ex.id1 IS NOT NULL) AS is_true_pair
+FROM nonedge n
+LEFT JOIN exact ex ON ex.id1 = n.id1 AND ex.id2 = n.id2
+"""
+
+
+@query("q_graph_link_prediction", oracle=_link_pred_oracle())
+def q_graph_link_prediction(spark, sf_dir):
+    """LINK PREDICTION over the MinHash-LSH pair graph
+    (common-neighbors, the classic local index of Liben-Nowell &
+    Kleinberg, CIKM 2003) — the dedup auditor's MISSED-PAIR worklist:
+    two docs that are NOT an LSH candidate but share LSH-duplicate
+    neighbors are exactly the pairs the banding likely missed
+    (near-duplication is nearly transitive, so open wedges in a dup
+    graph are evidence of a miss, and LSH's ~0.79 recall on this
+    corpus says ~1 in 5 true edges IS missing). Emits every
+    wedge-connected non-edge with its (sampled) common-neighbor count
+    and — because the exact t=0.8 graph is available as ground truth —
+    an is_true_pair flag: the measured precision of triangle-closure
+    as a recall-repair strategy, per pair.
+
+    Sampled-denominator posture (the q_dedup_lsh_recall_sampled
+    pattern, THE 100 TB device): wedges are enumerated only through
+    CENTER docs in a deterministic 1/16 md5 bucket — dup families are
+    near-cliques (max degree 258 at sf0.01), so full wedge
+    enumeration is sum-of-deg^2 (~7e8 wedges at sf0.1) while any
+    clique member's wedges are rediscovered through every other
+    member; sampling centers keeps each missed pair discoverable
+    through ~16x fewer witnesses at 1/16 the join cost.
+    common_sampled counts sampled witnesses only, documented as such.
+
+    Scale shape: one center-filtered 2-walk self-join of the pinned
+    candidate relation, one anti-join against it, one left join onto
+    the session-pinned exact graph (both pair relations already
+    priced by their own keys)."""
+    lsh = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
+    exact = exact_pair_graph(spark, sf_dir).select(
+        F.col("id1").alias("x1"), F.col("id2").alias("x2")
+    )
+    e = lsh.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionAll(
+        lsh.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+    )
+    w = (
+        e.alias("x")
+        .filter(
+            F.substring(F.md5(F.col("x.b").cast("string")), 1, 1) == "0"
+        )
+        .join(
+            e.alias("y"),
+            (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")),
+        )
+        .select(F.col("x.a").alias("id1"), F.col("y.b").alias("id2"))
+    )
+    cn = w.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("common"))
+    nonedge = cn.join(lsh, ["id1", "id2"], "left_anti")
+    return (
+        nonedge.join(
+            exact,
+            (F.col("id1") == F.col("x1")) & (F.col("id2") == F.col("x2")),
+            "left",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("common").cast("bigint").alias("common_sampled"),
+            F.col("x1").isNotNull().alias("is_true_pair"),
         )
     )
