@@ -1272,6 +1272,7 @@ pq AS ({ORACLES["q_vec_knn_pq"]}),
 ivfadc AS ({ORACLES["q_vec_knn_ivfadc"]}),
 ivfadc_res AS ({ORACLES["q_vec_knn_ivfadc_res"]}),
 ivfk AS ({ORACLES["q_vec_knn_ivf_kmeans"]}),
+bq AS ({ORACLES["q_vec_knn_bq"]}),
 m AS (
   SELECT 'lsh' AS method, probe_id, vec_id FROM lsh
   UNION ALL
@@ -1286,6 +1287,8 @@ m AS (
   SELECT 'ivfadc_res' AS method, probe_id, vec_id FROM ivfadc_res
   UNION ALL
   SELECT 'ivfk' AS method, probe_id, vec_id FROM ivfk
+  UNION ALL
+  SELECT 'bq' AS method, probe_id, vec_id FROM bq
 ),
 hits AS (
   SELECT m.method, m.probe_id, count(*) AS hits
@@ -1296,7 +1299,7 @@ grid AS (
   SELECT p.probe_id, t.method
   FROM (SELECT DISTINCT probe_id FROM exact) p,
        unnest(['lsh', 'sq8', 'ivf', 'pq', 'ivfadc', 'ivfadc_res',
-               'ivfk']) AS t(method)
+               'ivfk', 'bq']) AS t(method)
 )
 SELECT g.probe_id, g.method,
        CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -1308,10 +1311,11 @@ FROM grid g LEFT JOIN hits h
 
 @query("q_vec_ann_recall", oracle=_ann_recall_oracle())
 def q_vec_ann_recall(spark, sf_dir):
-    """Recall@k audit of the seven deterministic ANN paths vs exact kNN.
+    """Recall@k audit of the eight deterministic ANN paths vs exact kNN.
 
     Emits (probe_id, method, hits, recall) for method in {lsh, sq8,
-    ivf, pq, ivfadc, ivfadc_res, ivfk} (ivfadc_res added r13 — same
+    ivf, pq, ivfadc, ivfadc_res, ivfk, bq} (bq added r15 — the 1-bit
+    sign-code scan, q_vec_knn_bq; ivfadc_res added r13 — same
     routing, same 4-byte codes as ivfadc, so its recall delta is the
     residual-encoding gain at IDENTICAL scan cost — measured at
     sf0.01: 0.26 vs 0.30 mean recall@5, i.e. NO gain on this corpus,
@@ -1338,7 +1342,10 @@ def q_vec_ann_recall(spark, sf_dir):
     )
 
     exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
-    from hive_similarity_join_spark.queries.vectors_q import q_vec_knn_pq
+    from hive_similarity_join_spark.queries.vectors_q import (
+        q_vec_knn_bq,
+        q_vec_knn_pq,
+    )
 
     legs = [
         ("lsh", q_vec_knn_ann(spark, sf_dir)),
@@ -1348,6 +1355,7 @@ def q_vec_ann_recall(spark, sf_dir):
         ("ivfadc", q_vec_knn_ivfadc(spark, sf_dir)),
         ("ivfadc_res", q_vec_knn_ivfadc_res(spark, sf_dir)),
         ("ivfk", q_vec_knn_ivf_kmeans(spark, sf_dir)),
+        ("bq", q_vec_knn_bq(spark, sf_dir)),
     ]
     m = None
     for name, df in legs:
@@ -1365,6 +1373,7 @@ def q_vec_ann_recall(spark, sf_dir):
             F.array(
                 F.lit("lsh"), F.lit("sq8"), F.lit("ivf"), F.lit("pq"),
                 F.lit("ivfadc"), F.lit("ivfadc_res"), F.lit("ivfk"),
+                F.lit("bq"),
             )
         ).alias("method")
     )

@@ -105,7 +105,7 @@ PRIORITY: list[str] = [
     "q_compaction_plan", "q_join_partition_pruned",
     "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
     "q_time_downsample", "q_subquery_scalar",
-    "q_graph_link_prediction",
+    "q_graph_link_prediction", "q_vec_knn_bq",
 ]
 
 
