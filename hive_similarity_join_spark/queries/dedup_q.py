@@ -1429,6 +1429,7 @@ rows_out AS (
   FROM base b
   UNION ALL SELECT 'sq8', b.n_probes * (b.n_corpus - 1) FROM base b
   UNION ALL SELECT 'pq', b.n_probes * (b.n_corpus - 1) FROM base b
+  UNION ALL SELECT 'bq', b.n_probes * (b.n_corpus - 1) FROM base b
   UNION ALL SELECT 'lsh', n FROM lshc
   UNION ALL SELECT 'ivf', n FROM ivfc
   UNION ALL SELECT 'ivfadc', n FROM ivfc
@@ -1451,9 +1452,10 @@ def q_vec_ann_cost(spark, sf_dir):
     per method (candidate pairs actually scored) vs the brute-force
     baseline — q_vec_ann_recall says what each method finds, this key
     says what each method READS to find it; an index rollout gates on
-    the ratio of the two. All SEVEN q_vec_ann_recall methods get a
-    row (r13 VERDICT item #4 — the table and the recall dashboard now
-    align method-for-method), plus the exact baseline row (probes x
+    the ratio of the two. All EIGHT q_vec_ann_recall methods get a
+    row (r13 VERDICT item #4; the 'bq' row landed with the method in
+    r15 so the two dashboards stay aligned method-for-method), plus
+    the exact baseline row (probes x
     (corpus-1), scan_frac 1.0 — the denominator, emitted so the
     ratio is auditable). Candidate counts by family: the bucketed
     paths prune rows (lsh = hyperplane buckets + multi-probe flips;
@@ -1515,11 +1517,15 @@ def q_vec_ann_cost(spark, sf_dir):
             ),
         ),
     ]
-    # exact / sq8 / pq all touch probes x (corpus-1) candidates — one
-    # base row fanned to the three full-scan methods.
+    # exact / sq8 / pq / bq all touch probes x (corpus-1) candidates —
+    # one base row fanned to the four full-scan methods (quantization
+    # prunes BYTES, never candidates: 1 byte/dim for sq8, ~0.5 for pq,
+    # 1 BIT for bq — the 32x scan-bytes floor of the family).
     counts = base.select(
         F.explode(
-            F.array(F.lit("exact"), F.lit("sq8"), F.lit("pq"))
+            F.array(
+                F.lit("exact"), F.lit("sq8"), F.lit("pq"), F.lit("bq")
+            )
         ).alias("method"),
         (F.col("n_probes") * (F.col("n_corpus") - 1))
         .cast("bigint")
