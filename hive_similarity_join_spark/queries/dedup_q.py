@@ -4745,6 +4745,9 @@ def q_dedup_winnowing_recall(spark, sf_dir):
 # ---------------- link prediction over the near-dup pair graph
 
 
+_LP_DEG_CAP = 128  # wedge centers above this degree are skipped
+
+
 def _link_pred_oracle() -> str:
     from hive_similarity_join_spark.registry import ORACLES
 
@@ -4756,10 +4759,17 @@ e AS (
   UNION ALL
   SELECT id2 AS a, id1 AS b FROM lsh
 ),
+ctr AS (
+  SELECT a AS c FROM e
+  GROUP BY a
+  HAVING count(*) <= {_LP_DEG_CAP}
+     AND substr(md5(CAST(a AS VARCHAR)), 1, 1) = '0'
+),
 w AS (
   SELECT x.a AS id1, y.b AS id2
-  FROM e x JOIN e y ON y.a = x.b AND x.a < y.b
-  WHERE substr(md5(CAST(x.b AS VARCHAR)), 1, 1) = '0'
+  FROM e x
+  JOIN ctr ON ctr.c = x.b
+  JOIN e y ON y.a = x.b AND x.a < y.b
 ),
 cn AS (SELECT id1, id2, count(*) AS common FROM w GROUP BY 1, 2),
 nonedge AS (
@@ -4788,15 +4798,31 @@ def q_graph_link_prediction(spark, sf_dir):
     an is_true_pair flag: the measured precision of triangle-closure
     as a recall-repair strategy, per pair.
 
+    The measured answer on THIS corpus is a clean NEGATIVE (the
+    ivfadc_res posture — audit rows earn their keep either way): at
+    sf0.01 ZERO of the 228 predicted pairs is a true t=0.8 pair,
+    and — checked from the other side, UNSAMPLED and UNCAPPED — ZERO
+    of the 6,367 LSH-missed true pairs has even one common LSH
+    neighbor. Jaccard
+    transitivity only bounds sim(a,b) >= 2t-1 = 0.6 through a shared
+    neighbor, and at the t=0.8 boundary the misses live exactly where
+    closure is weakest — so closure-based recall repair buys nothing
+    here, and a pipeline that assumed it would have verified 9.5k
+    pairs for zero recall. That corpus-dependence is WHY this is a
+    measurement key, not an assumption.
+
     Sampled-denominator posture (the q_dedup_lsh_recall_sampled
     pattern, THE 100 TB device): wedges are enumerated only through
-    CENTER docs in a deterministic 1/16 md5 bucket — dup families are
-    near-cliques (max degree 258 at sf0.01), so full wedge
-    enumeration is sum-of-deg^2 (~7e8 wedges at sf0.1) while any
-    clique member's wedges are rediscovered through every other
-    member; sampling centers keeps each missed pair discoverable
-    through ~16x fewer witnesses at 1/16 the join cost.
-    common_sampled counts sampled witnesses only, documented as such.
+    CENTER docs that (a) fall in a deterministic 1/16 md5 bucket and
+    (b) have degree <= 128 — dup families are near-cliques (max
+    degree 258 at sf0.01), so full wedge enumeration is sum-of-deg^2
+    (~7e8 wedges at sf0.1, measured 98s) while any clique member's
+    wedges are rediscovered through every other member; hub centers
+    add only redundant witnesses for pairs their lower-degree
+    neighbors already witness. The two filters bound the join at
+    |centers| x CAP^2 regardless of corpus density.
+    common_sampled counts eligible witnesses only, documented as
+    such.
 
     Scale shape: one center-filtered 2-walk self-join of the pinned
     candidate relation, one anti-join against it, one left join onto
@@ -4809,11 +4835,18 @@ def q_graph_link_prediction(spark, sf_dir):
     e = lsh.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionAll(
         lsh.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
     )
+    ctr = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(
+            (F.col("_d") <= _LP_DEG_CAP)
+            & (F.substring(F.md5(F.col("a").cast("string")), 1, 1) == "0")
+        )
+        .select(F.col("a").alias("c"))
+    )
     w = (
         e.alias("x")
-        .filter(
-            F.substring(F.md5(F.col("x.b").cast("string")), 1, 1) == "0"
-        )
+        .join(ctr, F.col("x.b") == F.col("c"), "left_semi")
         .join(
             e.alias("y"),
             (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")),

@@ -3664,3 +3664,69 @@ def q_subquery_scalar(spark, sf_dir):
         "supplier"
     )
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_EVO_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN s_suppkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_name,
+       min(CASE WHEN s_suppkey % 2 = 1 THEN s_name END) AS min_name,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier
+GROUP BY 1
+"""
+
+
+@query("q_schema_evolution", oracle=_EVO_SQL)
+def q_schema_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION under the oracle gate: two parquet epochs of
+    the supplier table are written with DIFFERENT schemas — epoch 1
+    (even suppkeys) without s_name, epoch 2 (odd suppkeys) with it,
+    the additive-column drift every long-lived ingest directory
+    accumulates — and read back through ONE scan with
+    mergeSchema=true: Spark unifies the footers into the superset
+    schema and back-fills the missing column with NULLs. The key
+    aggregates per nation over the merged read (row count, rows that
+    HAVE the evolved column, its min, the decimal-exact balance sum),
+    so the hash passes IFF the merge is lossless AND the NULL
+    back-fill lands on exactly the epoch-1 rows. The oracle computes
+    the same from the unevolved table — schema drift must change
+    NOTHING about the answer. (This repo's own r3 war story — the
+    events.ts physical-type flip — is the same class of hazard; the
+    loader's dual legs handle type drift, this key pins column-set
+    drift.)
+
+    Mechanics: /tmp epochs keyed by applicationId, stale dirs swept
+    (the serde/bucketed/DPP contract). Scale shape: mergeSchema=true
+    costs a footer read per FILE at planning time — fine for epochal
+    layouts (few schemas), the documented trap at 100 TB is millions
+    of small files, where you pin the superset schema explicitly
+    (spark.read.schema(...)) and skip footer merging; the data-path
+    cost is identical either way."""
+    import os
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    _sweep_stale_tmp("hsjs_evo", tag)
+    base = f"/tmp/hsjs_evo_{tag}/{os.path.basename(sf_dir.rstrip('/'))}"
+    s = load_table(spark, sf_dir, "supplier")
+    s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).write.mode("overwrite").parquet(f"{base}/epoch=1")
+    s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
+    ).write.mode("overwrite").parquet(f"{base}/epoch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/epoch=1", f"{base}/epoch=2"
+    )
+    return merged.groupBy(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("s_name").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_name"),
+        F.min("s_name").alias("min_name"),
+        _dsum(F.col("s_acctbal")).alias("sum_acctbal"),
+    )

@@ -105,7 +105,12 @@ PRIORITY: list[str] = [
     "q_compaction_plan", "q_join_partition_pruned",
     "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
     "q_time_downsample", "q_subquery_scalar",
-    "q_graph_link_prediction", "q_vec_knn_bq",
+    "q_graph_link_prediction", "q_vec_knn_bq", "q_schema_evolution",
+    # ...plus the two dashboards whose OUTPUT grew mid-r15 (the 'bq'
+    # method row: 70->80 and 8->9 rows, re-verified tuned AND plain) —
+    # their r14 verdicts predate the change, so they re-enter the
+    # window with the r15 staged batch:
+    "q_vec_ann_recall", "q_vec_ann_cost",
 ]
 
 

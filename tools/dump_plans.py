@@ -430,6 +430,40 @@ HEADLINERS: dict[str, str] = {
         "Exchange + Sort per side, the co-bucketed one zero Exchanges "
         "(r15)."
     ),
+    "q_join_partition_pruned": (
+        "Dynamic partition pruning (r15). Look for: the fact scan's "
+        "PartitionFilters carrying a dynamicpruningexpression subquery "
+        "(the quarter filter sits on the DIM side only — no static "
+        "fact filter exists), and a reused broadcast exchange feeding "
+        "it. The month-partitioned read touches 3 of ~80 directories; "
+        "tests/test_dpp.py pins both the expression and the pruned-"
+        "read equivalence."
+    ),
+    "q_dedup_winnowing": (
+        "MOSS winnowing sketches (r15). Look for: NO Window node in "
+        "the fingerprint selection — the per-window argmin-with-"
+        "rightmost-tie is one bigint min over a packed "
+        "(hash<<20 | ~pos) key, partial-aggregated per (doc, window); "
+        "one posexplode + a bounded W-fold offset explode as the only "
+        "fan-outs; the pair join keyed on the 40-bit fingerprint with "
+        "the df-cap semi-join upstream (never all-pairs)."
+    ),
+    "q_graph_bridges": (
+        "Bridge-edge audit (r15). Look for: the 2/3-walk certificate "
+        "chains as candidate-DRIVEN joins (pairs on the build side, "
+        "never edge x edge x edge unanchored), two checkpointed CC "
+        "label iterations (InMemoryTableScan of the pinned edge "
+        "relation per round), and left joins onto the pruned-component "
+        "labels with coalesce self-labeling for isolated nodes."
+    ),
+    "q_vec_knn_bq": (
+        "Binary-quantized ANN (r15). Look for: the corpus side "
+        "carrying only (vec_id, two bigint words, vector) with the "
+        "Hamming stage as xor+bit_count inside whole-stage codegen; "
+        "one broadcast of the 10 probes; rerank window over the "
+        "candidate-capped relation only. The code column is 16 bytes "
+        "— the index you'd sink to parquet at 100 TB."
+    ),
 }
 
 
