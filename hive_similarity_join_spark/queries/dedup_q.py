@@ -4868,3 +4868,206 @@ def q_graph_link_prediction(spark, sf_dir):
             F.col("x1").isNotNull().alias("is_true_pair"),
         )
     )
+
+
+# ---------------- KMV sketch set algebra (theta-sketch style)
+
+
+def _kmv_setops_oracle() -> str:
+    scale = float(KMV_K - 1) * 2.0 ** 60
+    return f"""
+WITH bags AS (
+  SELECT doc_id, source, {TX.duck_bag()} AS bag FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, {TX.duck_md5_prefix60('t.g')} AS h
+  FROM bags, unnest({_duck_grams(_KMV_N)}) AS t(g)
+  WHERE len(bag) >= {_KMV_N}
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+prs AS (
+  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+inter AS (
+  SELECT x.source AS s1, y.source AS s2, CAST(count(*) AS BIGINT) AS ni
+  FROM sh x JOIN sh y ON y.h = x.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh
+  ) WHERE rn <= {KMV_K}
+),
+mg AS (
+  SELECT DISTINCT p.s1, p.s2, s.h
+  FROM prs p JOIN sk s ON s.source IN (p.s1, p.s2)
+),
+usk AS (
+  SELECT s1, s2, h FROM (
+    SELECT s1, s2, h,
+           row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+    FROM mg
+  ) WHERE rn <= {KMV_K}
+),
+theta AS (
+  SELECT s1, s2, max(h) AS hk, CAST(count(*) AS BIGINT) AS nu
+  FROM usk GROUP BY 1, 2
+),
+common AS (
+  SELECT u.s1, u.s2, CAST(count(*) AS BIGINT) AS c
+  FROM usk u
+  JOIN sk a ON a.source = u.s1 AND a.h = u.h
+  JOIN sk b ON b.source = u.s2 AND b.h = u.h
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2,
+       CAST(p.n1 + p.n2 - coalesce(i.ni, 0) AS BIGINT) AS union_exact,
+       CASE WHEN t.nu >= {KMV_K} THEN {scale} / CAST(t.hk AS DOUBLE)
+            ELSE CAST(t.nu AS DOUBLE) END AS union_est,
+       CAST(coalesce(i.ni, 0) AS BIGINT) AS inter_exact,
+       (CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(t.nu AS DOUBLE))
+         * (CASE WHEN t.nu >= {KMV_K} THEN {scale} / CAST(t.hk AS DOUBLE)
+                 ELSE CAST(t.nu AS DOUBLE) END) AS inter_est,
+       CAST(coalesce(i.ni, 0) AS DOUBLE)
+         / CAST(p.n1 + p.n2 - coalesce(i.ni, 0) AS DOUBLE) AS jaccard_exact,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(t.nu AS DOUBLE)
+         AS jaccard_est
+FROM prs p
+JOIN theta t ON t.s1 = p.s1 AND t.s2 = p.s2
+LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+LEFT JOIN common c ON c.s1 = p.s1 AND c.s2 = p.s2
+"""
+
+
+@query("q_agg_kmv_setops", oracle=_kmv_setops_oracle())
+def q_agg_kmv_setops(spark, sf_dir):
+    """KMV SKETCH SET ALGEBRA (the theta-sketch pattern of Dasgupta et
+    al., 'Theta-Sketch Framework', and Beyer et al. SIGMOD 2007 for
+    KMV intersections) — the property that makes distinct-count
+    sketches COMPOSABLE and therefore worth shipping at 100 TB: the
+    k-minimum-values sketches of every source, built ONCE, answer
+    |A u B| (merge, keep k smallest, (k-1)/h_k), |A n B| (fraction of
+    the union sample present in both sketches x the union estimate)
+    and Jaccard for EVERY source pair without touching the data
+    again. Emits per source pair: exact and estimated union size,
+    intersection size and Jaccard over 4-gram shingles — the sketch-
+    accuracy audit extended from per-group cardinality
+    (q_agg_kmv_distinct) to the pairwise overlap matrix a mixture
+    designer reads (which sources duplicate each other's content).
+
+    Determinism (the KMV key's posture): sketches are 'the k smallest
+    md5-prefix60 hashes' — no RNG; estimates are exact-int divisions
+    in double with fixed association (c/nu first, then x union_est);
+    groups whose merged sketch has < k hashes fall back to the exact
+    merged count (the standard KMV rule, and the regime where the
+    'estimate' IS exact).
+
+    Scale shape: shingle relation built once (distinct aggregate);
+    per-source sketches via a rank window over the AGGREGATED
+    relation (the gate's clean case); everything pairwise operates on
+    k-sized sketches — 190 pairs x 128 rows, broadcast-sized however
+    big the corpus. The EXACT columns are the audit's cost (one
+    shingle self-join); a production run drops them and keeps the
+    sketch algebra."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.bag_tokens("text"), _KMV_N))
+    sh = pin(
+        d.select("source", F.explode(grams).alias("g"))
+        .select("source", TX.md5_prefix60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    prs = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("a.n").alias("n1"),
+            F.col("b.source").alias("s2"),
+            F.col("b.n").alias("n2"),
+        )
+    )
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("y.h") == F.col("x.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("s1"), F.col("y.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    mg = (
+        prs.select("s1", "s2")
+        .join(
+            sk,
+            (F.col("source") == F.col("s1"))
+            | (F.col("source") == F.col("s2")),
+        )
+        .select("s1", "s2", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("s1", "s2").orderBy("h")
+    usk = (
+        mg.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .select("s1", "s2", "h")
+    )
+    theta = usk.groupBy("s1", "s2").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    ska = sk.select(F.col("source").alias("_sa"), F.col("h").alias("_ha"))
+    skb = sk.select(F.col("source").alias("_sb"), F.col("h").alias("_hb"))
+    common = (
+        usk.join(
+            ska, (F.col("_sa") == F.col("s1")) & (F.col("_ha") == F.col("h"))
+        )
+        .join(
+            skb, (F.col("_sb") == F.col("s2")) & (F.col("_hb") == F.col("h"))
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scale = float(KMV_K - 1) * 2.0 ** 60
+    u_est = F.when(
+        F.col("nu") >= KMV_K, F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("nu").cast("double"))
+    ni0 = F.coalesce(F.col("ni"), F.lit(0))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    j_est = c0.cast("double") / F.col("nu").cast("double")
+    return (
+        prs.join(theta, ["s1", "s2"])
+        .join(inter, ["s1", "s2"], "left")
+        .join(common, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            (F.col("n1") + F.col("n2") - ni0).cast("bigint").alias(
+                "union_exact"
+            ),
+            u_est.alias("union_est"),
+            ni0.cast("bigint").alias("inter_exact"),
+            (j_est * u_est).alias("inter_est"),
+            (
+                ni0.cast("double")
+                / (F.col("n1") + F.col("n2") - ni0).cast("double")
+            ).alias("jaccard_exact"),
+            j_est.alias("jaccard_est"),
+        )
+    )

@@ -560,12 +560,14 @@ FROM clean
 """
 
 
-def _clean_relation(spark, sf_dir):
+def _clean_stages(spark, sf_dir):
     """The Spark twin of _clean_ctes: (doc_id, text, lang, bag,
     n_tokens, quality) through quality gate, exact dedup, and t=0.9
     near-dup removal — shared by both pipeline keys. The exact-dedup
     survivors persist (consumed by the kernel's candidate machinery
-    AND the final anti-join)."""
+    AND the final anti-join). Returns the per-stage relations
+    {kept, surv, clean} so the waterfall report counts the SAME
+    relations the pipeline keys ship (anti-drift)."""
     from hive_similarity_join_spark.functions import text as TX
     from hive_similarity_join_spark.operators.similarity import similarity_join
 
@@ -596,7 +598,15 @@ def _clean_relation(spark, sf_dir):
     surv = pin(kept.join(exact_keep, "doc_id", "left_semi"))
     pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
     dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
-    return surv.join(dupes, "doc_id", "left_anti")
+    clean = surv.join(dupes, "doc_id", "left_anti")
+    return {"kept": kept, "surv": surv, "clean": clean}
+
+
+def _clean_relation(spark, sf_dir):
+    """The cleaned corpus only — the seam both pipeline keys consume
+    (unchanged contract; _clean_stages exposes the per-stage
+    intermediates for the waterfall report)."""
+    return _clean_stages(spark, sf_dir)["clean"]
 
 
 @query("q_pipeline_corpus_clean", oracle=_clean_oracle())
@@ -618,13 +628,21 @@ def q_pipeline_corpus_clean(spark, sf_dir):
     )
 
 
-def _llm_corpus_oracle() -> str:
+_MANIFEST_PRED = (
+    "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) / 4294967296.0 < r.sample_rate"
+)
+
+
+def _decon_ctes() -> str:
+    """The decontamination + temperature-rate CTE chain through
+    ``rates`` (consumes ``bags``/``clean`` from _clean_ctes) — shared
+    by the llm-corpus oracle and the stage-waterfall oracle so the
+    stage definitions cannot drift."""
     from hive_similarity_join_spark.queries.hygiene_q import _duck_grams
     from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
 
-    return f"""
-WITH {_clean_ctes()},
-ev AS (
+    return f"""ev AS (
   SELECT DISTINCT t.g
   FROM bags b, unnest({_duck_grams(_DECON_N)}) AS t(g)
   WHERE b.doc_id % {_DECON_MOD} = 0 AND len(bag) >= {_DECON_N}
@@ -647,43 +665,32 @@ rates AS (
          sqrt(CAST(mn.n_min AS DOUBLE) / CAST(lc.n_lang AS DOUBLE))
              AS sample_rate
   FROM lc, mn
-)
+)"""
+
+
+def _llm_corpus_oracle() -> str:
+    return f"""
+WITH {_clean_ctes()},
+{_decon_ctes()}
 SELECT d.doc_id, d.lang, CAST(d.n_tokens AS BIGINT) AS n_tokens,
        r.sample_rate
 FROM decon d JOIN rates r USING (lang)
-WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-           AS BIGINT) / 4294967296.0 < r.sample_rate
+WHERE {_MANIFEST_PRED}
 """
 
 
-@query("q_pipeline_llm_corpus", oracle=_llm_corpus_oracle())
-def q_pipeline_llm_corpus(spark, sf_dir):
-    """The WHOLE LLM training-corpus build in one Catalyst plan —
-    q_pipeline_corpus_clean extended through the remaining hygiene
-    stages: quality gate -> exact dedup -> near-dup removal (t=0.9
-    kernel over survivors) -> eval-set decontamination (any shared
-    4-gram with the doc_id % 53 eval split drops the doc; the eval
-    split itself never enters the corpus) -> temperature-flattened
-    language resampling (T=2, rates computed over the POST-
-    decontamination corpus — the mixture you actually train on, not
-    the raw crawl). Output: the training manifest (doc_id, lang,
-    n_tokens, sample_rate).
-
-    Stage ORDER is the 100 TB optimization: O(corpus) scans first,
-    the pair-generating join only over gated survivors, the broadcast
-    decontamination probe only over near-dedup survivors, and the
-    mixture aggregate over the smallest relation of all. Every stage
-    shares its expressions verbatim with its standalone key
-    (q_text_quality / q_dedup_exact / q_dedup_near / q_decontaminate /
-    q_sample_temperature), and its front half LITERALLY with
-    q_pipeline_corpus_clean (_clean_relation / _clean_ctes), so the
-    composition is hash-checked with the same bit-exactness discipline
-    as each stage alone."""
+def _llm_stages(spark, sf_dir):
+    """Per-stage relations of the LLM corpus build — {decon,
+    manifest} on top of _clean_stages — so the waterfall report
+    counts the SAME relations q_pipeline_llm_corpus ships
+    (anti-drift; the _clean_stages discipline extended through the
+    decontamination and sampling stages)."""
     from hive_similarity_join_spark.functions import text as TX
     from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
 
     d = load_table(spark, sf_dir, "documents")
-    clean = _clean_relation(spark, sf_dir)
+    stages = _clean_stages(spark, sf_dir)
+    clean = stages["clean"]
 
     grams = F.array_distinct(TX.word_ngrams(F.col("bag"), _DECON_N))
     ev = (
@@ -734,7 +741,7 @@ def q_pipeline_llm_corpus(spark, sf_dir):
         ).cast("bigint")
         / F.lit(4294967296.0)
     )
-    return (
+    manifest = (
         decon.join(F.broadcast(rates), "lang")
         .filter(coin < F.col("sample_rate"))
         .select(
@@ -744,6 +751,33 @@ def q_pipeline_llm_corpus(spark, sf_dir):
             "sample_rate",
         )
     )
+    return {**stages, "decon": decon, "manifest": manifest}
+
+
+@query("q_pipeline_llm_corpus", oracle=_llm_corpus_oracle())
+def q_pipeline_llm_corpus(spark, sf_dir):
+    """The WHOLE LLM training-corpus build in one Catalyst plan —
+    q_pipeline_corpus_clean extended through the remaining hygiene
+    stages: quality gate -> exact dedup -> near-dup removal (t=0.9
+    kernel over survivors) -> eval-set decontamination (any shared
+    4-gram with the doc_id % 53 eval split drops the doc; the eval
+    split itself never enters the corpus) -> temperature-flattened
+    language resampling (T=2, rates computed over the POST-
+    decontamination corpus — the mixture you actually train on, not
+    the raw crawl). Output: the training manifest (doc_id, lang,
+    n_tokens, sample_rate).
+
+    Stage ORDER is the 100 TB optimization: O(corpus) scans first,
+    the pair-generating join only over gated survivors, the broadcast
+    decontamination probe only over near-dedup survivors, and the
+    mixture aggregate over the smallest relation of all. Every stage
+    shares its expressions verbatim with its standalone key
+    (q_text_quality / q_dedup_exact / q_dedup_near / q_decontaminate /
+    q_sample_temperature), and its front half LITERALLY with
+    q_pipeline_corpus_clean (_clean_relation / _clean_ctes), so the
+    composition is hash-checked with the same bit-exactness discipline
+    as each stage alone."""
+    return _llm_stages(spark, sf_dir)["manifest"]
 
 
 VAL_HEX_CUTOFF = "1999999999999999"  # ~10% of the 64-bit hex space
@@ -1399,3 +1433,127 @@ def q_compaction_plan(spark, sf_dir):
             F.sum("n_chars").cast("double") / F.lit(float(_COMPACT_TARGET))
         ).alias("fill_frac"),
     )
+
+
+# ------------------------------------------ pipeline stage waterfall
+
+_WF_STAGES = (
+    "raw", "quality_gate", "exact_dedup", "near_dedup",
+    "decontaminate", "sampled",
+)
+
+
+def _waterfall_oracle() -> str:
+    return f"""
+WITH {_clean_ctes()},
+{_decon_ctes()},
+c0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(len(bag)), 0) AS BIGINT) AS t
+  FROM bags
+),
+c1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM kept
+),
+c2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM surv
+),
+c3 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM clean
+),
+c4 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM decon
+),
+c5 AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t
+  FROM (
+    SELECT d.n_tokens FROM decon d JOIN rates r USING (lang)
+    WHERE {_MANIFEST_PRED}
+  )
+)
+SELECT CAST(0 AS BIGINT) AS stage_seq, 'raw' AS stage,
+       c0.d AS n_docs, c0.t AS n_tokens, 1.0 AS kept_frac FROM c0
+UNION ALL SELECT 1, 'quality_gate', c1.d, c1.t,
+       CAST(c1.d AS DOUBLE) / c0.d FROM c1, c0
+UNION ALL SELECT 2, 'exact_dedup', c2.d, c2.t,
+       CAST(c2.d AS DOUBLE) / c1.d FROM c2, c1
+UNION ALL SELECT 3, 'near_dedup', c3.d, c3.t,
+       CAST(c3.d AS DOUBLE) / c2.d FROM c3, c2
+UNION ALL SELECT 4, 'decontaminate', c4.d, c4.t,
+       CAST(c4.d AS DOUBLE) / c3.d FROM c4, c3
+UNION ALL SELECT 5, 'sampled', c5.d, c5.t,
+       CAST(c5.d AS DOUBLE) / c4.d FROM c5, c4
+"""
+
+
+@query("q_pipeline_stage_waterfall", oracle=_waterfall_oracle())
+def q_pipeline_stage_waterfall(spark, sf_dir):
+    """The corpus build's STAGE WATERFALL — pipeline observability as
+    an operator: one row per stage of the q_pipeline_llm_corpus build
+    (raw -> quality gate -> exact dedup -> near-dup removal ->
+    decontamination -> temperature sampling) with surviving docs,
+    surviving tokens, and the stage's keep fraction — the first
+    dashboard a pipeline operator reads (an unexpected cliff in
+    kept_frac is how a broken filter or a poisoned source announces
+    itself), and the provenance record a data card quotes.
+
+    Anti-drift is the whole design: the stage relations are the SAME
+    DataFrames the shipping keys return (_clean_stages / _llm_stages
+    seams; the oracle composes the same _clean_ctes + _decon_ctes the
+    llm-corpus oracle runs), so the waterfall cannot disagree with
+    the pipeline it describes. Each stage is a 1-row aggregate; the
+    keep fractions are single exact-int divisions against the
+    previous stage's 1-row result — at 100 TB this key costs the
+    pipeline's own passes plus six count/sum aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    st = _llm_stages(spark, sf_dir)
+
+    def agg(df, tokens_col):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("d"),
+            F.coalesce(F.sum(tokens_col), F.lit(0))
+            .cast("bigint")
+            .alias("t"),
+        )
+    from hive_similarity_join_spark.functions import text as TX
+
+    raw = agg(d.select(F.size(TX.bag_tokens("text")).alias("nt")), "nt")
+    stage_aggs = [raw] + [
+        agg(st[k], "n_tokens")
+        for k in ("kept", "surv", "clean", "decon", "manifest")
+    ]
+    out = None
+    for i, name in enumerate(_WF_STAGES):
+        cur = stage_aggs[i]
+        if i == 0:
+            row = cur.select(
+                F.lit(0).cast("bigint").alias("stage_seq"),
+                F.lit(name).alias("stage"),
+                F.col("d").alias("n_docs"),
+                F.col("t").alias("n_tokens"),
+                F.lit(1.0).alias("kept_frac"),
+            )
+        else:
+            prev = stage_aggs[i - 1].select(
+                F.col("d").alias("_pd")
+            )
+            row = cur.crossJoin(F.broadcast(prev)).select(
+                F.lit(i).cast("bigint").alias("stage_seq"),
+                F.lit(name).alias("stage"),
+                F.col("d").alias("n_docs"),
+                F.col("t").alias("n_tokens"),
+                (F.col("d").cast("double") / F.col("_pd")).alias(
+                    "kept_frac"
+                ),
+            )
+        out = row if out is None else out.unionByName(row)
+    return out

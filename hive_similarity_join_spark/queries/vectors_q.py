@@ -1807,3 +1807,146 @@ def q_vec_knn_bq(spark, sf_dir):
         .filter(F.col("rank") <= KNN_K)
         .select("probe_id", "vec_id", "sim", "rank")
     )
+
+
+BQ_DEPTHS = (5, 10, 25, 50)
+
+
+def _bq_depth_oracle() -> str:
+    from hive_similarity_join_spark.registry import ORACLES
+
+    grid = ", ".join(f"({d})" for d in BQ_DEPTHS)
+    return f"""
+WITH exact AS ({ORACLES["q_vec_knn"]}),
+c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {_duck_bq_word(0)} AS w1,
+         {_duck_bq_word(32)} AS w2
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, a.v AS av, b.v AS bv,
+         bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+           AS hamming
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_PROBES}
+),
+top AS (
+  SELECT probe_id, vec_id, av, bv,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY hamming, vec_id) AS crank
+  FROM cand
+),
+grid(d) AS (VALUES {grid}),
+rr AS (
+  SELECT g.d, t.probe_id, t.vec_id,
+         row_number() OVER (PARTITION BY g.d, t.probe_id
+                            ORDER BY {V.duck_cosine('t.av', 't.bv')} DESC,
+                                     t.vec_id) AS rank
+  FROM top t JOIN grid g ON t.crank <= g.d
+),
+hits AS (
+  SELECT r.d, count(*) AS h
+  FROM rr r JOIN exact e
+    ON e.probe_id = r.probe_id AND e.vec_id = r.vec_id
+  WHERE r.rank <= {KNN_K}
+  GROUP BY r.d
+),
+pt AS (SELECT count(DISTINCT probe_id) AS np_total FROM exact)
+SELECT CAST(g.d AS BIGINT) AS depth,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.h, 0) AS DOUBLE)
+         / CAST(pt.np_total * {KNN_K} AS DOUBLE) AS recall
+FROM grid g LEFT JOIN hits h ON h.d = g.d CROSS JOIN pt
+"""
+
+
+@query("q_vec_bq_depth_curve", oracle=_bq_depth_oracle())
+def q_vec_bq_depth_curve(spark, sf_dir):
+    """BQ's TUNING CURVE: recall@k as a function of rerank depth —
+    the binary-quantized family's one dial (q_vec_recall_curve is the
+    same artifact for IVF's nprobe): Hamming candidates are ranked
+    ONCE per probe, and every curve point {D} just filters
+    crank <= depth before the exact rerank — the whole curve costs
+    the largest point, not the sum (the measure-the-curve-for-free
+    posture every sweep key here takes). The operating question it
+    answers: how many full-precision vectors must be fetched per
+    probe before 1-bit codes match the recall of fatter indexes —
+    the fetch depth IS the I/O cost at 100 TB, where codes live in
+    memory and vectors on parquet.
+
+    Exactness: Hamming ranks are integers with vec_id tie-break; the
+    rerank is the exact cosine; hits are integer intersections with
+    the verified q_vec_knn oracle; recall is one division by the
+    exact probes x k denominator.""".format(D=list(BQ_DEPTHS))
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+        F.expr(_bq_word(0)).alias("_w1"),
+        F.expr(_bq_word(32)).alias("_w2"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("_v").alias("_av"),
+        F.col("_w1").alias("_a1"),
+        F.col("_w2").alias("_a2"),
+    ).filter(F.col("probe_id") < N_PROBES)
+    b = base.select(
+        "vec_id",
+        F.col("_v").alias("_bv"),
+        F.col("_w1").alias("_b1"),
+        F.col("_w2").alias("_b2"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("probe_id") != F.col("vec_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_a1").bitwiseXOR(F.col("_b1")))
+            + F.bit_count(F.col("_a2").bitwiseXOR(F.col("_b2"))),
+        )
+    )
+    wc = W.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    top = scored.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= max(BQ_DEPTHS)
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in BQ_DEPTHS])).alias("d")
+    )
+    rr = (
+        top.crossJoin(F.broadcast(grid))
+        .filter(F.col("crank") <= F.col("d"))
+        .withColumn("sim", V.cosine(F.col("_av"), F.col("_bv")))
+    )
+    wk = W.partitionBy("d", "probe_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    topk = rr.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= KNN_K
+    )
+    exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
+    hits = (
+        topk.join(exact, ["probe_id", "vec_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    pt = exact.agg(
+        F.countDistinct("probe_id").alias("np_total")
+    )
+    n_hits = F.coalesce(F.col("h"), F.lit(0))
+    return (
+        grid.join(hits, "d", "left")
+        .crossJoin(F.broadcast(pt))
+        .select(
+            F.col("d").cast("bigint").alias("depth"),
+            n_hits.cast("bigint").alias("hits"),
+            (
+                n_hits.cast("double")
+                / (F.col("np_total") * KNN_K).cast("double")
+            ).alias("recall"),
+        )
+    )

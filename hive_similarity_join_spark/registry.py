@@ -111,6 +111,8 @@ PRIORITY: list[str] = [
     # their r14 verdicts predate the change, so they re-enter the
     # window with the r15 staged batch:
     "q_vec_ann_recall", "q_vec_ann_cost",
+    "q_vec_bq_depth_curve", "q_agg_kmv_setops",
+    "q_pipeline_stage_waterfall",
 ]
 
 
