@@ -64,55 +64,47 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-15 window (positions 1-50) ----
-    # The precomputed rotation from the r14 checklist (CLAUDE.md +
-    # VERDICT r14 item #1), valid verbatim because all 50 r14 window
-    # keys landed FULL green verdicts (CORRECTNESS_r14: 50/50
-    # rows+schema+hash, 0 failures, 0 err — verified r15 start).
-    # Head: the 27 round-14 additions in their staged order — none has
-    # ANY driver verdict (all 27 selfchecked bit-exact at r14, and
-    # independently re-run green by the r14 judge).
-    "q_unigram_oov", "q_unigram_prune", "q_bpe_oov", "q_zonemap_pruning",
-    "q_vec_hard_negatives", "q_cdc_compact", "q_curriculum_order",
-    "q_sample_coreset", "q_graph_communities", "q_dedup_cc_vs_lpa",
-    "q_agg_equidepth_hist", "q_wordpiece_merges", "q_wordpiece_encode",
-    "q_join_anti_nullaware", "q_wordpiece_encode_docs", "q_join_nullsafe",
-    "q_split_leakage", "q_report_dedup_savings", "q_roundtrip_serde",
-    "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
-    "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
-    "q_join_lateral", "q_agg_bool",
-    # Backfill (23): oldest-latest-verdict keys, recomputed r15 start
-    # from CORRECTNESS_r0{1..14}. First the 14 remaining r9-era keys
-    # in CORRECTNESS_r09 file order:
-    "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
-    "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
-    "q_multimodal_features", "q_multimodal_frames",
-    "q_pipeline_corpus_clean", "q_report_dup_rate", "q_text_vocab_stats",
-    "q_vec_knn", "q_vec_knn_ann",
-    # ...then the first 9 r10-era keys in CORRECTNESS_r10 file order.
-    # The remaining r10-era keys (q_vec_recall_curve q_multimodal_dedup
-    # q_agg_skew_kurtosis ...) spill to r16.
-    "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
-    "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
-    "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
-    # ---- positions 51+ (round-16 head candidates) ----
-    # Stage round-15 additions here as they land; rotate to head at r16
-    # (then backfill with the next-oldest keys — the remaining r10-era
-    # keys first in CORRECTNESS_r10 file order — recompute from
-    # CORRECTNESS_r0{1..15} at r16 start as always).
+    # ---- round-16 window (positions 1-50) ----
+    # The precomputed rotation from the r15 checklist (CLAUDE.md +
+    # VERDICT r15 item #1), valid verbatim because all 50 r15 window
+    # keys landed FULL green verdicts (CORRECTNESS_r15: 50/50
+    # rows+schema+hash, 0 failures, 0 err — verified r16 start).
+    # Head: the 18 round-15 staged entries in their staged order — 16
+    # brand-new keys plus the two dashboards whose output grew mid-r15
+    # (the 'bq' method rows); all 18 selfchecked bit-exact at r15 and
+    # independently re-run green by the r15 judge.
     "q_graph_kcore", "q_graph_bridges",
     "q_dedup_winnowing", "q_dedup_winnowing_recall",
     "q_compaction_plan", "q_join_partition_pruned",
     "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
     "q_time_downsample", "q_subquery_scalar",
     "q_graph_link_prediction", "q_vec_knn_bq", "q_schema_evolution",
-    # ...plus the two dashboards whose OUTPUT grew mid-r15 (the 'bq'
-    # method row: 70->80 and 8->9 rows, re-verified tuned AND plain) —
-    # their r14 verdicts predate the change, so they re-enter the
-    # window with the r15 staged batch:
     "q_vec_ann_recall", "q_vec_ann_cost",
     "q_vec_bq_depth_curve", "q_agg_kmv_setops",
     "q_pipeline_stage_waterfall",
+    # Backfill (32): oldest-latest-verdict keys, recomputed r16 start
+    # from CORRECTNESS_r0{1..15} (latest full-green verdict per key:
+    # 41 r10-era keys remain, no older). The first 32 in CORRECTNESS_r10
+    # file order (file positions 9-40):
+    "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
+    "q_win_percentiles", "q_sample_negatives", "q_docs_length_percentiles",
+    "q_events_dau_wau", "q_vec_dim_stats", "q_docs_dup_matrix",
+    "q_vec_centroid_shift", "q_schema_profile", "q_report_cohort_ltv",
+    "q_vec_pq_distortion", "q_dedup_lsh_recall", "q_report_ship_latency",
+    "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
+    "q_cast", "q_contamination_report", "q_decontaminate_hashed",
+    "q_dedup_containment", "q_events_outliers", "q_filter_pred",
+    "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
+    "q_pii_redact", "q_sample_temperature", "q_simjoin_containment",
+    "q_scd2_history",
+    # ---- positions 51+ (round-17 head candidates) ----
+    # Stage round-16 additions here as they land; rotate to head at r17
+    # (then backfill with the next-oldest keys — the remaining 9
+    # r10-era keys first in CORRECTNESS_r10 file order: q_vec_quantize
+    # q_text_rules_filter q_vec_knn_quantized q_retention_cohorts
+    # q_simjoin_weighted_containment q_simjoin_containment_rs q_tpch_q1
+    # q_tpch_q2 q_tpch_q3 — recompute from CORRECTNESS_r0{1..16} at r17
+    # start as always).
 ]
 
 

@@ -90,56 +90,55 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round15_correctness_window_composition():
+def test_round16_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-15 contract (the rotation precomputed at r14 end,
-    valid verbatim because CORRECTNESS_r14 was 50/50 full green): the
-    27 round-14 additions lead the window in their staged order (none
-    has any driver verdict; all selfchecked bit-exact and re-run green
-    by the r14 judge), then 23 oldest-latest-verdict keys backfill —
-    the 14 remaining r9-era keys in CORRECTNESS_r09 file order, then
-    the first 9 r10-era keys in CORRECTNESS_r10 file order. Round-15
-    additions stay at 51+ (verdicts in the round-16 rotation). A
-    PRIORITY edit that accidentally reorders the window fails here,
-    loudly."""
+    order. Round-16 contract (the rotation precomputed at r15 end,
+    valid verbatim because CORRECTNESS_r15 was 50/50 full green): the
+    18 round-15 staged entries lead the window in their staged order
+    (16 brand-new keys plus the two dashboards whose output grew
+    mid-r15; all 18 selfchecked bit-exact and re-run green by the r15
+    judge), then 32 oldest-latest-verdict keys backfill — the first 32
+    remaining r10-era keys in CORRECTNESS_r10 file order (file
+    positions 9-40; recomputed from CORRECTNESS_r0{1..15} at r16
+    start). Round-16 additions stay at 51+ (verdicts in the round-17
+    rotation). A PRIORITY edit that accidentally reorders the window
+    fails here, loudly."""
     from hive_similarity_join_spark.registry import QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_unigram_oov"
-    assert head[26] == "q_agg_bool"
-    assert head[27] == "q_agg_argmax"
-    assert head[40] == "q_vec_knn_ann"
-    assert head[41] == "q_vec_knn_ivf_kmeans"
-    assert head[49] == "q_vec_ivf_balance"
-    staged_r14 = [
-        "q_unigram_oov", "q_unigram_prune", "q_bpe_oov",
-        "q_zonemap_pruning", "q_vec_hard_negatives", "q_cdc_compact",
-        "q_curriculum_order", "q_sample_coreset", "q_graph_communities",
-        "q_dedup_cc_vs_lpa", "q_agg_equidepth_hist", "q_wordpiece_merges",
-        "q_wordpiece_encode", "q_join_anti_nullaware",
-        "q_wordpiece_encode_docs", "q_join_nullsafe", "q_split_leakage",
-        "q_report_dedup_savings", "q_roundtrip_serde",
-        "q_wordpiece_rounds_sweep", "q_agg_bitwise", "q_map_funcs",
-        "q_join_bucketed", "q_agg_string_agg", "q_str_regexp_extract_all",
-        "q_join_lateral", "q_agg_bool",
+    assert head[0] == "q_graph_kcore"
+    assert head[17] == "q_pipeline_stage_waterfall"
+    assert head[18] == "q_vec_recall_curve"
+    assert head[49] == "q_scd2_history"
+    staged_r15 = [
+        "q_graph_kcore", "q_graph_bridges",
+        "q_dedup_winnowing", "q_dedup_winnowing_recall",
+        "q_compaction_plan", "q_join_partition_pruned",
+        "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
+        "q_time_downsample", "q_subquery_scalar",
+        "q_graph_link_prediction", "q_vec_knn_bq", "q_schema_evolution",
+        "q_vec_ann_recall", "q_vec_ann_cost",
+        "q_vec_bq_depth_curve", "q_agg_kmv_setops",
+        "q_pipeline_stage_waterfall",
     ]
-    assert head[:27] == staged_r14
-    backfill_r9 = [
-        "q_agg_argmax", "q_agg_collect", "q_array_funcs", "q_knn_topk",
-        "q_lateral_explode", "q_multimodal_bytes", "q_multimodal_decode",
-        "q_multimodal_features", "q_multimodal_frames",
-        "q_pipeline_corpus_clean", "q_report_dup_rate",
-        "q_text_vocab_stats", "q_vec_knn", "q_vec_knn_ann",
-    ]
-    assert head[27:41] == backfill_r9
+    assert head[:18] == staged_r15
     backfill_r10 = [
-        "q_vec_knn_ivf_kmeans", "q_events_funnel", "q_events_retention",
-        "q_time_ohlc", "q_events_lag_features", "q_agg_value_histogram",
-        "q_graph_degree_dist", "q_docs_tfidf_terms", "q_vec_ivf_balance",
+        "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
+        "q_win_percentiles", "q_sample_negatives",
+        "q_docs_length_percentiles", "q_events_dau_wau", "q_vec_dim_stats",
+        "q_docs_dup_matrix", "q_vec_centroid_shift", "q_schema_profile",
+        "q_report_cohort_ltv", "q_vec_pq_distortion", "q_dedup_lsh_recall",
+        "q_report_ship_latency", "q_agg_kmv_distinct",
+        "q_boilerplate_passages", "q_case_when", "q_cast",
+        "q_contamination_report", "q_decontaminate_hashed",
+        "q_dedup_containment", "q_events_outliers", "q_filter_pred",
+        "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
+        "q_pii_redact", "q_sample_temperature", "q_simjoin_containment",
+        "q_scd2_history",
     ]
-    assert head[41:50] == backfill_r10
+    assert head[18:50] == backfill_r10
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
