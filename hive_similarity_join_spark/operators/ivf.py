@@ -39,6 +39,21 @@ _SEED = 20260813
 TRAIN_SAMPLE = 2048
 
 
+def _session_memo(df, name, build):
+    """Per-session memo for bounded driver-side trainer outputs (r16):
+    centroid lists are k x dim floats/ints collected from deterministic
+    bounded subproblems — re-collecting them per consuming key costs a
+    full assign/aggregate job chain each time. Keyed by the input
+    relation's canonicalized plan hash + the training params (embedded
+    in ``name`` by the callers), scoped to the live applicationId: a
+    new session recomputes from parquet, so nothing survives a run."""
+    from hive_similarity_join_spark.operators.cache import session_state
+
+    return session_state(
+        name, df.sparkSession.sparkContext.applicationId, build
+    )
+
+
 def train_cells(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -59,12 +74,20 @@ def train_cells(
     """
     import numpy as np
 
-    rows = (
-        corpus.orderBy(id_col)
-        .limit(TRAIN_SAMPLE)
-        .select(V.as_double(vec_col).alias("_v"))
-        .collect()
+    key = (
+        f"ivf_train_cells:{corpus.semanticHash()}:{vec_col}:"
+        f"{n_cells}:{max_iter}:{id_col}"
     )
+
+    def rows_build():
+        return (
+            corpus.orderBy(id_col)
+            .limit(TRAIN_SAMPLE)
+            .select(V.as_double(vec_col).alias("_v"))
+            .collect()
+        )
+
+    rows = _session_memo(corpus, key, rows_build)
     X = np.asarray([r._v for r in rows], dtype=np.float64)
     rng = np.random.RandomState(_SEED)
     centers = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
@@ -100,15 +123,23 @@ def hash_sampled_centroids(
     the sample itself is a distributed TakeOrderedAndProject, not a
     full-corpus sort. Cell ids are positions in the (md5, id) order.
     """
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("_id"), V.as_double(vec_col).alias("_v")
-        )
-        .withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h", "_id")
-        .limit(n_cells)
-        .collect()
+    key = (
+        f"ivf_hash_centroids:{corpus.semanticHash()}:{vec_col}:"
+        f"{n_cells}:{id_col}"
     )
+
+    def rows_build():
+        return (
+            corpus.select(
+                F.col(id_col).alias("_id"), V.as_double(vec_col).alias("_v")
+            )
+            .withColumn("_h", F.md5(F.col("_id").cast("string")))
+            .orderBy("_h", "_id")
+            .limit(n_cells)
+            .collect()
+        )
+
+    rows = _session_memo(corpus, key, rows_build)
     return [[float(x) for x in r._v] for r in rows]
 
 
@@ -391,31 +422,47 @@ def lloyd_kmeans_centroids(
     drift. Each round: one codegen'd argmin projection + one
     partial-aggregated (cell, dim) shuffle + a k*dim-bounded collect."""
     spark = v.sparkSession
-    init_rows = (
-        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("_h", "vec_id")
-        .limit(k)
-        .select("xi")
-        .collect()
-    )
-    centroids = [(i, [int(x) for x in r.xi]) for i, r in enumerate(init_rows)]
-    nearest = _nearest_centroid(F.col("xi"))
-    for _ in range(rounds):
-        asg = v.crossJoin(
-            F.broadcast(_centroid_relation(spark, centroids))
-        ).select("vec_id", "xi", nearest["cell"].alias("cluster"))
-        cent_rows = (
-            asg.select("cluster", F.posexplode("xi").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.expr("sum(val) div count(*)").alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_s"))
-            .select("cluster", F.transform("_s", lambda s: s["c"]).alias("c"))
-            .orderBy("cluster")
+
+    def train():
+        init_rows = (
+            v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h", "vec_id")
+            .limit(k)
+            .select("xi")
             .collect()
         )
-        centroids = [(int(r.cluster), [int(x) for x in r.c]) for r in cent_rows]
-    return centroids
+        centroids = [
+            (i, [int(x) for x in r.xi]) for i, r in enumerate(init_rows)
+        ]
+        nearest = _nearest_centroid(F.col("xi"))
+        for _ in range(rounds):
+            asg = v.crossJoin(
+                F.broadcast(_centroid_relation(spark, centroids))
+            ).select("vec_id", "xi", nearest["cell"].alias("cluster"))
+            cent_rows = (
+                asg.select("cluster", F.posexplode("xi").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.expr("sum(val) div count(*)").alias("c"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("_s")
+                )
+                .select(
+                    "cluster", F.transform("_s", lambda s: s["c"]).alias("c")
+                )
+                .orderBy("cluster")
+                .collect()
+            )
+            centroids = [
+                (int(r.cluster), [int(x) for x in r.c]) for r in cent_rows
+            ]
+        return centroids
+
+    return _session_memo(
+        v, f"lloyd_centroids:{v.semanticHash()}:{k}:{rounds}", train
+    )
 
 
 def lloyd_kmeans_fixedpoint(

@@ -129,13 +129,27 @@ def wordpiece_merge_rounds(
     ``bpe_train`` lineage-cut device: one bounded vocab-sized
     materialization per round, round-local plans, and still nothing
     collected to the driver."""
+    bests, words_by_round = wordpiece_merge_rounds_trace(words, n_rounds)
+    return bests, words_by_round[-1]
+
+
+def wordpiece_merge_rounds_trace(
+    words: DataFrame, n_rounds: int = N_ROUNDS
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """``wordpiece_merge_rounds`` keeping EVERY round's vocabulary:
+    (per-round 1-row winners, [words after 0..n_rounds merges]) — the
+    r16 sharing seam: each round is checkpointed anyway, so holding the
+    intermediate references costs nothing, and the rounds sweep's
+    snapshots are exactly prefixes of this chain."""
     bests = []
     words = words.localCheckpoint(eager=True)
+    words_by_round = [words]
     for _ in range(n_rounds):
         best = best_scored_pair(words).localCheckpoint(eager=True)
         bests.append(best)
         words = apply_merge(words, best).localCheckpoint(eager=True)
-    return bests, words
+        words_by_round.append(words)
+    return bests, words_by_round
 
 
 def piece_inventory(final_words: DataFrame) -> DataFrame:

@@ -81,10 +81,10 @@ def lsh_pair_graph(spark, sf_dir):
     dedup key and its recall audit both need it, so whichever runs
     first in a session materializes it once (~20 MB at sf0.1). Same
     degrade-to-recompute contract — see exact_pair_graph."""
-    from hive_similarity_join_spark.operators.cache import session_pin
+    from hive_similarity_join_spark.operators.cache import session_ckpt
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    return session_pin(
+    return session_ckpt(
         "lsh_pair_graph_t08",
         scope,
         lambda: minhash_lsh_pairs(
@@ -92,6 +92,27 @@ def lsh_pair_graph(spark, sf_dir):
             "doc_id",
             "text",
             threshold=MINHASH_T,
+        ),
+    )
+
+
+def lsh_cc_labels(spark, sf_dir):
+    """Session-pinned min-label CC labeling (id, comp) of the
+    MinHash-LSH pair graph — r16 optimization: q_dedup_representatives,
+    q_dedup_cluster_sizes and q_report_dedup_savings each re-ran the
+    checkpointed CC iteration over the SAME pair graph (their builders
+    previously even re-generated the graph itself from bag tokens —
+    identical content, _ranked_tokens dedupes post-explode, verified
+    bit-exact against the unchanged oracles). Node-sized relation;
+    degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "lsh_cc_labels_t08",
+        scope,
+        lambda: connected_components(
+            lsh_pair_graph(spark, sf_dir).select("id1", "id2")
         ),
     )
 
@@ -132,10 +153,10 @@ def simhash_pair_graph(spark, sf_dir):
     """Session-pinned narrow (Hamming <= 3) SimHash pair relation —
     shared by q_text_simhash and q_dedup_simhash_recall, same contract
     as exact_pair_graph."""
-    from hive_similarity_join_spark.operators.cache import session_pin
+    from hive_similarity_join_spark.operators.cache import session_ckpt
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    return session_pin(
+    return session_ckpt(
         "simhash_pair_graph_h3",
         scope,
         lambda: simhash_pairs(
@@ -151,10 +172,10 @@ def simhash_wide_pair_graph(spark, sf_dir):
     """Session-pinned wide (Hamming <= 8) SimHash pair relation —
     shared by q_text_simhash_wide, q_dedup_simhash_wide_recall and the
     blocking ensemble, same contract as exact_pair_graph."""
-    from hive_similarity_join_spark.operators.cache import session_pin
+    from hive_similarity_join_spark.operators.cache import session_ckpt
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    return session_pin(
+    return session_ckpt(
         "simhash_wide_pair_graph_h8",
         scope,
         lambda: simhash_pairs_wide(
@@ -722,8 +743,13 @@ def q_dedup_connected(spark, sf_dir):
     CTE (component = min reachable id), so the key is hash-checked
     end to end. Clustering correctness is additionally pytest-verified
     on hand-built graphs (tests/test_dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
+    from hive_similarity_join_spark.queries.text_q import (
+        NEAR_DUP_T,
+        near_pair_graph,
+    )
+
+    assert CC_T == NEAR_DUP_T  # the shared t=0.9 session pin is only valid then
+    pairs = near_pair_graph(spark, sf_dir).select("id1", "id2")
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -738,8 +764,13 @@ def q_dedup_connected_star(spark, sf_dir):
     on the SAME pair graph so the two algorithms are directly
     comparable in the bench; pytest asserts identical labelings
     (tests/test_dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = similarity_join(docs, "doc_id", "text", threshold=CC_T)
+    from hive_similarity_join_spark.queries.text_q import (
+        NEAR_DUP_T,
+        near_pair_graph,
+    )
+
+    assert CC_T == NEAR_DUP_T  # the shared t=0.9 session pin is only valid then
+    pairs = near_pair_graph(spark, sf_dir).select("id1", "id2")
     return connected_components_alternating(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -879,10 +910,10 @@ def q_dedup_representatives(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
-    pairs = minhash_lsh_pairs(
-        base, "doc_id", "text", threshold=MINHASH_T, tokens_col="_bag"
-    )
-    return _representatives_tail(base, connected_components(pairs))
+    # r16: the pair graph + CC labeling are the session-pinned
+    # lsh_pair_graph / lsh_cc_labels (bit-identical to the former
+    # in-key bag-token generator — see lsh_cc_labels docstring).
+    return _representatives_tail(base, lsh_cc_labels(spark, sf_dir))
 
 
 def _representatives_tail(base, comp):
@@ -1698,10 +1729,8 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     recursive-CTE closure of the same graph."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
-    pairs = minhash_lsh_pairs(
-        base, "doc_id", "text", threshold=MINHASH_T, tokens_col="_bag"
-    )
-    comp = connected_components(pairs)
+    # r16: session-pinned graph + CC labels (see lsh_cc_labels).
+    comp = lsh_cc_labels(spark, sf_dir)
     lab = (
         base.filter(F.size("_bag") > 0)
         .select("doc_id")
@@ -1869,9 +1898,9 @@ def q_graph_pagerank(spark, sf_dir):
     base) relations broadcast. Rounds unroll lazily into a single
     plan ({PR_ROUNDS} shuffle pairs); a 100-round production run
     would localCheckpoint every ~8 rounds like the CC operator."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     # persist: the similarity-join pair graph feeds nodes, degrees, and
     # every iteration — without it the trigram join recomputes 5x
     # (selfcheck/bench clear the cache per key)
@@ -1996,9 +2025,9 @@ def q_graph_triangles(spark, sf_dir):
     division of two exact integers (2*tri / deg*(deg-1)) — identical
     literal shape in both engines, no FMA-able chain (CLAUDE.md rule).
     """
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     deg = pin(
         pairs.select(F.col("id1").alias("id"))
         .unionAll(pairs.select(F.col("id2").alias("id")))
@@ -2155,9 +2184,9 @@ def q_graph_communities(spark, sf_dir):
     (sync LPA need not converge; a production run exposes the round
     count as the knob), so the oracle mirrors with one generated
     vote/label CTE pair per round.""".format(R=_LPA_ROUNDS)
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     e = pin(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionAll(
@@ -2170,6 +2199,27 @@ def q_graph_communities(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("lab").cast("bigint").alias("community"),
         F.col("n").cast("bigint").alias("community_size"),
+    )
+
+
+def ngram_cc_labels(spark, sf_dir):
+    """Session-pinned min-label CC labeling (id, comp) of the trigram
+    pair graph — r16 optimization: q_dedup_cc_vs_lpa and
+    q_graph_bridges each re-ran the full checkpointed CC iteration
+    over the SAME session-pinned graph (~4-6 s apiece at sf0.1);
+    whichever runs first in a session now materializes the node-sized
+    label table once. Degrade after a clearCache is recompute, never a
+    different answer (CC is deterministic on a deterministic graph)."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "ngram_cc_labels",
+        scope,
+        lambda: connected_components(
+            ngram_pair_graph(spark, sf_dir).select("id1", "id2")
+        ),
     )
 
 
@@ -2237,14 +2287,14 @@ def q_dedup_cc_vs_lpa(spark, sf_dir):
     Scale shape: the two label tables are node-sized; the audit adds
     one join and two aggregates on top of computations whose cost the
     individual keys already price."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")).unionAll(
         pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
     )
     labels = lpa_labels(e, _LPA_ROUNDS)
-    comp = connected_components(pairs).select(
+    comp = ngram_cc_labels(spark, sf_dir).select(
         F.col("id").alias("cid"), "comp"
     )
     per = (
@@ -2347,9 +2397,9 @@ def q_graph_kcore(spark, sf_dir):
     exponential chain).""".format(R=_KCORE_ROUNDS)
     from pyspark.sql import Window
 
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     e = pin(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionAll(
@@ -2488,9 +2538,9 @@ def q_graph_bridges(spark, sf_dir):
     uses; isolated-after-pruning nodes self-label (coalesce to own
     id — safe, labels are component-min ids). No collects, no windows,
     no cartesian products."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     e = pin(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionAll(
@@ -2524,7 +2574,7 @@ def q_graph_bridges(spark, sf_dir):
         .distinct()
     )
     cand = pin(c1.join(t3, ["id1", "id2"], "left_anti"))
-    comp = connected_components(pairs).select(
+    comp = ngram_cc_labels(spark, sf_dir).select(
         F.col("id").alias("kid"), F.col("comp").alias("component")
     )
     sz = comp.groupBy("component").agg(
@@ -2612,12 +2662,12 @@ def q_graph_degree_dist(spark, sf_dir):
     pair join is negligible. The node total is a 1-row broadcast (the
     q_search_bm25 scalar-stats pattern). Exactness: counts are
     bigints; frac is one division."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    # pin: the union's two legs each scan the pair subtree — without
-    # this the trigram candidate join runs twice (measured 14.3s ->
-    # ~8s at sf0.1, the q_graph_* shared-subtree rule)
-    pairs = pin(q_dedup_ngram(spark, sf_dir).select("id1", "id2"))
+    # session-pinned (r16): the union's two legs each scan the pair
+    # subtree; the shared pin serves both AND every other trigram-graph
+    # consumer in the session
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     deg = (
         pairs.select(F.col("id1").alias("id"))
         .unionAll(pairs.select(F.col("id2").alias("id")))
@@ -2970,10 +3020,10 @@ def q_docs_dup_matrix(spark, sf_dir):
     canonicalized (lexicographic source order) BEFORE aggregation so
     the matrix is symmetric-upper by construction. Output cardinality
     is |sources|^2 at most; the pair-count total is a 1-row broadcast."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    pairs = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     lab = (
         pairs.join(
             F.broadcast(d.select(F.col("doc_id").alias("id1"), F.col("source").alias("s1"))),
@@ -3033,17 +3083,15 @@ def exact_pair_graph(spark, sf_dir):
     oracle CTE), so the audits cannot drift from what they audit, and
     a dropped pin (clearCache) degrades to recompute, never to a
     different answer."""
-    from hive_similarity_join_spark.operators.cache import session_pin
     from hive_similarity_join_spark.queries.similarity_q import (
-        q_simjoin_jaccard_self,
+        jaccard_self_pair_graph,
     )
 
-    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    return session_pin(
-        "exact_pair_graph_t08",
-        scope,
-        lambda: q_simjoin_jaccard_self(spark, sf_dir).select("id1", "id2"),
-    )
+    # The session pin itself lives with the flagship builder
+    # (similarity_q.jaccard_self_pair_graph, r16) and carries the full
+    # (id1, id2, sim) output so the flagship key shares it too; this
+    # helper keeps the audit family's 2-column contract.
+    return jaccard_self_pair_graph(spark, sf_dir).select("id1", "id2")
 
 
 def _lsh_recall_oracle() -> str:
@@ -3711,6 +3759,45 @@ def snm_scored_pairs_from(arrs, w_max: int):
     )
 
 
+def snm_scored_graph(spark, sf_dir):
+    """Session-pinned sorted-neighborhood scored-candidate relation
+    (id1, id2, gap, jac) at w_max=_ENS_W=125 — r16 optimization: the
+    SNM sweep key, the blocking ensemble and the ensemble
+    representatives each re-ran the rank + neighbor-join + verify
+    generator (~4 s apiece at sf0.1). n*w_max rows (id-pair-sized);
+    degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "snm_scored_w125",
+        scope,
+        lambda: snm_scored_pairs(spark, sf_dir, _ENS_W),
+    )
+
+
+def ensemble_union_graph(spark, sf_dir):
+    """Session-pinned UNION pair graph of the three ensemble blockers
+    (LSH + SimHash-w8 + SNM-w125 at t=_SNM_T) — r16 optimization:
+    q_dedup_blocking_ensemble and q_dedup_ensemble_representatives
+    each re-unioned (and re-distinct-ed) the three pinned legs
+    (~3M rows at sf0.1). Degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    def build():
+        g_lsh = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
+        g_shw = simhash_wide_pair_graph(spark, sf_dir).select("id1", "id2")
+        g_snm = (
+            snm_scored_graph(spark, sf_dir)
+            .filter(F.col("jac") >= _SNM_T)
+            .select("id1", "id2")
+        )
+        return g_lsh.unionByName(g_shw).unionByName(g_snm).distinct()
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("ensemble_union_t08", scope, build)
+
+
 @query("q_dedup_sorted_neighborhood", oracle=_snm_oracle())
 def q_dedup_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (SNM), the third classic dedup
@@ -3743,7 +3830,7 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
     relation (gap <= w), one pass for all three windows. The exact
     pair graph (the recall denominator) composes the already-verified
     flagship key, like every audit in this family."""
-    j = snm_scored_pairs(spark, sf_dir, max(_SNM_WINDOWS))
+    j = snm_scored_graph(spark, sf_dir)  # w_max = _ENS_W = max(_SNM_WINDOWS)
     aggs = []
     for w in _SNM_WINDOWS:
         hit = F.when(F.col("gap") <= w, 1).otherwise(0)
@@ -3918,21 +4005,37 @@ def q_dedup_blocking_ensemble(spark, sf_dir):
     algebra — trivial next to generation. In-key, each set relation
     feeds two counts (pairs + hits) and up to three unions, so the
     union-of-all and the SNM pair set are registry-pinned."""
-    exact = exact_pair_graph(spark, sf_dir)
-    g_lsh = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
-    g_shw = simhash_wide_pair_graph(spark, sf_dir).select("id1", "id2")
-    g_snm = pin(
-        snm_scored_pairs(spark, sf_dir, _ENS_W)
-        .filter(F.col("jac") >= _SNM_T)
-        .select("id1", "id2")
-    )
+    # r16: this key is alphabetically the FIRST consumer of all four
+    # generator graphs, so it absorbs their one-time session builds —
+    # materialize them CONCURRENTLY (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; four
+    # independent eager checkpoint builds overlap to ~max instead of
+    # sum on a 32-core scheduler). Distinct session_ckpt names -> no
+    # build race.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(exact_pair_graph, spark, sf_dir),
+            pool.submit(lsh_pair_graph, spark, sf_dir),
+            pool.submit(simhash_wide_pair_graph, spark, sf_dir),
+            pool.submit(snm_scored_graph, spark, sf_dir),
+        ]
+        exact = futs[0].result()
+        g_lsh = futs[1].result().select("id1", "id2")
+        g_shw = futs[2].result().select("id1", "id2")
+        g_snm = (
+            futs[3].result()
+            .filter(F.col("jac") >= _SNM_T)
+            .select("id1", "id2")
+        )
     def u(*dfs):
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out.distinct()
 
-    u_all = pin(u(g_lsh, g_shw, g_snm))
+    u_all = ensemble_union_graph(spark, sf_dir)
     wo = {
         "lsh": u(g_shw, g_snm),
         "simhash_w8": u(g_lsh, g_snm),
@@ -4064,16 +4167,9 @@ def q_dedup_ensemble_representatives(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
-    g_lsh = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
-    g_shw = simhash_wide_pair_graph(spark, sf_dir).select("id1", "id2")
-    g_snm = (
-        snm_scored_pairs(spark, sf_dir, _ENS_W)
-        .filter(F.col("jac") >= _SNM_T)
-        .select("id1", "id2")
-    )
-    pairs = pin(
-        g_lsh.unionByName(g_shw).unionByName(g_snm).distinct()
-    )
+    # r16: the union pair graph is the session-pinned
+    # ensemble_union_graph shared with the stacking audit.
+    pairs = ensemble_union_graph(spark, sf_dir)
     return _representatives_tail(base, connected_components(pairs))
 
 
@@ -4439,10 +4535,10 @@ def q_report_dedup_savings(spark, sf_dir):
     pattern."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_pair_graph(spark, sf_dir).select("id1", "id2")
-    return dedup_savings_from(docs, pairs)
+    return dedup_savings_from(docs, pairs, comp=lsh_cc_labels(spark, sf_dir))
 
 
-def dedup_savings_from(docs, pairs):
+def dedup_savings_from(docs, pairs, comp=None):
     """q_report_dedup_savings' labeling + aggregate tail over an
     explicit (docs, pairs) input: CC over the pair graph, best-quality
     survivor per component, per-source docs/chars savings rollup.
@@ -4450,7 +4546,10 @@ def dedup_savings_from(docs, pairs):
     from pyspark.sql import Window
 
     base = docs.select("doc_id", TX.bag_tokens("text").alias("_bag"))
-    comp = connected_components(pairs)
+    # ``comp``: a precomputed CC labeling of ``pairs`` (the batch key
+    # passes the session-pinned lsh_cc_labels); None = compute here
+    # (the incremental mirror's path).
+    comp = connected_components(pairs) if comp is None else comp
     q = base.filter(F.size("_bag") > 0).select(
         "doc_id",
         TX.quality_score_from_bag(F.col("_bag")).alias("quality"),
@@ -4714,9 +4813,9 @@ def q_dedup_winnowing_recall(spark, sf_dir):
     Both pair generators are already-hash-verified keys composed
     verbatim (oracle CTEs / DataFrames); the audit adds two counts and
     one id-pair join."""
-    from hive_similarity_join_spark.queries.text_q import q_dedup_ngram
+    from hive_similarity_join_spark.queries.text_q import ngram_pair_graph
 
-    exact = q_dedup_ngram(spark, sf_dir).select("id1", "id2")
+    exact = ngram_pair_graph(spark, sf_dir).select("id1", "id2")
     wp = q_dedup_winnowing(spark, sf_dir).select("id1", "id2")
     ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     nw = wp.agg(F.count(F.lit(1)).cast("bigint").alias("n_winnow"))

@@ -560,16 +560,9 @@ FROM clean
 """
 
 
-def _clean_stages(spark, sf_dir):
-    """The Spark twin of _clean_ctes: (doc_id, text, lang, bag,
-    n_tokens, quality) through quality gate, exact dedup, and t=0.9
-    near-dup removal — shared by both pipeline keys. The exact-dedup
-    survivors persist (consumed by the kernel's candidate machinery
-    AND the final anti-join). Returns the per-stage relations
-    {kept, surv, clean} so the waterfall report counts the SAME
-    relations the pipeline keys ship (anti-drift)."""
+def _kept_relation(spark, sf_dir):
+    """Quality-gate survivors (pure expressions — cheap to rebuild)."""
     from hive_similarity_join_spark.functions import text as TX
-    from hive_similarity_join_spark.operators.similarity import similarity_join
 
     d = load_table(spark, sf_dir, "documents")
     bagc = F.col("bag")
@@ -591,13 +584,50 @@ def _clean_stages(spark, sf_dir):
             ).alias("quality"),
         )
     )
-    kept = scored.filter(
+    return scored.filter(
         (F.col("n_tokens") >= Q_MIN_TOKENS) & (F.col("quality") >= Q_MIN_QUALITY)
     )
+
+
+def _surv_of(kept):
+    """Exact-dedup survivors of the quality-gate relation."""
     exact_keep = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = pin(kept.join(exact_keep, "doc_id", "left_semi"))
-    pairs = similarity_join(surv, "doc_id", "text", threshold=CLEAN_NEAR_T)
-    dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return kept.join(exact_keep, "doc_id", "left_semi")
+
+
+def _near_dupe_ids(spark, sf_dir):
+    """Session-pinned doc_ids the t=CLEAN_NEAR_T kernel drops from the
+    exact-dedup survivors — r16 optimization: all three pipeline keys
+    (corpus_clean, llm_corpus, stage_waterfall) re-ran the near-dup
+    kernel over the survivors (~4-5 s apiece at sf0.1). Node-sized id
+    set; the build's survivor subplan is plan-identical to the
+    registry-pinned ``surv``, so the kernel reads the cached rows.
+    Degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.operators.similarity import similarity_join
+
+    def build():
+        surv = _surv_of(_kept_relation(spark, sf_dir))
+        pairs = similarity_join(
+            surv, "doc_id", "text", threshold=CLEAN_NEAR_T
+        )
+        return pairs.select(F.col("id2").alias("doc_id")).distinct()
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("pipeline_near_dupe_ids", scope, build)
+
+
+def _clean_stages(spark, sf_dir):
+    """The Spark twin of _clean_ctes: (doc_id, text, lang, bag,
+    n_tokens, quality) through quality gate, exact dedup, and t=0.9
+    near-dup removal — shared by both pipeline keys. The exact-dedup
+    survivors persist (consumed by the kernel's candidate machinery
+    AND the final anti-join). Returns the per-stage relations
+    {kept, surv, clean} so the waterfall report counts the SAME
+    relations the pipeline keys ship (anti-drift)."""
+    kept = _kept_relation(spark, sf_dir)
+    surv = pin(_surv_of(kept))
+    dupes = _near_dupe_ids(spark, sf_dir)
     clean = surv.join(dupes, "doc_id", "left_anti")
     return {"kept": kept, "surv": surv, "clean": clean}
 
@@ -679,35 +709,52 @@ WHERE {_MANIFEST_PRED}
 """
 
 
+def _contaminated_ids(spark, sf_dir):
+    """Session-pinned doc_ids of CLEANED docs sharing an eval shingle
+    (the decontamination hit set) — r16 optimization: llm_corpus and
+    stage_waterfall each re-ran the gram explode + broadcast probe.
+    Node-sized id set; degrade is recompute."""
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        clean = _clean_stages(spark, sf_dir)["clean"]
+        grams = F.array_distinct(TX.word_ngrams(F.col("bag"), _DECON_N))
+        ev = (
+            d.select("doc_id", TX.bag_tokens("text").alias("bag"))
+            .filter(
+                (F.col("doc_id") % _DECON_MOD == 0)
+                & (F.size("bag") >= _DECON_N)
+            )
+            .select(F.explode(grams).alias("g"))
+            .distinct()
+        )
+        return (
+            clean.filter(F.size("bag") >= _DECON_N)
+            .select("doc_id", F.explode(grams).alias("g"))
+            .join(F.broadcast(ev), "g")
+            .select("doc_id")
+            .distinct()
+        )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("pipeline_contaminated_ids", scope, build)
+
+
 def _llm_stages(spark, sf_dir):
     """Per-stage relations of the LLM corpus build — {decon,
     manifest} on top of _clean_stages — so the waterfall report
     counts the SAME relations q_pipeline_llm_corpus ships
     (anti-drift; the _clean_stages discipline extended through the
     decontamination and sampling stages)."""
-    from hive_similarity_join_spark.functions import text as TX
-    from hive_similarity_join_spark.queries.search_q import _DECON_MOD, _DECON_N
+    from hive_similarity_join_spark.queries.search_q import _DECON_MOD
 
-    d = load_table(spark, sf_dir, "documents")
     stages = _clean_stages(spark, sf_dir)
     clean = stages["clean"]
 
-    grams = F.array_distinct(TX.word_ngrams(F.col("bag"), _DECON_N))
-    ev = (
-        d.select("doc_id", TX.bag_tokens("text").alias("bag"))
-        .filter(
-            (F.col("doc_id") % _DECON_MOD == 0) & (F.size("bag") >= _DECON_N)
-        )
-        .select(F.explode(grams).alias("g"))
-        .distinct()
-    )
-    contaminated = (
-        clean.filter(F.size("bag") >= _DECON_N)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .join(F.broadcast(ev), "g")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = _contaminated_ids(spark, sf_dir)
     decon = (
         clean.filter(F.col("doc_id") % _DECON_MOD != 0)
         .join(contaminated, "doc_id", "left_anti")

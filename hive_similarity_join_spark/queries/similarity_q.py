@@ -51,8 +51,36 @@ WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {threshold}
 
 @query("q_simjoin_jaccard_self", oracle=_jaccard_oracle(T_SELF))
 def q_simjoin_jaccard_self(spark, sf_dir):
+    # The flagship keeps its own fully-lazy kernel plan (the plan gates
+    # and PLANS.md read it); the ~10 consumer keys share the
+    # checkpoint-backed twin below instead of re-running the kernel.
     docs = load_table(spark, sf_dir, "documents")
-    return similarity_join(docs, "doc_id", "text", threshold=T_SELF, measure="jaccard")
+    return similarity_join(
+        docs, "doc_id", "text", threshold=T_SELF, measure="jaccard"
+    )
+
+
+def jaccard_self_pair_graph(spark, sf_dir):
+    """The flagship exact t=T_SELF Jaccard relation (id1, id2, sim),
+    session-CHECKPOINTED (operators/cache.py session_ckpt, r16): the
+    whole audit family (recall audits, band sweep, split leakage,
+    blocking ensemble, link prediction, top-k search) previously
+    re-ran the full exact kernel once per key (~7-9 s at sf0.1 each)
+    because the SQL-cache pin's data is dropped by the per-key
+    clearCache; checkpoint blocks are not, so the first consumer in a
+    session pays generation once and the rest read blocks. Identical
+    rows to the flagship key (same builder); degrade on a new session
+    is recompute from parquet."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return similarity_join(
+            docs, "doc_id", "text", threshold=T_SELF, measure="jaccard"
+        )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("exact_pair_graph_t08", scope, build)
 
 
 _RS_LEFT = "(SELECT * FROM documents WHERE source < 'src5')"
@@ -295,8 +323,10 @@ def q_simjoin_topk(spark, sf_dir):
     meaning 'materialize a third of the pair space'.)"""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = similarity_join(docs, "doc_id", "text", threshold=T_TOPK)
+    # r16: T_TOPK == T_SELF, so the pair relation IS the session-pinned
+    # flagship graph (jaccard_self_pair_graph) — no second kernel run.
+    assert T_TOPK == T_SELF
+    pairs = jaccard_self_pair_graph(spark, sf_dir)
     both = pairs.select(
         F.col("id1").alias("qid"), F.col("id2").alias("nid"), "sim"
     ).unionByName(

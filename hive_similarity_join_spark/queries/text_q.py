@@ -172,9 +172,26 @@ def q_dedup_near(spark, sf_dir):
     SQL-expressible; the transitive-closure (connected components)
     variant lives in operators/dedup.py (iterative, rows-only)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = similarity_join(d, "doc_id", "text", threshold=NEAR_DUP_T)
+    pairs = near_pair_graph(spark, sf_dir)
     dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return d.join(dupes, "doc_id", "left_anti").select("doc_id", "source")
+
+
+def near_pair_graph(spark, sf_dir):
+    """The exact t=NEAR_DUP_T unigram-Jaccard pair relation
+    (id1, id2, sim), SESSION-pinned — r16 optimization: q_dedup_near,
+    q_dedup_connected and q_dedup_connected_star (CC_T == NEAR_DUP_T)
+    each re-ran the full exact kernel at t=0.9 (~5 s apiece at sf0.1).
+    Same contract as exact_pair_graph: id-pair-sized, one live pin per
+    (session, sf_dir), degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return similarity_join(d, "doc_id", "text", threshold=NEAR_DUP_T)
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("exact_pair_graph_t09", scope, build)
 
 
 _NGRAM_TOKS = (
@@ -209,15 +226,34 @@ def q_dedup_ngram(spark, sf_dir):
     """n-gram (word trigram) Jaccard near-dup: same prefix-filter kernel,
     different token universe — shingles capture word ORDER that the
     unigram flagship ignores."""
-    d = load_table(spark, sf_dir, "documents")
-    bag = TX.bag_tokens("text")
-    shingled = d.select(
-        "doc_id",
-        F.array_distinct(TX.word_ngrams(bag, 3)).alias("shingles"),
-    )
-    return similarity_join(
-        shingled, "doc_id", tokens_col="shingles", threshold=NGRAM_DUP_T
-    )
+    return ngram_pair_graph(spark, sf_dir)
+
+
+def ngram_pair_graph(spark, sf_dir):
+    """The trigram-Jaccard pair relation (id1, id2, sim) at
+    t=NGRAM_DUP_T, SESSION-pinned (operators/cache.py:session_pin) —
+    the r16 optimization: TEN keys consume this graph (the key itself,
+    pagerank, triangles, communities, cc_vs_lpa, k-core, bridges,
+    degree_dist, docs_dup_matrix, winnowing_recall) and each re-ran
+    the full trigram kernel (~5-7 s at sf0.1, ~60 s of the suite)
+    before the pin. Same contract as exact_pair_graph: id-pair-sized
+    relation, one live pin per (session, sf_dir), degrade after a
+    clearCache is recompute — never a different answer."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        bag = TX.bag_tokens("text")
+        shingled = d.select(
+            "doc_id",
+            F.array_distinct(TX.word_ngrams(bag, 3)).alias("shingles"),
+        )
+        return similarity_join(
+            shingled, "doc_id", tokens_col="shingles", threshold=NGRAM_DUP_T
+        )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("ngram_pair_graph_t05", scope, build)
 
 
 @query(

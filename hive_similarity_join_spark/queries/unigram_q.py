@@ -257,6 +257,42 @@ GROUP BY o.doc_id
 """
 
 
+def unigram_chain(spark, sf_dir):
+    """Session-pinned shared hard-EM chain at the module defaults
+    (_K/_W/_P) — r16 optimization: EIGHT keys re-ran the identical
+    word-count + seed + 2-round Viterbi-EM chain (~2.5-3.5 s apiece at
+    sf0.1, ~20 s of the suite). Returns (wf, [seed, pc1, pc2], seg1,
+    seg2) — exactly unigram_train(wf, 2, _K, _W, _P)'s composition
+    with session pins at the four expensive stage boundaries (the
+    word-frequency relation, the seed vocabulary, both Viterbi
+    E-steps; all vocab-sized). pc1/pc2 are cheap aggregates over the
+    pinned segmentations. Degrade after a clearCache is recompute,
+    never a different answer (the DP is deterministic)."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+
+    def wf_build():
+        d = load_table(spark, sf_dir, "documents")
+        return UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
+
+    wf = session_ckpt("unigram_wf", scope, wf_build)
+    seed = session_ckpt(
+        "unigram_seed",
+        scope,
+        lambda: UG.with_probs(UG.seed_pieces(UG.substrings(wf, _P), _K)),
+    )
+    seg1 = session_ckpt(
+        "unigram_seg1", scope, lambda: UG.viterbi_segment(wf, seed, _W, _P)
+    )
+    pc1 = UG.with_probs(UG.piece_counts(seg1))
+    seg2 = session_ckpt(
+        "unigram_seg2", scope, lambda: UG.viterbi_segment(wf, pc1, _W, _P)
+    )
+    pc2 = UG.with_probs(UG.piece_counts(seg2))
+    return wf, [seed, pc1, pc2], seg1, seg2
+
+
 @query("q_unigram_lm_seed", oracle=_SEED_SQL)
 def q_unigram_lm_seed(spark, sf_dir):
     """Unigram-LM trainer stage 1 — the seeded piece vocabulary: every
@@ -273,9 +309,8 @@ def q_unigram_lm_seed(spark, sf_dir):
     both the multi-char top-k and the output top-k plan as
     TakeOrderedAndProject. See operators/unigram.py for the full
     trainer posture.""".format(P=_P, K=_K, TOP=_SEED_TOP)
-    d = load_table(spark, sf_dir, "documents")
-    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
-    seed = UG.with_probs(UG.seed_pieces(UG.substrings(wf, _P), _K))
+    _wf, rounds, _s1, _s2 = unigram_chain(spark, sf_dir)
+    seed = rounds[0]
     return (
         seed.select(
             "piece",
@@ -315,9 +350,7 @@ def q_unigram_lm_em(spark, sf_dir):
     Nothing after the initial word count touches the corpus.""".format(
         TOP=_EM_TOP
     )
-    d = load_table(spark, sf_dir, "documents")
-    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
-    rounds, _seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    _wf, rounds, _s1, _s2 = unigram_chain(spark, sf_dir)
     out = None
     for r in (1, 2):
         leg = (
@@ -350,9 +383,7 @@ def q_unigram_segment(spark, sf_dir):
     Scale shape: identical to q_unigram_lm_em (the segmentation IS
     round 2's E-step relation); the top-k is TakeOrderedAndProject
     over the vocabulary.""".format(TOP=_SEG_TOP)
-    d = load_table(spark, sf_dir, "documents")
-    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
-    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    _wf, _rounds, _s1, seg = unigram_chain(spark, sf_dir)
     return (
         seg.select(
             "word",
@@ -389,8 +420,7 @@ def q_unigram_encode_docs(spark, sf_dir):
     corpus-sized shuffle, keyed on doc_id. The EM training upstream
     is q_unigram_lm_em's plan verbatim."""
     d = load_table(spark, sf_dir, "documents")
-    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
-    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    _wf, _rounds, _s1, seg = unigram_chain(spark, sf_dir)
     occ = d.select(
         "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
     ).filter(
@@ -470,8 +500,7 @@ def q_unigram_oov(spark, sf_dir):
     shuffle (doc_id-keyed), and the EM training upstream is
     q_unigram_lm_em's plan.""".format(W=_W)
     d = load_table(spark, sf_dir, "documents")
-    wf = UG.word_freqs_plain(d, TX.bag_tokens("text"), _W)
-    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    _wf, _rounds, _s1, seg = unigram_chain(spark, sf_dir)
     occ = d.select("doc_id", F.explode(TX.bag_tokens("text")).alias("word"))
     oov = F.col("k").isNull()
     j = occ.join(F.broadcast(seg.select("word", "k")), "word", "left")
@@ -566,15 +595,11 @@ def q_unigram_prune(spark, sf_dir):
     _round_ctes(3, 'pruned') — the SAME generated DP text as rounds
     1-2, so the retrain leg cannot drift from the trainer it
     extends.""".format(PK=_PRUNE_K, TOP=_PRUNE_TOP)
-    d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
-    rounds, seg2 = UG.unigram_train(wf, 2, _K, _W, _P)
-    # Pin the word-vocab-sized round-2 E-step and the piece-vocab-sized
-    # relations: the price-sheet aggregates below would otherwise each
-    # re-execute the full 2-round EM chain (the driver's default-heap
-    # session OOM'd in the status listener on the resulting stage
-    # count before these pins — tiny relations, huge lineage).
-    seg2 = pin(seg2)
+    wf, rounds, _s1, seg2 = unigram_chain(spark, sf_dir)
+    # Pin the piece-vocab-sized round-2 M-step counts: the price-sheet
+    # aggregates below consume them three ways (wf/seg2 themselves are
+    # session-pinned in unigram_chain — the r16 sharing; before that,
+    # the unpinned lineage OOM'd the driver's status listener).
     pc2 = pin(rounds[2].select("piece", "cnt"))
     seed0 = rounds[0].select("piece", "cnt")
     chars_pc2 = pc2.filter(F.length("piece") == 1)
@@ -664,9 +689,7 @@ def q_unigram_nbest(spark, sf_dir):
     total, nothing corpus-sized after the word count.""".format(
         TOP=_NBEST_TOP, NB=_NB
     )
-    d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
-    rounds, _seg = UG.unigram_train(wf, 1, _K, _W, _P)
+    wf, rounds, _s1, _s2 = unigram_chain(spark, sf_dir)
     nseg = UG.viterbi_nbest_segment(wf, rounds[1], _NB, _P)
     top = (
         wf.orderBy(F.desc("n"), F.asc("word")).limit(_NBEST_TOP)
@@ -744,8 +767,7 @@ def q_unigram_encode_sampled(spark, sf_dir):
     shuffle, exactly q_unigram_encode_docs' plan with one md5 and one
     modulo more per occurrence.""".format(NB=_NB)
     d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
-    rounds, _seg = UG.unigram_train(wf, 1, _K, _W, _P)
+    wf, rounds, _s1, _s2 = unigram_chain(spark, sf_dir)
     nseg = pin(UG.viterbi_nbest_segment(wf, rounds[1], _NB, _P))
     u32 = (
         F.conv(
@@ -913,8 +935,7 @@ def q_tokenizer_compare(spark, sf_dir):
     from hive_similarity_join_spark.queries.hygiene_q import _BPE_ROUNDS
 
     d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
-    _rounds, useg = UG.unigram_train(wf, 2, _K, _W, _P)
+    wf, _rounds, _s1, useg = unigram_chain(spark, sf_dir)
     bfinal = bpe.bpe_apply_rounds_lazy(
         wf.select(bpe.encode_chars("word").alias("w"), "n"), _BPE_ROUNDS
     )
@@ -1043,11 +1064,14 @@ def q_unigram_vocab_sweep(spark, sf_dir):
     two more vocab-sized loops — at 100 TB the sweep is three
     tokenizer trainings on one shared word sketch, the cheap way to
     buy the vocab decision.""".format(SIZES=set(_SWEEP_SIZES), K=_K)
-    d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
+    wf, rounds_k, _s1, seg_k = unigram_chain(spark, sf_dir)
     out = None
     for k in _SWEEP_SIZES:
-        rounds, seg = UG.unigram_train(wf, 2, k, _W, _P)
+        # the k == _K leg IS the shared session-pinned chain (r16)
+        rounds, seg = (
+            (rounds_k, seg_k) if k == _K
+            else UG.unigram_train(wf, 2, k, _W, _P)
+        )
         seed_n = rounds[0].agg(
             F.count(F.lit(1)).cast("bigint").alias("seed_vocab")
         )
@@ -1147,8 +1171,7 @@ def q_pack_sequences_tokens(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents")
-    wf = pin(UG.word_freqs_plain(d, TX.bag_tokens("text"), _W))
-    _rounds, seg = UG.unigram_train(wf, 2, _K, _W, _P)
+    _wf, _rounds, _s1, seg = unigram_chain(spark, sf_dir)
     occ = d.select(
         "doc_id", F.explode(TX.bag_tokens("text")).alias("word")
     ).filter(

@@ -32,24 +32,34 @@ _PERSISTING_KEYS = (
 
 def test_full_sequence_holds_bounded_cache(spark):
     """Running persisting keys back-to-back through the registry (the
-    driver's access path) must not accumulate cached relations: after
-    each builder entry the previous key's pins are gone, so the JVM
-    cache never holds more than one key's worth (<= 4 relations)."""
-    # Delta-based: earlier tests in a shared session legitimately leave
-    # persistent RDDs behind (localCheckpoint blocks are not released by
-    # clearCache), so assert what THIS sequence adds, not absolutes.
-    cache.release_pins()
+    driver's access path) must not ACCUMULATE cached relations: after
+    each builder entry the previous key's pins are gone, so a
+    long-lived session holds at most one key's registry pins (<= 4)
+    plus the FIXED set of session-shared checkpoint states (the r16
+    session_ckpt/session_state tier — built once per session, bounded
+    by the registry's fixed list of shared generators, never per key
+    re-run). Boundedness is asserted the way it can fail: a SECOND
+    pass over the same keys must add ~nothing new (a per-run leak
+    would re-add its relations every pass)."""
+    cache.release_pins()  # also clears the session-state tier
+    for key in _PERSISTING_KEYS:
+        QUERIES[key](spark, SF_SMOKE).count()
+        # pins of THIS key may be live (the returned plan used them),
+        # bounded by the max per-builder pin count
+        assert cache.pinned_count() <= 4, key
+    # First pass built the session-shared states; steady state now.
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     try:
         for key in _PERSISTING_KEYS:
             QUERIES[key](spark, SF_SMOKE).count()
-            # pins of THIS key may be live (the returned plan used them),
-            # bounded by the max per-builder pin count
             assert cache.pinned_count() <= 4, key
-            n_rdds = spark.sparkContext._jsc.getPersistentRDDs().size()
-            assert n_rdds - baseline <= 4, (
-                f"{key}: {n_rdds - baseline} persistent RDDs accumulated"
-            )
+        n_rdds = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # slack: the last key's own registry pins + ContextCleaner lag
+        # on transient localCheckpoints (CC rounds) from this pass
+        assert n_rdds - baseline <= 6, (
+            f"{n_rdds - baseline} persistent RDDs accumulated on the "
+            "second pass — a per-run cache leak"
+        )
     finally:
         released = cache.release_pins()
     assert released <= 4

@@ -223,7 +223,18 @@ def test_sketch_and_bloom_keys_broadcast_their_small_sides(spark):
     assert "BroadcastHashJoin" in bloom_plan
     bpe_plan = explain_str(_q("q_bpe_merges", spark))
     assert "CartesianProduct" not in bpe_plan
-    assert "BroadcastNestedLoopJoin" in bpe_plan  # the 1-row best pairs
+    # r16: the key reads the session-memoized checkpointed chain, so
+    # the 1-row-best broadcast property is asserted on the trainer
+    # composition itself (the plan the chain's build executes).
+    from hive_similarity_join_spark.functions import text as TX
+    from hive_similarity_join_spark.operators import bpe
+    from hive_similarity_join_spark.sources.loader import load_table
+
+    wf = bpe.word_freqs(load_table(spark, SF_SMOKE, "documents"),
+                        TX.bag_tokens("text"))
+    chain_plan = explain_str(bpe.apply_merge(wf, bpe.best_pair(wf)))
+    assert "CartesianProduct" not in chain_plan
+    assert "BroadcastNestedLoopJoin" in chain_plan  # the 1-row best pair
 
 
 def test_unpartitioned_window_detector_fixtures():
