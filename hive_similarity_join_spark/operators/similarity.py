@@ -501,6 +501,7 @@ def containment_join(
     other: DataFrame | None = None,
     other_id_col: str | None = None,
     other_text_col: str | None = None,
+    token_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric set-CONTAINMENT self-join: ordered pairs (id1, id2),
     id1 != id2, with |T1 ∩ T2| / |T1| >= threshold — "id1 is (mostly)
@@ -571,7 +572,13 @@ def containment_join(
         if persist:
             s = pin(s, StorageLevel.MEMORY_AND_DISK)
         rels.append(s)
-    dict_df = _rank_tokens(*rels)
+    # ``token_dict``: a prebuilt (_tok, _rank) dictionary — same
+    # contract as similarity_join's: it must cover every token of both
+    # relations (tokens absent from it silently vanish from the rank
+    # arrays). Losslessness of the prefix/positional filters needs only
+    # SOME global total order, and verification intersects rank arrays
+    # (a bijection), so any covering dictionary yields identical pairs.
+    dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
     r_sorted = _sorted_by_rank(r, dict_df)
     if persist:
         r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
@@ -705,6 +712,7 @@ def weighted_containment_join(
     other: DataFrame | None = None,
     other_id_col: str | None = None,
     other_text_col: str | None = None,
+    rarity_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Rarity-WEIGHTED containment self-join: ordered pairs (id1, id2),
     id1 != id2, with ``sum of w(t) over shared tokens / total w(id1)
@@ -777,7 +785,17 @@ def weighted_containment_join(
         if persist:
             s = pin(s, StorageLevel.MEMORY_AND_DISK)
 
-    dict_df = _rarity_dict(*(rel for rel in (r, s) if rel is not None))
+    # ``rarity_dict``: a prebuilt (_tok, _rank, _w) weight dictionary.
+    # UNLIKE the unweighted token_dict, the weights enter the RESULT
+    # (w = N_docs - df + 1), so it must be built over exactly the same
+    # corpus the in-line _rarity_dict would see (here: the union of
+    # both relations) — callers pass the full-documents dictionary only
+    # for joins whose relations partition the documents table.
+    dict_df = (
+        rarity_dict
+        if rarity_dict is not None
+        else _rarity_dict(*(rel for rel in (r, s) if rel is not None))
+    )
 
     # Rank-sorted arrays with aligned weights, suffix weights and total
     # weight (_weighted_sorted). Suffix weights (_sfx[i] = sum of
@@ -908,6 +926,7 @@ def weighted_jaccard_join(
     tokens_col: str | None = None,
     n_salts: int = 32,
     persist: bool = True,
+    rarity_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Rarity-WEIGHTED Jaccard self-join: ordered pairs (id1, id2) with
     ``sum w over shared tokens / sum w over the union >= threshold``,
@@ -948,7 +967,8 @@ def weighted_jaccard_join(
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
         r = pin(r, StorageLevel.MEMORY_AND_DISK)
-    dict_df = _rarity_dict(r)
+    # rarity_dict contract: see weighted_containment_join.
+    dict_df = _rarity_dict(r) if rarity_dict is None else rarity_dict
     r_sorted = _weighted_sorted(r, dict_df)
     if persist:
         r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)

@@ -1503,6 +1503,24 @@ CROSS JOIN nd CROSS JOIN totw
 """
 
 
+def mixture_loss(spark, sf_dir):
+    """Session-checkpointed per-domain held-out OOV loss relation (D
+    rows) — r16 optimization: all three mixture keys re-ran the corpus
+    bigram pass + reference-vocabulary probe (~2-4 s apiece at sf0.1)
+    to get the same D-row relation. Degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.operators.reweight import (
+        heldout_oov_loss,
+    )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "mixture_heldout_loss",
+        scope,
+        lambda: heldout_oov_loss(load_table(spark, sf_dir, "documents")),
+    )
+
+
 @query("q_mixture_reweight", oracle=_mixture_reweight_oracle())
 def q_mixture_reweight(spark, sf_dir):
     """Iterative domain-mixture reweighting (DoReMi-flavored) — closes
@@ -1539,12 +1557,11 @@ def q_mixture_reweight(spark, sf_dir):
     broadcast back — nothing corpus-sized is ever re-read, the PCA
     power-iteration discipline."""
     from hive_similarity_join_spark.operators.reweight import (
-        heldout_oov_loss,
         reweight_report,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    loss = pin(heldout_oov_loss(d))
+    loss = mixture_loss(spark, sf_dir)
     shares = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
@@ -1587,12 +1604,10 @@ def q_mixture_reweight_trace(spark, sf_dir):
     Scale shape: identical to q_mixture_reweight (the rounds exist in
     its plan too); emitting them all costs rounds x D extra rows."""
     from hive_similarity_join_spark.operators.reweight import (
-        heldout_oov_loss,
         multiplicative_reweight_trace,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    loss = pin(heldout_oov_loss(d))
+    loss = mixture_loss(spark, sf_dir)
     return multiplicative_reweight_trace(loss)
 
 
@@ -1682,12 +1697,11 @@ def q_mixture_reweight_apply(spark, sf_dir):
     no second pass."""
     from hive_similarity_join_spark.operators.reweight import (
         SCALE,
-        heldout_oov_loss,
         multiplicative_reweight,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    loss = pin(heldout_oov_loss(d))
+    loss = mixture_loss(spark, sf_dir)
     weights = multiplicative_reweight(loss)
     shares = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")

@@ -185,10 +185,16 @@ def near_pair_graph(spark, sf_dir):
     Same contract as exact_pair_graph: id-pair-sized, one live pin per
     (session, sf_dir), degrade is recompute."""
     from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.queries.similarity_q import (
+        docs_token_dict,
+    )
 
     def build():
         d = load_table(spark, sf_dir, "documents")
-        return similarity_join(d, "doc_id", "text", threshold=NEAR_DUP_T)
+        return similarity_join(
+            d, "doc_id", "text", threshold=NEAR_DUP_T,
+            token_dict=docs_token_dict(spark, sf_dir),
+        )
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
     return session_ckpt("exact_pair_graph_t09", scope, build)
@@ -592,9 +598,15 @@ def q_dedup_containment(spark, sf_dir):
         T_CONTAIN,
     )
 
+    from hive_similarity_join_spark.queries.similarity_q import (
+        docs_token_dict,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     pairs = containment_join(
-        d, "doc_id", "text", threshold=T_CONTAIN, min_size_ratio=CONTAIN_SIZE_RATIO
+        d, "doc_id", "text", threshold=T_CONTAIN,
+        min_size_ratio=CONTAIN_SIZE_RATIO,
+        token_dict=docs_token_dict(spark, sf_dir),
     )
     contained = pairs.select(F.col("id1").alias("doc_id")).distinct()
     return d.join(contained, "doc_id", "left_anti").select("doc_id", "source")

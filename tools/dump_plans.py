@@ -36,17 +36,22 @@ HEADLINERS: dict[str, str] = {
         "structs of 2x8/4x4/8x2 explode from one signature relation), "
         "explicit REPARTITION_BY_NUM around the candidate join "
         "(AQE-coalesce exempt, same as minhash_lsh_pairs), the exact "
-        "t=0.8 truth side as the verified flagship subplan, and counts "
-        "as map-side-combined partial aggregates — no window, no "
+        "t=0.8 truth side as a Scan ExistingRDD over the session-"
+        "checkpointed flagship relation (r16 sharing — the kernel plan "
+        "itself is visible on q_simjoin_jaccard_self), and counts as "
+        "map-side-combined partial aggregates — no window, no "
         "Python nodes."
     ),
     "q_text_simhash_wide": (
-        "Wide-radius SimHash pairs. Look for: the 60 conditional-sum "
-        "vote columns in ONE HashAggregate over (doc, token-hash) rows, "
-        "the 45-struct block-pair explode, one equi self-join on "
-        "(_bk, _v1, _v2), and bit_count(xor) verification inside "
-        "whole-stage codegen — blocking is lossless at Hamming<=8 by "
-        "pigeonhole, so there is no post-hoc recall correction stage."
+        "Wide-radius SimHash pairs. Since r16 the key returns the "
+        "session-checkpointed shared pair relation (Scan ExistingRDD); "
+        "the generator plan underneath (built once per session) is: 60 "
+        "conditional-sum vote columns in ONE HashAggregate over (doc, "
+        "token-hash) rows, the 45-struct block-pair explode, one equi "
+        "self-join on (_bk, _v1, _v2), and bit_count(xor) verification "
+        "inside whole-stage codegen — blocking is lossless at "
+        "Hamming<=8 by pigeonhole, so there is no post-hoc recall "
+        "correction stage."
     ),
     "q_vec_ann_cost": (
         "The ANN scan-cost audit. Look for: three candidate generators "
