@@ -491,15 +491,71 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return agg.select("_id", fp.alias("_fp"))
 
 
+def _lowest_set_bit(m: int, width: int) -> int:
+    """Index of the lowest set bit of ``m`` (``width`` when none)."""
+    for i in range(width):
+        if m & (1 << i):
+            return i
+    return width
+
+
+def _two_lowest_set_bits(m: int, width: int) -> tuple[int, int]:
+    """Indices (i, j), i < j, of the two lowest set bits of ``m``
+    (``(width, width)`` when fewer than two are set)."""
+    i = _lowest_set_bit(m, width)
+    if i == width:
+        return width, width
+    j = _lowest_set_bit(m & ~(1 << i), width)
+    return i, j
+
+
+def _canonical_band(fp1: Column, fp2: Column) -> Column:
+    """Index of the FIRST intact (bitwise-equal) 15-bit band of a
+    fingerprint pair — the r17 candidate-dedup device: a pair sharing k
+    intact bands is emitted k times by the band equi-join, and keeping
+    only the row whose ``_band`` equals this canonical index replaces
+    the ``dropDuplicates`` exchange over the candidate blowup with a
+    row-local filter (guide §2.4 — remove shuffles outright). Exactly
+    one candidate row survives per qualifying pair: the join already
+    guarantees >= 1 intact band, the canonical index is a pure function
+    of (fp1, fp2), and the banded relation holds one row per (_id,
+    band), so the (id1, id2, canonical-band) row exists and is unique."""
+    x = fp1.bitwiseXOR(fp2)
+    mask = None
+    for b in range(SIMHASH_BANDS):
+        bit = F.when(
+            F.shiftright(x, b * _BAND_BITS).bitwiseAND(
+                F.lit((1 << _BAND_BITS) - 1)
+            )
+            == 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    # Constant 16-entry lookup (index of lowest set bit): integer ops +
+    # one literal-array access per candidate row — the predicate runs on
+    # the full join-output blowup, so it must cost arithmetic, not
+    # allocations (a per-row array_sort was measured 2-3x slower than
+    # the dropDuplicates it replaced).
+    lowest = [_lowest_set_bit(m, SIMHASH_BANDS) for m in range(1 << SIMHASH_BANDS)]
+    return F.element_at(F.lit(lowest), mask.cast("int") + 1)
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, hamming): near-dup pairs by SimHash distance.
 
     Banding (4 x 15 bits) makes candidate generation an equi-join: any
     pair within Hamming distance 3 shares at least one intact band
     (pigeonhole), so the blocking is LOSSLESS for max_hamming < 4;
-    verification is exact ``bit_count(xor)``.
+    verification is exact ``bit_count(xor)``. Duplicate candidates
+    (pairs sharing several intact bands) are dropped by the canonical
+    first-intact-band filter (:func:`_canonical_band`) instead of a
+    ``dropDuplicates`` shuffle.
 
     Role contract (r10 audit, q_dedup_simhash_recall): at radius 3
     this is a HIGH-PRECISION PRE-FILTER ONLY — true near-dup pairs
@@ -508,8 +564,16 @@ def simhash_pairs(
     (minhash_lsh_pairs, recall 0.79 / precision 1.0) as the
     production near-dup path, or :func:`simhash_pairs_wide` when
     Hamming semantics at usable recall are specifically wanted.
+
+    ``fps``: a prebuilt (_id, _fp) fingerprint relation for ``df``
+    (r17 seam): the self-join's two sides share no exchange across the
+    BroadcastExchange boundary, so an un-materialized fingerprint
+    subtree executes twice per graph — and the narrow and wide graphs
+    share the identical relation. Must be exactly
+    ``simhash_fingerprints(df, id_col, text_col)``.
     """
-    fps = simhash_fingerprints(df, id_col, text_col)
+    if fps is None:
+        fps = simhash_fingerprints(df, id_col, text_col)
     bands = fps.select(
         "_id",
         "_fp",
@@ -542,8 +606,7 @@ def simhash_pairs(
             & (F.col("_bv") == F.col("_bv2"))
             & (F.col("id1") < F.col("id2")),
         )
-        .select("id1", "id2", "_fp1", "_fp2")
-        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("_band") == _canonical_band(F.col("_fp1"), F.col("_fp2")))
         .select("id1", "id2", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -595,6 +658,37 @@ def wide_band_rel(fps: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_wide_bk(fp1: Column, fp2: Column) -> Column:
+    """Canonical block-pair key for the WIDE scheme: ``i*10 + j`` over
+    the two SMALLEST intact 6-bit blocks of the pair — the wide twin of
+    :func:`_canonical_band`. A near-dup pair has up to C(10,2)=45
+    intact block-pairs, so the equi-join emits it up to 45 times; on
+    this corpus's dup-dense clusters that was a ~45x candidate blowup
+    feeding a ``dropDuplicates`` exchange (the single most expensive
+    shuffle of the dedup generator family — measured 43.8 s at sf0.1).
+    Keeping only the row whose ``_bk`` equals this canonical key is a
+    row-local filter: any matched row proves >= 2 intact blocks, so the
+    two array-min slots are always real block indices and exactly one
+    join row per pair carries the canonical key."""
+    x = fp1.bitwiseXOR(fp2)
+    mask = None
+    for i in range(SIMHASH_WIDE_BLOCKS):
+        bit = F.when(
+            F.shiftright(x, i * _WBLK_BITS).bitwiseAND(F.lit(_WBLK_MASK)) == 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    # Constant 1024-entry lookup (two lowest set bits -> i*10+j):
+    # integer ops + one literal-array access per candidate row — see
+    # _canonical_band for why the predicate must avoid per-row array
+    # construction.
+    lookup = []
+    for m in range(1 << SIMHASH_WIDE_BLOCKS):
+        i, j = _two_lowest_set_bits(m, SIMHASH_WIDE_BLOCKS)
+        lookup.append(i * SIMHASH_WIDE_BLOCKS + j)
+    return F.element_at(F.lit(lookup), mask.cast("int") + 1)
+
+
 def simhash_wide_delta_pairs(
     all_fps: DataFrame,
     new_fps: DataFrame,
@@ -629,6 +723,11 @@ def simhash_wide_delta_pairs(
             & (F.col("_v2") == F.col("_v22"))
             & (F.col("_na") != F.col("_ab")),
         )
+        # Canonical-key filter cuts the up-to-45x block-pair blowup to
+        # one row per (orientation of a) pair BEFORE the dropDuplicates
+        # exchange; the dedup itself stays (a new-new pair still arrives
+        # once per orientation, which a row-local filter cannot see).
+        .filter(F.col("_bk") == _canonical_wide_bk(F.col("_nfp"), F.col("_afp")))
         .select(
             F.least("_na", "_ab").alias("id1"),
             F.greatest("_na", "_ab").alias("id2"),
@@ -650,6 +749,7 @@ def simhash_pairs_wide(
     id_col: str,
     text_col: str,
     max_hamming: int = SIMHASH_WIDE_HAMMING,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, hamming): near-dup pairs by SimHash distance at a
     WIDE radius — the high-recall configuration (VERDICT r10 item 5).
@@ -673,8 +773,12 @@ def simhash_pairs_wide(
     (128-bit band keys, q_dedup_minhash_lsh) remains the production
     recall path; this operator is for pipelines that specifically
     want Hamming semantics (e.g. as the verify stage after a pHash /
-    fingerprint blocking)."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    fingerprint blocking).
+
+    ``fps``: prebuilt fingerprint relation — see :func:`simhash_pairs`.
+    """
+    if fps is None:
+        fps = simhash_fingerprints(df, id_col, text_col)
     bands = wide_band_rel(fps)
     a = bands.select(
         F.col("_id").alias("id1"), F.col("_fp").alias("_fp1"),
@@ -694,8 +798,7 @@ def simhash_pairs_wide(
             & (F.col("_v2") == F.col("_v22"))
             & (F.col("id1") < F.col("id2")),
         )
-        .select("id1", "id2", "_fp1", "_fp2")
-        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("_bk") == _canonical_wide_bk(F.col("_fp1"), F.col("_fp2")))
         .select("id1", "id2", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -17,6 +17,7 @@ from hive_similarity_join_spark.operators.dedup import (
     duck_simhash_wide_oracle,
     incremental_minhash_screen,
     minhash_lsh_pairs,
+    simhash_fingerprints,
     simhash_pairs,
     simhash_pairs_wide,
 )
@@ -149,6 +150,25 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def simhash_fps(spark, sf_dir):
+    """Session-checkpointed (_id, _fp) SimHash fingerprint relation of
+    the documents corpus (r17): the narrow AND wide pair graphs each
+    evaluated the fingerprint subtree twice (the self-join's broadcast
+    side shares no exchange with its probe side), i.e. four ~2 s corpus
+    aggregations per session for one 5k-row relation. Node-sized;
+    degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "simhash_fps",
+        scope,
+        lambda: simhash_fingerprints(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+    )
+
+
 def simhash_pair_graph(spark, sf_dir):
     """Session-pinned narrow (Hamming <= 3) SimHash pair relation —
     shared by q_text_simhash and q_dedup_simhash_recall, same contract
@@ -164,6 +184,7 @@ def simhash_pair_graph(spark, sf_dir):
             "doc_id",
             "text",
             max_hamming=3,
+            fps=simhash_fps(spark, sf_dir),
         ),
     )
 
@@ -179,7 +200,10 @@ def simhash_wide_pair_graph(spark, sf_dir):
         "simhash_wide_pair_graph_h8",
         scope,
         lambda: simhash_pairs_wide(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            fps=simhash_fps(spark, sf_dir),
         ),
     )
 
