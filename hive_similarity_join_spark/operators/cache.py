@@ -115,6 +115,62 @@ def session_pin(name: str, scope: str, build) -> DataFrame:
 
 _SESSION_STATE: dict[str, tuple[str, object]] = {}
 
+#: Python-evaluation node names no shared generator may plan — same
+#: list as the suite-wide gate (tests/test_plans.py); generators feed
+#: many keys, so one bad build would poison every consumer invisibly
+#: (their plans root at the checkpoint's LogicalRDD scan).
+_PYTHON_EVAL_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _gate_generator_plan(name: str, df: DataFrame) -> DataFrame:
+    """Runtime plan gate for shared-generator builds (r17, VERDICT r16
+    item 2): consumers of a checkpointed relation plan as ``Scan
+    ExistingRDD``, so the suite-wide python-eval / low-cardinality-
+    window tests never see the GENERATOR's plan — a scale-killer
+    injected into a ``build()`` would ship invisibly. Every
+    ``session_ckpt`` build (and every DataFrame found in a
+    ``session_state`` structure) is therefore inspected HERE, before
+    its one materialization: the suite-wide plan test triggers every
+    generator build at smoke scale, so an injected Python node or
+    low-cardinality window fails pytest mechanically, and production
+    sessions get the same check for the price of one explain render
+    per build. Raises ValueError on violation."""
+    from hive_similarity_join_spark.plans.inspect import (
+        explain_str,
+        low_cardinality_window_violations,
+    )
+
+    plan = explain_str(df)
+    viols = [n for n in _PYTHON_EVAL_NODES if n in plan]
+    viols += low_cardinality_window_violations(plan)
+    if viols:
+        raise ValueError(
+            f"shared generator {name!r} plans scale-killers: {viols}"
+        )
+    return df
+
+
+def _gate_state_value(name: str, val: object) -> None:
+    """Walk a session_state structure (dict/list/tuple nesting) and gate
+    every DataFrame found. Trainer chains checkpoint per round, so the
+    stored relations' plans are already truncated (trivially clean) —
+    the real per-round compositions are gated by the trainer-composition
+    tests in tests/test_plans.py; this walk catches any LAZY relation a
+    future builder stores."""
+    if isinstance(val, DataFrame):
+        _gate_generator_plan(name, val)
+    elif isinstance(val, dict):
+        for v in val.values():
+            _gate_state_value(name, v)
+    elif isinstance(val, (list, tuple)):
+        for v in val:
+            _gate_state_value(name, v)
+
 
 def session_state(name: str, scope: str, build):
     """Session-lifetime memo for CHECKPOINT-BACKED trainer state shared
@@ -140,6 +196,7 @@ def session_state(name: str, scope: str, build):
     if cur is not None:
         del _SESSION_STATE[name]
     val = build()
+    _gate_state_value(name, val)
     _SESSION_STATE[name] = (scope, val)
     return val
 
@@ -168,7 +225,7 @@ def session_ckpt(name: str, scope: str, build) -> DataFrame:
         return cur[1]
     if cur is not None:
         del _SESSION_STATE[name]
-    df = build().localCheckpoint(eager=True)
+    df = _gate_generator_plan(name, build()).localCheckpoint(eager=True)
     _SESSION_STATE[name] = (scope, df)
     return df
 

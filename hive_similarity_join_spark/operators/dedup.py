@@ -85,14 +85,27 @@ MINHASH_SIG_CTES = _minhash_sig_ctes()
 
 
 def _ranked_tokens(
-    df: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
+    token_dict: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _r): distinct (doc, token-rank) pairs, rank = global
     rarest-first ordering (freq asc, token asc) — vocabulary-sized dict,
     broadcast into the explode join. ``tokens_col`` names an existing
     (bag or set) token-array column to reuse instead of re-splitting
     ``text_col`` — the post-explode distinct gives identical set
-    semantics either way."""
+    semantics either way.
+
+    ``token_dict``: a prebuilt (_tok, _rank) dictionary covering the
+    corpus (r17 seam). The kernel's shared dictionary
+    (similarity._rank_tokens over tokenize()-distinct token sets) counts
+    exactly the distinct (doc, token) pairs this function counts and
+    ranks by the same (freq asc, token asc) order through the same
+    ranked_by — so the (token -> rank) mapping is IDENTICAL, and with it
+    every permutation hash and signature downstream. Passing it skips
+    the per-session frequency + two-pass rank rebuild."""
     # Spread a few-partition input before the tokenize/explode map work
     # (a small single-file scan would otherwise run it on 1-2 cores).
     n_part = parallelism(df)
@@ -103,10 +116,13 @@ def _ranked_tokens(
         df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
         .distinct()
     )
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    # Distributed rank (operators/rank.py): the vocabulary's long tail is
-    # not small at web scale, so no single-task global sort here.
-    rk = ranked_by(freq, ["_c", "_tok"], "_r").select("_tok", "_r")
+    if token_dict is not None:
+        rk = token_dict.select("_tok", F.col("_rank").alias("_r"))
+    else:
+        freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+        # Distributed rank (operators/rank.py): the vocabulary's long
+        # tail is not small at web scale, so no single-task global sort.
+        rk = ranked_by(freq, ["_c", "_tok"], "_r").select("_tok", "_r")
     return tok.join(F.broadcast(rk), "_tok").select("_id", "_r")
 
 
@@ -116,6 +132,7 @@ def minhash_signatures(
     text_col: str,
     with_rank_arrays: bool = False,
     tokens_col: str | None = None,
+    token_dict: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _h1.._h{NUM_PERM}[, _rks]): one row per doc, wide signature.
 
@@ -128,8 +145,11 @@ def minhash_signatures(
     ``with_rank_arrays`` additionally collects the sorted int rank array
     (bijective with the token set) in the SAME aggregate, so the verify
     step can intersect int arrays without a second tokenize pass.
+
+    ``token_dict``: prebuilt rank dictionary — see :func:`_ranked_tokens`
+    for the exact-identity argument.
     """
-    tokr = _ranked_tokens(df, id_col, text_col, tokens_col)
+    tokr = _ranked_tokens(df, id_col, text_col, tokens_col, token_dict)
     # bigint arithmetic: a*r overflows int32 (ANSI mode raises, not wraps)
     r = F.col("_r").cast("bigint")
     aggs = [
@@ -175,21 +195,28 @@ def minhash_lsh_pairs(
     text_col: str,
     threshold: float,
     tokens_col: str | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard >= threshold.
 
     Returns (id1, id2, sim) — the deterministic LSH-candidate subset of
     the exact similarity join (recall < 1 by design; the s-curve at the
     default 4x4 config keeps high recall near t=0.8+).
+
+    ``sigs``: a prebuilt signature relation — must be exactly
+    ``minhash_signatures(df, id_col, text_col, with_rank_arrays=True,
+    tokens_col=tokens_col)`` (r17 seam: the full-corpus signatures are
+    shared session state; see queries/dedup_q.docs_minhash_sigs).
     """
     # The signature relation feeds three consumers (band explode + both
     # verify sides) in ONE job, so Spark's ReusedExchange dedupes the
     # underlying shuffle already; measured A/B at sf0.1 showed explicit
     # persistence strictly slower (adds a cache-write pass for work the
     # exchange reuse makes free). Deliberately NOT persisted.
-    sigs = minhash_signatures(
-        df, id_col, text_col, with_rank_arrays=True, tokens_col=tokens_col
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, id_col, text_col, with_rank_arrays=True, tokens_col=tokens_col
+        )
     bands = band_signatures(sigs)
     # The band join's INPUT is tiny (docs x bands rows) while its OUTPUT
     # is the candidate-pair blowup — AQE sizes post-shuffle partitions by
@@ -239,6 +266,7 @@ def incremental_minhash_screen(
     text_col: str,
     is_new: Column,
     threshold: float,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time dedup: screen a NEW batch against the standing
     corpus (and against earlier rows of the same batch) with
@@ -260,8 +288,12 @@ def incremental_minhash_screen(
     union dictionary in one pass so the DuckDB oracle can mirror the
     permutations hash-exactly; an online system would freeze the rank
     dictionary — documented, not a semantics change at fixed input.
+
+    ``sigs``: prebuilt full-corpus signature relation — same contract
+    as :func:`minhash_lsh_pairs`.
     """
-    sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, with_rank_arrays=True)
     flags = df.select(
         F.col(id_col).alias("_id"), is_new.cast("boolean").alias("_new")
     )

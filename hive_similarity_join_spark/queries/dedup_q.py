@@ -17,6 +17,7 @@ from hive_similarity_join_spark.operators.dedup import (
     duck_simhash_wide_oracle,
     incremental_minhash_screen,
     minhash_lsh_pairs,
+    minhash_signatures,
     simhash_fingerprints,
     simhash_pairs,
     simhash_pairs_wide,
@@ -76,6 +77,34 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def docs_minhash_sigs(spark, sf_dir):
+    """Session-checkpointed full-corpus MinHash signature relation
+    (_id, _h1.._h{NUM_PERM}, _rks) — r17: the LSH graph build, the
+    sketch-accuracy audit (q_minhash_estimate) and the incremental
+    screen (q_dedup_incremental) each re-ran the signature aggregate
+    (tokenize + distinct + NUM_PERM mins + rank arrays, ~3-5 s at
+    sf0.1) over the same corpus. Ranks come from the shared kernel
+    dictionary (identical mapping — operators/dedup._ranked_tokens
+    docstring has the identity argument), so building this relation no
+    longer re-derives the frequency ranking either. Node-sized (one
+    wide row per doc); degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.queries.similarity_q import docs_token_dict
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt(
+        "docs_minhash_sigs",
+        scope,
+        lambda: minhash_signatures(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            with_rank_arrays=True,
+            token_dict=docs_token_dict(spark, sf_dir),
+        ),
+    )
+
+
 def lsh_pair_graph(spark, sf_dir):
     """The production MinHash-LSH pair relation (id1, id2, sim) at
     t=MINHASH_T, SESSION-pinned like exact_pair_graph: the flagship
@@ -93,6 +122,7 @@ def lsh_pair_graph(spark, sf_dir):
             "doc_id",
             "text",
             threshold=MINHASH_T,
+            sigs=docs_minhash_sigs(spark, sf_dir),
         ),
     )
 
@@ -147,6 +177,7 @@ def q_dedup_incremental(spark, sf_dir):
         "text",
         is_new=(F.col("doc_id") % NEW_MOD) == NEW_REM,
         threshold=MINHASH_T,
+        sigs=docs_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -1039,11 +1070,11 @@ def q_minhash_estimate(spark, sf_dir):
         NUM_BANDS,
         NUM_PERM,
         ROWS_PER_BAND,
-        minhash_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", with_rank_arrays=True)
+    # r17: the shared session-checkpointed corpus signatures (identical
+    # relation — see docs_minhash_sigs).
+    sigs = docs_minhash_sigs(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("_band"),
@@ -3382,11 +3413,12 @@ def q_dedup_lsh_band_sweep(spark, sf_dir):
     per-layout passes, same join shape as minhash_lsh_pairs
     (explicit repartition, AQE-coalesce exempt). The truth side is
     the already-hash-verified exact key composed verbatim."""
-    from hive_similarity_join_spark.operators.dedup import minhash_signatures
     from hive_similarity_join_spark.operators.partitions import parallelism
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    # r17: the shared corpus signature relation (the unused _rks column
+    # is projected away; the band structs read only _h1.._h16).
+    sigs = docs_minhash_sigs(spark, sf_dir)
     structs = []
     for nb, rpb in _SWEEP_LAYOUTS:
         for b in range(nb):

@@ -235,6 +235,18 @@ def test_sketch_and_bloom_keys_broadcast_their_small_sides(spark):
     chain_plan = explain_str(bpe.apply_merge(wf, bpe.best_pair(wf)))
     assert "CartesianProduct" not in chain_plan
     assert "BroadcastNestedLoopJoin" in chain_plan  # the 1-row best pair
+    # r17 (VERDICT r16 item 2): the per-round trainer compositions are
+    # the one generator surface the session_ckpt runtime gate cannot
+    # inspect (each round checkpoints eagerly inside the build), so the
+    # WordPiece round composition gets the same plan gate here as BPE's.
+    from hive_similarity_join_spark.operators import wordpiece as WP
+
+    wp_round_plan = explain_str(
+        bpe.apply_merge(wf, WP.best_scored_pair(wf))
+    )
+    assert "CartesianProduct" not in wp_round_plan
+    assert "BatchEvalPython" not in wp_round_plan
+    assert "ArrowEvalPython" not in wp_round_plan
 
 
 def test_unpartitioned_window_detector_fixtures():

@@ -127,3 +127,55 @@ def test_wp_trained_chain_equals_operator_output(spark):
         assert drows == mrows
     finally:
         release_session_pins()
+
+
+def test_generator_plan_gate_rejects_python_eval(spark):
+    """r17 (VERDICT r16 item 2): consumers of a checkpointed relation
+    plan as ExistingRDD scans, so the suite-wide python-eval gate never
+    sees generator plans — session_ckpt/session_state therefore gate
+    every build() composition at materialization time. Injecting a
+    Python UDF into a build must raise before anything is checkpointed
+    or memoized."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    release_session_pins()
+    try:
+        bad_udf = F.udf(lambda x: x + 1, "bigint")
+
+        def bad_build():
+            return spark.range(10).select(bad_udf("id").alias("y"))
+
+        with pytest.raises(ValueError, match="scale-killers"):
+            session_ckpt("t_gate_bad", "scope1", bad_build)
+        with pytest.raises(ValueError, match="scale-killers"):
+            session_state("t_gate_bad_state", "scope1",
+                          lambda: {"rel": bad_build()})
+        # nothing stored: a later good build under the same names works
+        ok = session_ckpt("t_gate_bad", "scope1", lambda: spark.range(5))
+        assert ok.count() == 5
+    finally:
+        release_session_pins()
+
+
+def test_generator_plan_gate_rejects_low_cardinality_window(spark):
+    """The same gate must flag a window over an unbounded relation
+    partitioned only by a low-cardinality column (the r10 suite-wide
+    scale rule), injected into a generator build."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hive_similarity_join_spark.sources.loader import load_table
+
+    release_session_pins()
+    try:
+        def bad_build():
+            docs = load_table(spark, SF_SMOKE, "documents")
+            w = Window.partitionBy("source").orderBy("doc_id")
+            return docs.select("doc_id", F.row_number().over(w).alias("rn"))
+
+        with pytest.raises(ValueError, match="scale-killers"):
+            session_ckpt("t_gate_badwin", "scope1", bad_build)
+    finally:
+        release_session_pins()
