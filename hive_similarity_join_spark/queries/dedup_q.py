@@ -3750,10 +3750,14 @@ def snm_scored_pairs(spark, sf_dir, w_max: int):
     arrs = docs.select(
         "doc_id", F.array_sort(TX.set_tokens("text")).alias("toks")
     )
-    return snm_scored_pairs_from(arrs, w_max)
+    from hive_similarity_join_spark.queries.similarity_q import docs_token_dict
+
+    return snm_scored_pairs_from(
+        arrs, w_max, token_dict=docs_token_dict(spark, sf_dir)
+    )
 
 
-def snm_scored_pairs_from(arrs, w_max: int):
+def snm_scored_pairs_from(arrs, w_max: int, token_dict=None):
     """``snm_scored_pairs`` body over a pre-tokenized corpus relation
     (doc_id, toks = sorted distinct tokens) — the shared seam that
     lets the incremental ensemble mirror (streaming/
@@ -3761,7 +3765,15 @@ def snm_scored_pairs_from(arrs, w_max: int):
     over its document carry: SNM neighborhoods are GLOBAL ranks, so
     the pair set is not monotone under doc insertion and must be
     recomputed from the full corpus at emission (module docstring
-    there has the counterexample)."""
+    there has the counterexample).
+
+    ``token_dict``: an optional covering (_tok, _rank) dictionary (r17):
+    with it, the n*w_max Jaccard verifications intersect INT rank arrays
+    instead of string-token arrays (the rank map is a bijection over
+    distinct token sets, so |intersection| and sizes — hence jac — are
+    identical integers), and the two verify joins ship int arrays. The
+    sort key ``ck`` stays the token STRING concat either way (ranks
+    would reorder the neighborhood and change candidates)."""
     canon = arrs.select("doc_id", F.concat_ws(" ", "toks").alias("ck"))
     rk = ranked_by(canon, ["ck", "doc_id"], "r").select("doc_id", "r")
     probes = rk.select(
@@ -3777,7 +3789,16 @@ def snm_scored_pairs_from(arrs, w_max: int):
         F.greatest("id_a", "id_b").alias("id2"),
         "gap",
     )
-    sz = arrs.select("doc_id", "toks", F.size("toks").alias("n"))
+    if token_dict is not None:
+        sz = (
+            arrs.select("doc_id", F.explode("toks").alias("_tok"))
+            .join(F.broadcast(token_dict), "_tok")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("_rank")).alias("toks"))
+            .withColumn("n", F.size("toks"))
+        )
+    else:
+        sz = arrs.select("doc_id", "toks", F.size("toks").alias("n"))
     return (
         cand.join(
             sz.select(
