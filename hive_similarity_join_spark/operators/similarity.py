@@ -713,6 +713,8 @@ def weighted_containment_join(
     other_id_col: str | None = None,
     other_text_col: str | None = None,
     rarity_dict: DataFrame | None = None,
+    sorted_rel: DataFrame | None = None,
+    other_sorted_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Rarity-WEIGHTED containment self-join: ordered pairs (id1, id2),
     id1 != id2, with ``sum of w(t) over shared tokens / total w(id1)
@@ -774,6 +776,26 @@ def weighted_containment_join(
     defense as the unweighted rarest-first order, but now the filter
     bound itself adapts to how much evidence each token carries.
     """
+    # ``sorted_rel`` / ``other_sorted_rel`` (r17 sharing seam): prebuilt
+    # weighted-sorted relations — the ``_weighted_sorted`` output for
+    # ``df`` / ``other`` against the ONE shared rarity scale. The
+    # (_id, _rks, _ws, _sfx, _n, _tw) build is the expensive common
+    # stage of the weighted trio, and its rows are per-doc-independent,
+    # so a corpus-wide relation restricted to each side's ids is
+    # exactly what the inline build produces (the weights enter
+    # results, so the scale must still be the union corpus — same
+    # contract as rarity_dict). When given, the tokenize/dict/sort
+    # stages are skipped entirely.
+    if sorted_rel is not None:
+        r_sorted = sorted_rel
+        s_sorted = (
+            other_sorted_rel if other_sorted_rel is not None else sorted_rel
+        )
+        return _weighted_containment_core(
+            df, r_sorted, s_sorted, threshold, n_salts,
+            rs=other is not None or other_sorted_rel is not None,
+            min_weight_ratio=min_weight_ratio,
+        )
     r = _tokenized(df, id_col, text_col, tokens_col)
     if persist:
         r = pin(r, StorageLevel.MEMORY_AND_DISK)
@@ -813,7 +835,24 @@ def weighted_containment_join(
     s_sorted = r_sorted if s is None else _weighted_sorted(s, dict_df)
     if persist and s is not None:
         s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
+    return _weighted_containment_core(
+        df, r_sorted, s_sorted, threshold, n_salts,
+        rs=other is not None, min_weight_ratio=min_weight_ratio,
+    )
 
+
+def _weighted_containment_core(
+    df: DataFrame,
+    r_sorted: DataFrame,
+    s_sorted: DataFrame,
+    threshold: float,
+    n_salts: int,
+    rs: bool,
+    min_weight_ratio: float | None,
+) -> DataFrame:
+    """Candidate generation + verify of ``weighted_containment_join``
+    over prebuilt weighted-sorted relations (``df`` only sizes the
+    explicit candidate-join partitioning)."""
     alpha1 = F.col("_tw1").cast("double") * threshold - 1e-9
     probe = (
         r_sorted.select(
@@ -859,7 +898,7 @@ def weighted_containment_join(
         & (F.col("_tw2").cast("double") >= alpha)
         & (pos_bound >= alpha)
     )
-    if other is None:
+    if not rs:
         join_cond = join_cond & (F.col("id1") != F.col("id2"))
     if min_weight_ratio is not None:
         join_cond = join_cond & (
@@ -927,6 +966,7 @@ def weighted_jaccard_join(
     n_salts: int = 32,
     persist: bool = True,
     rarity_dict: DataFrame | None = None,
+    sorted_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Rarity-WEIGHTED Jaccard self-join: ordered pairs (id1, id2) with
     ``sum w over shared tokens / sum w over the union >= threshold``,
@@ -964,14 +1004,18 @@ def weighted_jaccard_join(
     prefixes on rare tokens, which is what bounds the candidate space
     at 100 TB.
     """
-    r = _tokenized(df, id_col, text_col, tokens_col)
-    if persist:
-        r = pin(r, StorageLevel.MEMORY_AND_DISK)
-    # rarity_dict contract: see weighted_containment_join.
-    dict_df = _rarity_dict(r) if rarity_dict is None else rarity_dict
-    r_sorted = _weighted_sorted(r, dict_df)
-    if persist:
-        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
+    # sorted_rel contract: see weighted_containment_join (r17 seam).
+    if sorted_rel is not None:
+        r_sorted = sorted_rel
+    else:
+        r = _tokenized(df, id_col, text_col, tokens_col)
+        if persist:
+            r = pin(r, StorageLevel.MEMORY_AND_DISK)
+        # rarity_dict contract: see weighted_containment_join.
+        dict_df = _rarity_dict(r) if rarity_dict is None else rarity_dict
+        r_sorted = _weighted_sorted(r, dict_df)
+        if persist:
+            r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
 
     tt = threshold / (1.0 + threshold)
     alpha_min = F.col("_tw1").cast("double") * (2.0 * tt) - 1e-9
