@@ -15,9 +15,17 @@ pinned relation is deterministic (the bit-exact oracle contract already
 forces that), so a consumer that re-reads an earlier key's DataFrame
 after its pins were released just recomputes — correct, merely cold.
 
-Single-threaded by design, like the driver/selfcheck/bench loops; a
-concurrent harness would release a sibling's pins early, which degrades
-to recompute, never to wrong answers.
+Threading discipline (r17, tightened from "single-threaded by
+design"): the driver/selfcheck/bench loops are single-threaded, but
+two builders deliberately materialize INDEPENDENT session_ckpt /
+session_state entries from a small ThreadPool (the §2.6 overlap
+pattern — q_dedup_blocking_ensemble's generator prefetch,
+q_vec_ann_recall's leg prefetch). That is safe here because the
+concurrent builds use DISTINCT names (no build ever races itself),
+dict get/set are GIL-atomic, and a lost race would only rebuild a
+deterministic relation — degrade is duplicate work, never a wrong
+answer. ``release_pins`` / the pin list remain single-consumer: no
+concurrent code path releases pins.
 """
 
 from __future__ import annotations

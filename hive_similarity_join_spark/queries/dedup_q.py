@@ -29,7 +29,7 @@ from hive_similarity_join_spark.operators.knn import (
 )
 from hive_similarity_join_spark.operators.rank import ranked_by
 from hive_similarity_join_spark.operators.similarity import similarity_join
-from hive_similarity_join_spark.queries.vectors_q import N_PROBES
+from hive_similarity_join_spark.queries.vectors_q import N_PROBES, topk_ckpt
 from hive_similarity_join_spark.registry import query
 from hive_similarity_join_spark.sources.loader import load_table
 from hive_similarity_join_spark.operators.partitions import parallelism
@@ -300,6 +300,7 @@ SELECT * FROM (
 
 
 @query("q_vec_knn_ann", oracle=_ANN_ORACLE)
+@topk_ckpt("topk_lsh")
 def q_vec_knn_ann(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH + multi-probe + exact
     re-scoring — the scale path whose exact twin is q_vec_knn.
@@ -373,6 +374,7 @@ SELECT * FROM (
 
 
 @query("q_vec_knn_ivf", oracle=_IVF_ORACLE)
+@topk_ckpt("topk_ivf")
 def q_vec_knn_ivf(spark, sf_dir):
     """IVF-Flat ANN: coarse quantizer cells + nprobe-cell search + exact
     re-scoring (operators/ivf.py) — the inverted-list scale path; at
@@ -467,6 +469,7 @@ SELECT * FROM (
 
 
 @query("q_vec_knn_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+@topk_ckpt("topk_ivfk")
 def q_vec_knn_ivf_kmeans(spark, sf_dir):
     """IVF-Flat ANN with the PRODUCTION quantizer: coarse cells trained
     by the exact fixed-point Lloyd k-means (q_vec_kmeans's trainer,
@@ -574,6 +577,7 @@ SELECT * FROM (
 
 
 @query("q_vec_knn_ivfadc", oracle=_ivfadc_oracle())
+@topk_ckpt("topk_ivfadc")
 def q_vec_knn_ivfadc(spark, sf_dir):
     """IVFADC — the production large-scale ANN composition (FAISS's
     default index family): IVF routing prunes the scan to
@@ -716,6 +720,7 @@ SELECT * FROM (
 
 
 @query("q_vec_knn_ivfadc_res", oracle=_ivfadc_res_oracle())
+@topk_ckpt("topk_ivfadc_res")
 def q_vec_knn_ivfadc_res(spark, sf_dir):
     """IVFADC with RESIDUAL encoding — the production FAISS form of
     q_vec_knn_ivfadc (r12 VERDICT gap #5): PQ codes quantize
@@ -1452,23 +1457,36 @@ def q_vec_ann_recall(spark, sf_dir):
         q_vec_knn,
         q_vec_knn_quantized,
     )
-
-    exact = q_vec_knn(spark, sf_dir).select("probe_id", "vec_id")
     from hive_similarity_join_spark.queries.vectors_q import (
         q_vec_knn_bq,
         q_vec_knn_pq,
     )
 
-    legs = [
-        ("lsh", q_vec_knn_ann(spark, sf_dir)),
-        ("sq8", q_vec_knn_quantized(spark, sf_dir)),
-        ("ivf", q_vec_knn_ivf(spark, sf_dir)),
-        ("pq", q_vec_knn_pq(spark, sf_dir)),
-        ("ivfadc", q_vec_knn_ivfadc(spark, sf_dir)),
-        ("ivfadc_res", q_vec_knn_ivfadc_res(spark, sf_dir)),
-        ("ivfk", q_vec_knn_ivf_kmeans(spark, sf_dir)),
-        ("bq", q_vec_knn_bq(spark, sf_dir)),
+    # r17: the nine top-k legs are session-checkpointed (topk_ckpt) and
+    # independent, so the first consumer in a session (this dashboard,
+    # alphabetically before every q_vec_knn* key) materializes them
+    # CONCURRENTLY — the guide's §2.6 overlap pattern, same device as
+    # q_dedup_blocking_ensemble's generator prefetch. Distinct ckpt
+    # names -> no build race; each builder's own collect-based centroid
+    # training is memoized per plan hash (operators/ivf.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    leg_fns = [
+        ("exact", q_vec_knn),
+        ("lsh", q_vec_knn_ann),
+        ("sq8", q_vec_knn_quantized),
+        ("ivf", q_vec_knn_ivf),
+        ("pq", q_vec_knn_pq),
+        ("ivfadc", q_vec_knn_ivfadc),
+        ("ivfadc_res", q_vec_knn_ivfadc_res),
+        ("ivfk", q_vec_knn_ivf_kmeans),
+        ("bq", q_vec_knn_bq),
     ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {n: pool.submit(fn, spark, sf_dir) for n, fn in leg_fns}
+        built = {n: f.result() for n, f in futs.items()}
+    exact = built["exact"].select("probe_id", "vec_id")
+    legs = [(n, built[n]) for n, _ in leg_fns[1:]]
     m = None
     for name, df in legs:
         leg = df.select(

@@ -28,6 +28,31 @@ DEDUP_COS_T = 0.3  # synthetic embeddings are near-orthogonal; 0.3 -> ~1k pairs
 EXACT_DEDUP_MAX_ROWS = 100_000  # exact all-pairs dedup cap: ~100k x 64 doubles
 
 
+def topk_ckpt(name):
+    """Decorator (applied UNDER ``@query``) that session-checkpoints a
+    per-probe top-k builder — r17: each ANN method's top-k relation is
+    computed by its own key AND re-run by the q_vec_ann_recall
+    dashboard (and the exact baseline additionally by the recall-curve
+    and prefix-dim audits), so every search leg executed 2-3x per
+    session. The relations are |probes| x k rows (tiny); the ckpt tier
+    plan-gates the build and degrades to recompute — see
+    operators/cache.py session_ckpt."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            from hive_similarity_join_spark.operators.cache import session_ckpt
+
+            scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+            return session_ckpt(name, scope, lambda: fn(spark, sf_dir))
+
+        return wrapped
+
+    return deco
+
+
 def _corpus_rows(sf_dir: str) -> int | None:
     """Embeddings row count from parquet FOOTER metadata — no Spark job
     and no data scan (footers carry exact counts; at cluster scale this
@@ -199,6 +224,7 @@ SELECT * FROM (
 ) WHERE rank <= {KNN_K}
 """,
 )
+@topk_ckpt("topk_exact")
 def q_vec_knn(spark, sf_dir):
     """Exact brute-force k-NN (the ANN baseline): broadcast probes ->
     score corpus -> per-probe top-k via window. Cosine is bit-exact
@@ -320,6 +346,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= {KNN_K}
 """,
 )
+@topk_ckpt("topk_sq8")
 def q_vec_knn_quantized(spark, sf_dir):
     """SQ8 two-stage ANN — the serving-path composition of
     q_vec_quantize: candidates by int8-code dot product (a 4x-smaller
@@ -469,6 +496,7 @@ PQ_CAND_C = 20
 
 
 @query("q_vec_knn_pq", oracle=_pq_oracle())
+@topk_ckpt("topk_pq")
 def q_vec_knn_pq(spark, sf_dir):
     """Product-quantization ANN with ADC re-rank (Jégou et al., TPAMI
     2011; operators/pq.py) — the fourth ANN path: 8 subspaces x 16
@@ -1734,6 +1762,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= {KNN_K}
 """,
 )
+@topk_ckpt("topk_bq")
 def q_vec_knn_bq(spark, sf_dir):
     """BINARY-QUANTIZED two-stage ANN — the 1-bit extreme of the
     quantization family (SQ8 keeps 8 bits/dim, PQ ~0.5, BQ exactly 1:
