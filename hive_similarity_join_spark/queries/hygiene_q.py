@@ -1848,14 +1848,13 @@ def q_decontaminate_fuzzy(spark, sf_dir):
 
     max(sim) is a SELECTION over per-pair single-division doubles, not
     an accumulation — order-independent, bit-exact (CLAUDE.md rule)."""
-    from hive_similarity_join_spark.operators.dedup import (
-        band_signatures,
-        minhash_signatures,
-    )
+    from hive_similarity_join_spark.operators.dedup import band_signatures
     from hive_similarity_join_spark.operators.partitions import parallelism
+    from hive_similarity_join_spark.queries.dedup_q import docs_minhash_sigs
 
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", with_rank_arrays=True)
+    # r17: the union-corpus signature relation IS the dedup family's
+    # shared session-checkpointed relation (identical builder).
+    sigs = docs_minhash_sigs(spark, sf_dir)
     bands = band_signatures(sigs)
     is_eval = F.col("_id") % _DECON_MOD == 0
     n_part = parallelism(spark)
