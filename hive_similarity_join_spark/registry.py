@@ -64,47 +64,54 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verdict; rotate per round as coverage accumulates. Keys not listed
 # follow in registration order.
 PRIORITY: list[str] = [
-    # ---- round-16 window (positions 1-50) ----
-    # The precomputed rotation from the r15 checklist (CLAUDE.md +
-    # VERDICT r15 item #1), valid verbatim because all 50 r15 window
-    # keys landed FULL green verdicts (CORRECTNESS_r15: 50/50
-    # rows+schema+hash, 0 failures, 0 err — verified r16 start).
-    # Head: the 18 round-15 staged entries in their staged order — 16
-    # brand-new keys plus the two dashboards whose output grew mid-r15
-    # (the 'bq' method rows); all 18 selfchecked bit-exact at r15 and
-    # independently re-run green by the r15 judge.
-    "q_graph_kcore", "q_graph_bridges",
-    "q_dedup_winnowing", "q_dedup_winnowing_recall",
-    "q_compaction_plan", "q_join_partition_pruned",
-    "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
-    "q_time_downsample", "q_subquery_scalar",
-    "q_graph_link_prediction", "q_vec_knn_bq", "q_schema_evolution",
-    "q_vec_ann_recall", "q_vec_ann_cost",
-    "q_vec_bq_depth_curve", "q_agg_kmv_setops",
-    "q_pipeline_stage_waterfall",
-    # Backfill (32): oldest-latest-verdict keys, recomputed r16 start
-    # from CORRECTNESS_r0{1..15} (latest full-green verdict per key:
-    # 41 r10-era keys remain, no older). The first 32 in CORRECTNESS_r10
-    # file order (file positions 9-40):
-    "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
-    "q_win_percentiles", "q_sample_negatives", "q_docs_length_percentiles",
-    "q_events_dau_wau", "q_vec_dim_stats", "q_docs_dup_matrix",
-    "q_vec_centroid_shift", "q_schema_profile", "q_report_cohort_ltv",
-    "q_vec_pq_distortion", "q_dedup_lsh_recall", "q_report_ship_latency",
-    "q_agg_kmv_distinct", "q_boilerplate_passages", "q_case_when",
-    "q_cast", "q_contamination_report", "q_decontaminate_hashed",
-    "q_dedup_containment", "q_events_outliers", "q_filter_pred",
-    "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
-    "q_pii_redact", "q_sample_temperature", "q_simjoin_containment",
-    "q_scd2_history",
-    # ---- positions 51+ (round-17 head candidates) ----
-    # Stage round-16 additions here as they land; rotate to head at r17
-    # (then backfill with the next-oldest keys — the remaining 9
-    # r10-era keys first in CORRECTNESS_r10 file order: q_vec_quantize
-    # q_text_rules_filter q_vec_knn_quantized q_retention_cohorts
-    # q_simjoin_weighted_containment q_simjoin_containment_rs q_tpch_q1
-    # q_tpch_q2 q_tpch_q3 — recompute from CORRECTNESS_r0{1..16} at r17
-    # start as always).
+    # ---- round-17 window (positions 1-50) ----
+    # Optimization round 2: no new keys — the window is spent on keys
+    # whose COMPUTATION PATH was restructured without a post-change
+    # driver stamp (VERDICT r16 item 7 + this round's changes; every
+    # entry re-verified bit-exact tuned AND plain at sf0.01 this
+    # round). Head: r17 logic-changed paths (canonical simhash
+    # candidate filter + shared fingerprints; shared MinHash signature
+    # relation with dictionary-derived ranks; SNM int-rank verify;
+    # substring window-count df filter; fuzzy-decon shared signatures;
+    # weighted trio shared sorted relation; ensemble over the changed
+    # generators).
+    "q_text_simhash", "q_text_simhash_wide",
+    "q_dedup_simhash_recall", "q_dedup_simhash_wide_recall",
+    "q_dedup_substring", "q_dedup_sorted_neighborhood",
+    "q_dedup_minhash_lsh", "q_minhash_estimate", "q_dedup_incremental",
+    "q_dedup_lsh_band_sweep", "q_decontaminate_fuzzy",
+    "q_simjoin_weighted_containment", "q_simjoin_weighted_containment_rs",
+    "q_simjoin_weighted_jaccard", "q_dedup_blocking_ensemble",
+    # r17 checkpoint-moved relations (same builder code, now shared):
+    # the ELSH graph and the nine ANN top-k legs + their dashboard.
+    "q_dedup_embedding_lsh", "q_dedup_semantic", "q_dedup_threshold_curve",
+    "q_vec_knn", "q_vec_knn_quantized", "q_vec_knn_pq", "q_vec_knn_bq",
+    "q_vec_knn_ann", "q_vec_knn_ivf", "q_vec_knn_ivf_kmeans",
+    "q_vec_knn_ivfadc", "q_vec_knn_ivfadc_res", "q_vec_ann_recall",
+    "q_dedup_ensemble_representatives",
+    # r16-restructured keys without post-change stamps (VERDICT r16
+    # item 7 names + the tokenizer/pipeline consumer families).
+    "q_dedup_representatives", "q_dedup_cluster_sizes",
+    "q_simjoin_dice", "q_simjoin_cosine", "q_simjoin_overlap",
+    "q_simjoin_jaccard_rs", "q_simjoin_containment_rs",
+    "q_wordpiece_merges", "q_wordpiece_encode", "q_wordpiece_encode_docs",
+    "q_wordpiece_rounds_sweep",
+    "q_bpe_merges", "q_bpe_segment", "q_bpe_encode_docs", "q_bpe_oov",
+    "q_bpe_rounds_sweep",
+    "q_unigram_prune", "q_unigram_vocab_sweep", "q_tokenizer_compare",
+    "q_pipeline_corpus_clean", "q_pipeline_llm_corpus",
+    # ---- positions 51+ (round-18 head candidates) ----
+    # Still-unstamped restructured consumers for the next rotation:
+    # the r16 ckpt-consumer keys q_dedup_near q_dedup_connected
+    # q_dedup_connected_star q_dedup_ngram q_graph_pagerank
+    # q_graph_triangles q_graph_communities q_dedup_cc_vs_lpa
+    # q_graph_degree_dist q_simjoin_topk q_split_leakage
+    # q_report_dup_rate, the remaining unigram consumers, the IVF
+    # sweep/mixture keys — then resume the oldest-verdict backfill
+    # (remaining r10-era keys in CORRECTNESS_r10 file order:
+    # q_vec_quantize q_text_rules_filter q_retention_cohorts q_tpch_q1
+    # q_tpch_q2 q_tpch_q3 ...; recompute from CORRECTNESS_r0{1..17} at
+    # r18 start as always).
 ]
 
 

@@ -90,55 +90,35 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     assert got == micros
 
 
-def test_round16_correctness_window_composition():
+def test_round17_correctness_window_composition():
     """The driver grades the FIRST 50 keys in queries() insertion
-    order. Round-16 contract (the rotation precomputed at r15 end,
-    valid verbatim because CORRECTNESS_r15 was 50/50 full green): the
-    18 round-15 staged entries lead the window in their staged order
-    (16 brand-new keys plus the two dashboards whose output grew
-    mid-r15; all 18 selfchecked bit-exact and re-run green by the r15
-    judge), then 32 oldest-latest-verdict keys backfill — the first 32
-    remaining r10-era keys in CORRECTNESS_r10 file order (file
-    positions 9-40; recomputed from CORRECTNESS_r0{1..15} at r16
-    start). Round-16 additions stay at 51+ (verdicts in the round-17
-    rotation). A PRIORITY edit that accidentally reorders the window
-    fails here, loudly."""
-    from hive_similarity_join_spark.registry import QUERIES, ordered
+    order. Round-17 contract (optimization round — no new keys): the
+    window is spent on restructured-path keys without a post-change
+    driver stamp. Head: 15 r17 logic-changed paths (canonical simhash
+    filter + shared fingerprints, shared MinHash signatures, SNM
+    int-rank verify, substring window-df, fuzzy-decon shared sigs,
+    weighted-trio shared sorted relation, the ensemble over the
+    changed generators), then 14 r17 checkpoint-moved keys (ELSH graph,
+    nine ANN top-k legs + recall dashboard, ensemble representatives),
+    then 21 r16-restructured keys from the r16 VERDICT item-7 list
+    (representatives/cluster_sizes, the dictionary-shared measure keys,
+    the WP/BPE/unigram consumer families, the two pipeline consumers).
+    All 50 re-verified bit-exact tuned AND plain at sf0.01 this round.
+    A PRIORITY edit that accidentally reorders the window fails here,
+    loudly."""
+    from hive_similarity_join_spark.registry import PRIORITY, QUERIES, ordered
 
     load_registry()
     head = list(ordered(QUERIES))[:50]
     # Spot-pin the stage boundaries so an off-by-one is loud.
-    assert head[0] == "q_graph_kcore"
-    assert head[17] == "q_pipeline_stage_waterfall"
-    assert head[18] == "q_vec_recall_curve"
-    assert head[49] == "q_scd2_history"
-    staged_r15 = [
-        "q_graph_kcore", "q_graph_bridges",
-        "q_dedup_winnowing", "q_dedup_winnowing_recall",
-        "q_compaction_plan", "q_join_partition_pruned",
-        "q_vec_kmeans_elbow", "q_search_hybrid_rrf",
-        "q_time_downsample", "q_subquery_scalar",
-        "q_graph_link_prediction", "q_vec_knn_bq", "q_schema_evolution",
-        "q_vec_ann_recall", "q_vec_ann_cost",
-        "q_vec_bq_depth_curve", "q_agg_kmv_setops",
-        "q_pipeline_stage_waterfall",
-    ]
-    assert head[:18] == staged_r15
-    backfill_r10 = [
-        "q_vec_recall_curve", "q_multimodal_dedup", "q_agg_skew_kurtosis",
-        "q_win_percentiles", "q_sample_negatives",
-        "q_docs_length_percentiles", "q_events_dau_wau", "q_vec_dim_stats",
-        "q_docs_dup_matrix", "q_vec_centroid_shift", "q_schema_profile",
-        "q_report_cohort_ltv", "q_vec_pq_distortion", "q_dedup_lsh_recall",
-        "q_report_ship_latency", "q_agg_kmv_distinct",
-        "q_boilerplate_passages", "q_case_when", "q_cast",
-        "q_contamination_report", "q_decontaminate_hashed",
-        "q_dedup_containment", "q_events_outliers", "q_filter_pred",
-        "q_join_full", "q_join_inner", "q_join_left", "q_multimodal_resize",
-        "q_pii_redact", "q_sample_temperature", "q_simjoin_containment",
-        "q_scd2_history",
-    ]
-    assert head[18:50] == backfill_r10
+    assert head[0] == "q_text_simhash"
+    assert head[14] == "q_dedup_blocking_ensemble"
+    assert head[15] == "q_dedup_embedding_lsh"
+    assert head[27] == "q_vec_ann_recall"
+    assert head[28] == "q_dedup_ensemble_representatives"
+    assert head[29] == "q_dedup_representatives"
+    assert head[49] == "q_pipeline_llm_corpus"
+    assert head == PRIORITY[:50]
 
 
 def test_get_spark_applies_shuffle_conf_on_reused_session(spark):
