@@ -1749,11 +1749,20 @@ def q_vec_knn_label(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     labels = e.select("vec_id", "label")
+    # r17: q_vec_knn is session-checkpointed, so Catalyst no longer has
+    # size stats for it — the |probes| x k top-k side is explicitly
+    # broadcast (bounded tiny BY CONSTRUCTION at any scale) so the
+    # corpus label side streams instead of shuffling.
     nb = (
-        q_vec_knn(spark, sf_dir)
-        .select("probe_id", "vec_id")
+        F.broadcast(q_vec_knn(spark, sf_dir).select("probe_id", "vec_id"))
         .join(labels, "vec_id")
     )
+    # One explicit probe-keyed exchange replaces the partitioning the
+    # checkpoint dropped: hash(probe_id) CLUSTERS (probe_id, label), so
+    # the vote tally and the pick window both ride this single
+    # exchange — the same 1-exchange shape the lazy q_vec_knn plan gave
+    # this key before r17.
+    nb = nb.repartition(parallelism(spark), "probe_id")
     votes = nb.groupBy("probe_id", "label").agg(
         F.count(F.lit(1)).alias("votes")
     )
@@ -1763,7 +1772,7 @@ def q_vec_knn_label(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("label").alias("_true")
     )
     return (
-        pick.join(truth, "probe_id")
+        F.broadcast(pick).join(truth, "probe_id")
         .select(
             "probe_id",
             F.col("label").cast("bigint").alias("pred_label"),
