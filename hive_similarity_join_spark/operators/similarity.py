@@ -205,8 +205,19 @@ def similarity_join(
     n_salts: int = 32,
     persist: bool = True,
     token_dict: DataFrame | None = None,
+    sorted_rel: DataFrame | None = None,
+    other_sorted_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity join; returns (id1, id2, sim).
+
+    ``sorted_rel`` / ``other_sorted_rel`` (r17 sharing seam): prebuilt
+    rank-sorted relations — the ``_sorted_by_rank`` output (_id, _rks,
+    _n) for ``df`` / ``other`` against ONE covering dictionary. The
+    relation depends only on (corpus, dictionary), not on threshold or
+    measure, so every same-corpus kernel run shares it; per-doc rows
+    are side-independent, so a corpus-wide relation restricted to each
+    side's ids is exactly what the inline build produces. When given,
+    the tokenize/dictionary/sort stages are skipped entirely.
 
     Self-join (``other is None``): all pairs with id1 < id2 (canonical
     orientation, SURVEY §7) and measure >= threshold.
@@ -252,32 +263,42 @@ def similarity_join(
 
     from pyspark import StorageLevel
 
-    r = _tokenized(df, id_col, text_col, tokens_col)
-    if persist:
-        r = pin(r, StorageLevel.MEMORY_AND_DISK)
-    rels = [r]
-    if other is not None:
-        s = _tokenized(
-            other, other_id_col or id_col, other_text_col or text_col, tokens_col
+    if sorted_rel is not None:
+        r_sorted = sorted_rel
+        s_sorted = (
+            other_sorted_rel if other_sorted_rel is not None else sorted_rel
         )
+    else:
+        r = _tokenized(df, id_col, text_col, tokens_col)
         if persist:
-            s = pin(s, StorageLevel.MEMORY_AND_DISK)
-        rels.append(s)
+            r = pin(r, StorageLevel.MEMORY_AND_DISK)
+        rels = [r]
+        if other is not None:
+            s = _tokenized(
+                other, other_id_col or id_col, other_text_col or text_col,
+                tokens_col,
+            )
+            if persist:
+                s = pin(s, StorageLevel.MEMORY_AND_DISK)
+            rels.append(s)
 
-    # ``token_dict``: a prebuilt (_tok, _rank) dictionary (see
-    # build_token_dict) — the steady-state shape for REPEATED joins over
-    # one corpus, where recomputing the global frequency pass per query
-    # is a full-corpus shuffle for an answer that never changes. The
-    # dict MUST come from the same corpus: stage 2a inner-joins on _tok,
-    # so tokens absent from the dictionary silently vanish from the
-    # token sets (changing results) rather than erroring.
-    dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
-    r_sorted = _sorted_by_rank(r, dict_df)
-    if persist:
-        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
-    s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
-    if persist and other is not None:
-        s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
+        # ``token_dict``: a prebuilt (_tok, _rank) dictionary (see
+        # build_token_dict) — the steady-state shape for REPEATED joins
+        # over one corpus, where recomputing the global frequency pass
+        # per query is a full-corpus shuffle for an answer that never
+        # changes. The dict MUST come from the same corpus: stage 2a
+        # inner-joins on _tok, so tokens absent from the dictionary
+        # silently vanish from the token sets (changing results) rather
+        # than erroring.
+        dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
+        r_sorted = _sorted_by_rank(r, dict_df)
+        if persist:
+            r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
+        s_sorted = (
+            r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
+        )
+        if persist and other is not None:
+            s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
 
     if measure == "overlap":
         c = int(math.ceil(threshold))
@@ -502,6 +523,8 @@ def containment_join(
     other_id_col: str | None = None,
     other_text_col: str | None = None,
     token_dict: DataFrame | None = None,
+    sorted_rel: DataFrame | None = None,
+    other_sorted_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric set-CONTAINMENT self-join: ordered pairs (id1, id2),
     id1 != id2, with |T1 ∩ T2| / |T1| >= threshold — "id1 is (mostly)
@@ -561,30 +584,43 @@ def containment_join(
     dictionary is built over BOTH relations so no token silently
     vanishes from either side's rank arrays.
     """
-    r = _tokenized(df, id_col, text_col, tokens_col)
-    if persist:
-        r = pin(r, StorageLevel.MEMORY_AND_DISK)
-    rels = [r]
-    if other is not None:
-        s = _tokenized(
-            other, other_id_col or id_col, other_text_col or text_col, tokens_col
+    # ``sorted_rel`` / ``other_sorted_rel``: prebuilt rank-sorted
+    # relations — same seam and proof as similarity_join's (the
+    # relation depends only on (corpus, dictionary)).
+    if sorted_rel is not None:
+        r_sorted = sorted_rel
+        s_sorted = (
+            other_sorted_rel if other_sorted_rel is not None else sorted_rel
         )
+    else:
+        r = _tokenized(df, id_col, text_col, tokens_col)
         if persist:
-            s = pin(s, StorageLevel.MEMORY_AND_DISK)
-        rels.append(s)
-    # ``token_dict``: a prebuilt (_tok, _rank) dictionary — same
-    # contract as similarity_join's: it must cover every token of both
-    # relations (tokens absent from it silently vanish from the rank
-    # arrays). Losslessness of the prefix/positional filters needs only
-    # SOME global total order, and verification intersects rank arrays
-    # (a bijection), so any covering dictionary yields identical pairs.
-    dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
-    r_sorted = _sorted_by_rank(r, dict_df)
-    if persist:
-        r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
-    s_sorted = r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
-    if persist and other is not None:
-        s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
+            r = pin(r, StorageLevel.MEMORY_AND_DISK)
+        rels = [r]
+        if other is not None:
+            s = _tokenized(
+                other, other_id_col or id_col, other_text_col or text_col,
+                tokens_col,
+            )
+            if persist:
+                s = pin(s, StorageLevel.MEMORY_AND_DISK)
+            rels.append(s)
+        # ``token_dict``: a prebuilt (_tok, _rank) dictionary — same
+        # contract as similarity_join's: it must cover every token of
+        # both relations (tokens absent from it silently vanish from the
+        # rank arrays). Losslessness of the prefix/positional filters
+        # needs only SOME global total order, and verification
+        # intersects rank arrays (a bijection), so any covering
+        # dictionary yields identical pairs.
+        dict_df = token_dict if token_dict is not None else _rank_tokens(*rels)
+        r_sorted = _sorted_by_rank(r, dict_df)
+        if persist:
+            r_sorted = pin(r_sorted, StorageLevel.MEMORY_AND_DISK)
+        s_sorted = (
+            r_sorted if other is None else _sorted_by_rank(rels[1], dict_df)
+        )
+        if persist and other is not None:
+            s_sorted = pin(s_sorted, StorageLevel.MEMORY_AND_DISK)
 
     probe = _prefix_exploded(r_sorted, threshold).select(
         F.col("_id").alias("id1"),

@@ -3809,14 +3809,15 @@ def snm_scored_pairs(spark, sf_dir, w_max: int):
     arrs = docs.select(
         "doc_id", F.array_sort(TX.set_tokens("text")).alias("toks")
     )
-    from hive_similarity_join_spark.queries.similarity_q import docs_token_dict
+    from hive_similarity_join_spark.queries.similarity_q import docs_rank_arrays
 
     return snm_scored_pairs_from(
-        arrs, w_max, token_dict=docs_token_dict(spark, sf_dir)
+        arrs, w_max, rank_arrays=docs_rank_arrays(spark, sf_dir)
     )
 
 
-def snm_scored_pairs_from(arrs, w_max: int, token_dict=None):
+def snm_scored_pairs_from(arrs, w_max: int, token_dict=None,
+                          rank_arrays=None):
     """``snm_scored_pairs`` body over a pre-tokenized corpus relation
     (doc_id, toks = sorted distinct tokens) — the shared seam that
     lets the incremental ensemble mirror (streaming/
@@ -3832,7 +3833,11 @@ def snm_scored_pairs_from(arrs, w_max: int, token_dict=None):
     distinct token sets, so |intersection| and sizes — hence jac — are
     identical integers), and the two verify joins ship int arrays. The
     sort key ``ck`` stays the token STRING concat either way (ranks
-    would reorder the neighborhood and change candidates)."""
+    would reorder the neighborhood and change candidates).
+
+    ``rank_arrays``: a prebuilt (_id, _rks, _n) rank-sorted relation for
+    the SAME corpus (similarity_q.docs_rank_arrays) — skips even the
+    explode+dict-join pass the token_dict path pays."""
     canon = arrs.select("doc_id", F.concat_ws(" ", "toks").alias("ck"))
     rk = ranked_by(canon, ["ck", "doc_id"], "r").select("doc_id", "r")
     probes = rk.select(
@@ -3848,7 +3853,13 @@ def snm_scored_pairs_from(arrs, w_max: int, token_dict=None):
         F.greatest("id_a", "id_b").alias("id2"),
         "gap",
     )
-    if token_dict is not None:
+    if rank_arrays is not None:
+        sz = rank_arrays.select(
+            F.col("_id").alias("doc_id"),
+            F.col("_rks").alias("toks"),
+            F.col("_n").alias("n"),
+        )
+    elif token_dict is not None:
         sz = (
             arrs.select("doc_id", F.explode("toks").alias("_tok"))
             .join(F.broadcast(token_dict), "_tok")

@@ -77,7 +77,7 @@ def jaccard_self_pair_graph(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         return similarity_join(
             docs, "doc_id", "text", threshold=T_SELF, measure="jaccard",
-            token_dict=docs_token_dict(spark, sf_dir),
+            sorted_rel=docs_rank_arrays(spark, sf_dir),
         )
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
@@ -102,7 +102,8 @@ def q_simjoin_jaccard_rs(spark, sf_dir):
     # exactly the dictionary this join would build (r16).
     return similarity_join(
         left, "doc_id", "text", threshold=T_RS, measure="jaccard", other=right,
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=rank_arrays_slice(spark, sf_dir, left),
+        other_sorted_rel=rank_arrays_slice(spark, sf_dir, right),
     )
 
 
@@ -129,6 +130,42 @@ def docs_token_dict(spark, sf_dir):
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
     return session_ckpt("docs_token_dict", scope, build)
+
+
+def docs_rank_arrays(spark, sf_dir):
+    """Session-checkpointed rank-sorted corpus relation (_id, _rks, _n)
+    against the shared dictionary — r17: this relation depends only on
+    (corpus, dictionary), not on threshold or measure, yet the t0.8 and
+    t0.9 graph builds, the dice/cosine/overlap/jaccard_rs measure keys,
+    both containment forms, the greedy containment dedup and the SNM
+    verify each re-derived it (explode + dict join + collect, ~1.5-2 s
+    apiece at sf0.1). Per-doc rows are side-independent, so R-S forms
+    consume broadcast-semi-joined slices. Corpus-token-sized int
+    arrays; degrade is recompute."""
+    from hive_similarity_join_spark.operators.cache import session_ckpt
+    from hive_similarity_join_spark.operators.similarity import (
+        _sorted_by_rank,
+        _tokenized,
+    )
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return _sorted_by_rank(
+            _tokenized(d, "doc_id", "text", None),
+            docs_token_dict(spark, sf_dir),
+        )
+
+    scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    return session_ckpt("docs_rank_arrays", scope, build)
+
+
+def rank_arrays_slice(spark, sf_dir, side):
+    """``docs_rank_arrays`` restricted to one side of a documents
+    split — broadcast semi-join on the side's doc ids (node-sized)."""
+    return docs_rank_arrays(spark, sf_dir).join(
+        F.broadcast(side.select(F.col("doc_id").alias("_id"))),
+        "_id", "left_semi",
+    )
 
 
 def docs_weighted_sorted(spark, sf_dir):
@@ -203,7 +240,7 @@ def q_simjoin_dice(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return similarity_join(
         docs, "doc_id", "text", threshold=T_DICE, measure="dice",
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=docs_rank_arrays(spark, sf_dir),
     )
 
 
@@ -220,7 +257,7 @@ def q_simjoin_cosine(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return similarity_join(
         docs, "doc_id", "text", threshold=T_COS, measure="cosine",
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=docs_rank_arrays(spark, sf_dir),
     )
 
 
@@ -236,7 +273,7 @@ def q_simjoin_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return similarity_join(
         docs, "doc_id", "text", threshold=T_OVERLAP, measure="overlap",
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=docs_rank_arrays(spark, sf_dir),
     )
 
 
@@ -459,7 +496,7 @@ def q_simjoin_containment(spark, sf_dir):
     return containment_join(
         docs, "doc_id", "text", threshold=T_CONTAIN,
         min_size_ratio=CONTAIN_SIZE_RATIO,
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=docs_rank_arrays(spark, sf_dir),
     )
 
 
@@ -508,7 +545,8 @@ def q_simjoin_containment_rs(spark, sf_dir):
     corpus = docs.filter(F.col("source") >= "src5")
     return containment_join(
         batch, "doc_id", "text", threshold=T_CONTAIN_RS, other=corpus,
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=rank_arrays_slice(spark, sf_dir, batch),
+        other_sorted_rel=rank_arrays_slice(spark, sf_dir, corpus),
     )
 
 

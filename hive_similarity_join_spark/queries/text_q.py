@@ -186,14 +186,14 @@ def near_pair_graph(spark, sf_dir):
     (session, sf_dir), degrade is recompute."""
     from hive_similarity_join_spark.operators.cache import session_ckpt
     from hive_similarity_join_spark.queries.similarity_q import (
-        docs_token_dict,
+        docs_rank_arrays,
     )
 
     def build():
         d = load_table(spark, sf_dir, "documents")
         return similarity_join(
             d, "doc_id", "text", threshold=NEAR_DUP_T,
-            token_dict=docs_token_dict(spark, sf_dir),
+            sorted_rel=docs_rank_arrays(spark, sf_dir),
         )
 
     scope = f"{spark.sparkContext.applicationId}:{sf_dir}"
@@ -599,14 +599,14 @@ def q_dedup_containment(spark, sf_dir):
     )
 
     from hive_similarity_join_spark.queries.similarity_q import (
-        docs_token_dict,
+        docs_rank_arrays,
     )
 
     d = load_table(spark, sf_dir, "documents")
     pairs = containment_join(
         d, "doc_id", "text", threshold=T_CONTAIN,
         min_size_ratio=CONTAIN_SIZE_RATIO,
-        token_dict=docs_token_dict(spark, sf_dir),
+        sorted_rel=docs_rank_arrays(spark, sf_dir),
     )
     contained = pairs.select(F.col("id1").alias("doc_id")).distinct()
     return d.join(contained, "doc_id", "left_anti").select("doc_id", "source")
