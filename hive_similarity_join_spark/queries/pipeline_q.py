@@ -605,11 +605,20 @@ def _near_dupe_ids(spark, sf_dir):
     Degrade is recompute."""
     from hive_similarity_join_spark.operators.cache import session_ckpt
     from hive_similarity_join_spark.operators.similarity import similarity_join
+    from hive_similarity_join_spark.queries.similarity_q import (
+        rank_arrays_slice,
+    )
 
     def build():
         surv = _surv_of(_kept_relation(spark, sf_dir))
+        # r17: survivors are a subset of documents, so the shared
+        # corpus rank-array relation sliced to survivor ids is a
+        # covering representation — identical pairs under any covering
+        # dictionary (the r16 token_dict losslessness contract), and
+        # the kernel skips its own tokenize/dictionary/sort stages.
         pairs = similarity_join(
-            surv, "doc_id", "text", threshold=CLEAN_NEAR_T
+            surv, "doc_id", "text", threshold=CLEAN_NEAR_T,
+            sorted_rel=rank_arrays_slice(spark, sf_dir, surv),
         )
         return pairs.select(F.col("id2").alias("doc_id")).distinct()
 
