@@ -31,6 +31,7 @@ concurrent code path releases pins.
 from __future__ import annotations
 
 import contextlib
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -123,6 +124,26 @@ def session_pin(name: str, scope: str, build) -> DataFrame:
 
 _SESSION_STATE: dict[str, tuple[str, object]] = {}
 
+_STATE_LOCKS: dict[str, threading.Lock] = {}
+_STATE_LOCKS_GUARD = threading.Lock()
+
+
+def _name_lock(name: str) -> threading.Lock:
+    """Per-name build lock for the session tiers (r17): concurrent
+    builders of DISTINCT names overlap freely (the §2.6 prefetch
+    pattern), but two prefetched generators may now share a NESTED
+    dependency (the ensemble's exact and SNM builds both reach
+    docs_rank_arrays) — without this, both threads would miss and
+    eagerly materialize the same relation twice (safe — deterministic,
+    last write wins — but it wastes a full build inside the absorber).
+    Double-checked under the lock in the callers."""
+    with _STATE_LOCKS_GUARD:
+        lock = _STATE_LOCKS.get(name)
+        if lock is None:
+            lock = _STATE_LOCKS[name] = threading.Lock()
+        return lock
+
+
 #: Python-evaluation node names no shared generator may plan — same
 #: list as the suite-wide gate (tests/test_plans.py); generators feed
 #: many keys, so one bad build would poison every consumer invisibly
@@ -201,12 +222,16 @@ def session_state(name: str, scope: str, build):
     cur = _SESSION_STATE.get(name)
     if cur is not None and cur[0] == scope:
         return cur[1]
-    if cur is not None:
-        del _SESSION_STATE[name]
-    val = build()
-    _gate_state_value(name, val)
-    _SESSION_STATE[name] = (scope, val)
-    return val
+    with _name_lock(name):
+        cur = _SESSION_STATE.get(name)  # double-check under the lock
+        if cur is not None and cur[0] == scope:
+            return cur[1]
+        if cur is not None:
+            del _SESSION_STATE[name]
+        val = build()
+        _gate_state_value(name, val)
+        _SESSION_STATE[name] = (scope, val)
+        return val
 
 
 def session_ckpt(name: str, scope: str, build) -> DataFrame:
@@ -231,11 +256,15 @@ def session_ckpt(name: str, scope: str, build) -> DataFrame:
     cur = _SESSION_STATE.get(name)
     if cur is not None and cur[0] == scope:
         return cur[1]
-    if cur is not None:
-        del _SESSION_STATE[name]
-    df = _gate_generator_plan(name, build()).localCheckpoint(eager=True)
-    _SESSION_STATE[name] = (scope, df)
-    return df
+    with _name_lock(name):
+        cur = _SESSION_STATE.get(name)  # double-check under the lock
+        if cur is not None and cur[0] == scope:
+            return cur[1]
+        if cur is not None:
+            del _SESSION_STATE[name]
+        df = _gate_generator_plan(name, build()).localCheckpoint(eager=True)
+        _SESSION_STATE[name] = (scope, df)
+        return df
 
 
 def release_session_state() -> int:

@@ -179,3 +179,33 @@ def test_generator_plan_gate_rejects_low_cardinality_window(spark):
             session_ckpt("t_gate_badwin", "scope1", bad_build)
     finally:
         release_session_pins()
+
+
+def test_session_ckpt_concurrent_same_name_builds_once(spark):
+    """r17: prefetched generators can share a NESTED dependency (the
+    ensemble's exact and SNM builds both reach docs_rank_arrays), so
+    two threads may request the same name concurrently — the per-name
+    lock must make exactly one build run."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    release_session_pins()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        time.sleep(0.3)  # widen the race window
+        return spark.range(50)
+
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(session_ckpt, "t_ckpt_race", "scope1", build)
+                for _ in range(4)
+            ]
+            vals = [f.result() for f in futs]
+        assert calls["n"] == 1
+        assert all(v is vals[0] for v in vals)
+        assert vals[0].count() == 50
+    finally:
+        release_session_pins()
